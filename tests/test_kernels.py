@@ -1,0 +1,386 @@
+"""Golden-vector + analytic-oracle tests for the numpy kernel twins.
+
+Constants ported from /root/reference/test/runtests.jl (cited per test).
+These freeze the reference semantics locally; the Spark operator is then
+tested for bit-identity against *these* kernels (tests/test_score_spark.py).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from afspark.functions import kernels as K
+from afspark.functions.alphastable import (
+    fit_symmetric_alpha_stable,
+    myriad_constant,
+    rand_symmetric_alpha_stable,
+)
+from afspark.functions.dsp import envelope
+from afspark.functions.findpeaks import find_peaks
+
+FS = 100_000
+N = 100_000
+A = 1.0
+T = np.arange(N) / FS
+
+WINLENS = [1_000, 10_000, 1_001, 10_001]
+NOVERLAPS = [0, 100, 500]
+
+
+def sine(freq, amp=A, n=N, fs=FS):
+    return amp * np.sin(2 * np.pi * freq * np.arange(n) / fs)
+
+
+def chirp(f0, f1, duration, fs):
+    """Linear chirp, real part of the analytic sweep (test fixture twin)."""
+    t = np.arange(int(duration * fs)) / fs
+    phase = 2 * np.pi * (f0 * t + (f1 - f0) / (2 * duration) * t * t)
+    return np.cos(phase)
+
+
+# --- Energy (runtests.jl:22-48) --------------------------------------------
+
+def test_energy_sine_analytic():
+    x = sine(10_000)
+    s, names, v = K.score_local(K.Energy(), x)
+    assert names == ["Energy"]
+    assert s.tolist() == [1]
+    assert v[0, 0] == pytest.approx(A**2 / 2, abs=1e-3)
+
+
+@pytest.mark.parametrize("winlen", WINLENS)
+@pytest.mark.parametrize("noverlap", NOVERLAPS)
+def test_energy_windowed_grid(winlen, noverlap):
+    x = sine(10_000)
+    starts, _, v = K.score_local(K.Energy(), x, fs=FS, winlen=winlen, noverlap=noverlap)
+    step = winlen - noverlap
+    nwin = (N - winlen) // step + 1
+    assert len(starts) == nwin
+    assert starts[0] == 1 and (len(starts) < 2 or starts[1] == 1 + step)
+    assert np.allclose(v[:, 0], A**2 / 2, atol=1e-3)
+
+
+def test_winlen_too_large_raises():
+    # runtests.jl:429
+    with pytest.raises(ValueError):
+        K.score_local(K.Energy(), np.random.default_rng(0).normal(size=1000), winlen=1001)
+
+
+# --- Myriad (runtests.jl:50-79) --------------------------------------------
+
+def test_myriad_matches_constant():
+    rng = np.random.default_rng(42)
+    x = rand_symmetric_alpha_stable(rng, 1.9999, 1.0, N)
+    alpha, scale = fit_symmetric_alpha_stable(x)
+    sqk = myriad_constant(alpha, scale)
+    _, _, v = K.score_local(K.Myriad(sqk), x)
+    assert v[0, 0] / N == pytest.approx(math.log(sqk), abs=0.1)
+    for winlen in [1_000, 10_001]:
+        _, _, vw = K.score_local(K.Myriad(sqk), x, winlen=winlen, noverlap=100)
+        assert np.allclose(vw[:, 0] / winlen, math.log(sqk), atol=0.1)
+
+
+def test_alpha_stable_fit_recovery():
+    # runtests.jl:218-229: alpha=1.6 scale=2.0, atol 0.1
+    rng = np.random.default_rng(7)
+    x = rand_symmetric_alpha_stable(rng, 1.6, 2.0, N)
+    _, names, v = K.score_local(K.SymmetricAlphaStableStats(), x)
+    assert names == ["α", "scale"]
+    assert v[0, 0] == pytest.approx(1.6, abs=0.1)
+    assert v[0, 1] == pytest.approx(2.0, abs=0.1)
+
+
+def test_alpha_stable_fit_gaussian_endpoint():
+    rng = np.random.default_rng(3)
+    # N(0, 2) == alpha-stable(alpha=2, scale=1)
+    x = rng.normal(scale=math.sqrt(2.0), size=N)
+    alpha, scale = fit_symmetric_alpha_stable(x)
+    assert alpha == pytest.approx(2.0, abs=0.05)
+    assert scale == pytest.approx(1.0, abs=0.05)
+
+
+# --- SPL (runtests.jl:138-165) ---------------------------------------------
+
+def test_spl_sine():
+    x = K.pressure(sine(10_000), 0.0, 0.0)
+    _, names, v = K.score_local(K.SoundPressureLevel(), x)
+    assert names == ["SPL"]
+    assert v[0, 0] == pytest.approx(20 * math.log10(1 / math.sqrt(2)), abs=1e-6)
+    for winlen in WINLENS:
+        for noverlap in NOVERLAPS:
+            _, _, vw = K.score_local(
+                K.SoundPressureLevel(), x, fs=FS, winlen=winlen, noverlap=noverlap
+            )
+            assert np.allclose(vw[:, 0], 20 * math.log10(1 / math.sqrt(2)), atol=0.01)
+
+
+# --- ImpulseStats (runtests.jl:167-215) -------------------------------------
+
+TRUE_IDX = np.array([201, 2254, 5322, 8888])  # 1-based, as in the reference
+
+
+def test_impulse_stats_planted():
+    rng = np.random.default_rng(11)
+    x = np.zeros(N)
+    x[TRUE_IDX - 1] = 10.0
+    x += 0.1 * rng.normal(size=N)
+    ti = np.diff(TRUE_IDX)
+    _, _, v = K.score_local(K.ImpulseStats(10, 1e-3), x, fs=FS)
+    assert v[0, 0] == len(TRUE_IDX)
+    assert v[0, 1] == pytest.approx(ti.mean() / FS)
+    assert v[0, 2] == pytest.approx(ti.var(ddof=1) / FS)
+
+
+def test_impulse_stats_template():
+    rng = np.random.default_rng(12)
+    m = 100
+    lpad, rpad = K.get_pad_len(m)
+    template = rng.normal(size=m)
+    x = np.zeros(N)
+    for idx in TRUE_IDX - 1:
+        x[idx - lpad : idx + rpad + 1] = template
+    x += 0.1 * rng.normal(size=N)
+    ti = np.diff(TRUE_IDX)
+    for height in [None, 0.85]:
+        f = K.ImpulseStats(5, 1e-3, False, tuple(template), height)
+        _, _, v = K.score_local(f, x, fs=FS)
+        assert v[0, 0] == len(TRUE_IDX)
+        assert v[0, 1] == pytest.approx(ti.mean() / FS)
+        assert v[0, 2] == pytest.approx(ti.var(ddof=1) / FS)
+
+
+def test_impulse_stats_nan():
+    # runtests.jl:207-213 exact: [3, 3.5, 0.5]
+    x = np.array([1, 2, 100, 2, 1, 50, 1, -1, 3, 150, 3, 1, np.nan, 5])
+    f = K.ImpulseStats(0.1, 0.1, False, (1.0, 2.0, 1.0))
+    _, _, v = K.score_local(f, x, fs=1.0)
+    assert v[0, 0] == 3
+    assert v[0, 1] == 3.5
+    assert v[0, 2] == 0.5
+
+
+# --- Entropy (runtests.jl:234-246) ------------------------------------------
+
+def test_entropy_pure_tone():
+    x = sine(3125)
+    _, names, v = K.score_local(K.Entropy(256, 128), x, fs=FS)
+    assert names == ["Temporal Entropy", "Spectral Entropy", "Entropy Index"]
+    assert v[0, 0] == pytest.approx(1.0, abs=1e-2)
+    assert v[0, 1] == pytest.approx(0.0, abs=2e-1)
+    assert v[0, 2] == pytest.approx(0.0, abs=2e-1)
+
+
+# --- ZCR (runtests.jl:248-262) ----------------------------------------------
+
+def test_zcr_exact():
+    x = np.array([100.0, 1.0, -2.0, 2.0, -100.0, 0.0, 10.0])
+    _, _, v = K.score_local(K.ZeroCrossingRate(), x)
+    assert v[0, 0] == 4 / (len(x) - 1)
+    x = np.array([1.0, -1.0, 1.0, -1.0, 1.0])
+    _, _, v = K.score_local(K.ZeroCrossingRate(), x)
+    assert v[0, 0] == 1.0
+
+
+# --- SpectralCentroid / Flatness (runtests.jl:264-292) -----------------------
+
+def test_spectral_centroid_tone():
+    x = sine(6250)
+    _, _, v = K.score_local(K.SpectralCentroid(), x, fs=FS)
+    assert v[0, 0] == pytest.approx(6250, abs=1e-4)
+
+
+def test_spectral_flatness_tone_vs_noise():
+    x = sine(6250)
+    _, _, v = K.score_local(K.SpectralFlatness(), x)
+    assert v[0, 0] == pytest.approx(0.0, abs=1e-4)
+    noise = np.random.default_rng(5).normal(size=N)
+    _, _, vn = K.score_local(K.SpectralFlatness(), noise)
+    assert vn[0, 0] > v[0, 0]
+
+
+# --- PermutationEntropy goldens (runtests.jl:294-337) ------------------------
+
+PE_X = np.array([4, 7, 9, 10, 6, 11, 3], dtype=float)
+
+
+@pytest.mark.parametrize(
+    "tau,norm,weighted,expected",
+    [
+        (1, False, False, 1.5219),
+        (1, True, False, 0.5887),
+        (2, False, False, 1.5850),
+        (2, True, False, 0.6131),
+        (1, False, True, 1.4140),
+        (1, True, True, 0.5470),
+        (2, False, True, 1.5233),
+        (2, True, True, 0.5893),
+    ],
+)
+def test_permutation_entropy_goldens(tau, norm, weighted, expected):
+    f = K.PermutationEntropy(3, tau, norm, weighted)
+    _, _, v = K.score_local(f, PE_X)
+    assert v[0, 0] == pytest.approx(expected, abs=1e-4)
+
+
+def test_pe_defaults_match():
+    v1 = K.score_local(K.PermutationEntropy(3), PE_X)[2]
+    v2 = K.score_local(K.PermutationEntropy(3, 1, True, False), PE_X)[2]
+    assert v1[0, 0] == v2[0, 0]
+
+
+# --- StatisticalComplexity goldens (runtests.jl:379-400) ----------------------
+
+def test_statistical_complexity_goldens():
+    _, _, v1 = K.score_local(K.StatisticalComplexity(3, 1), PE_X)
+    _, _, v2 = K.score_local(K.StatisticalComplexity(3, 2), PE_X)
+    assert v1[0, 0] == pytest.approx(0.2899, abs=1e-4)
+    assert v2[0, 0] == pytest.approx(0.2915, abs=1e-4)
+
+
+# --- PSD (runtests.jl:339-349) -----------------------------------------------
+
+def test_psd_argmax_at_tone():
+    fs = 96_000
+    x = np.cos(2 * np.pi * 3000 * np.arange(int(0.1 * fs)) / fs)
+    f = K.PSD(64, 32, fs)
+    _, names, v = K.score_local(f, x, fs=fs)
+    assert names[int(np.argmax(v[0]))] == "PSD-3000.0Hz"
+
+
+# --- ACI (runtests.jl:351-377) ------------------------------------------------
+
+def test_aci_chirp_vs_cw():
+    fs = 96_000
+    rng = np.random.default_rng(21)
+    s1 = chirp(1000, 48_000, 5.0, fs) + rng.normal(size=5 * fs)
+    s2 = np.cos(2 * np.pi * 1000 * np.arange(5 * fs) / fs) + rng.normal(size=5 * fs)
+    for kwargs in [
+        dict(amplitude=True, threshold_db=None),
+        dict(amplitude=False, threshold_db=None),
+        dict(amplitude=False, threshold_db=-10.0),
+    ]:
+        f = K.AcousticComplexityIndex(1048, 0, 30, **kwargs)
+        v1 = K.score_local(f, s1, fs=fs)[2][0, 0]
+        v2 = K.score_local(f, s2, fs=fs)[2][0, 0]
+        assert v1 > v2
+    f = K.AcousticComplexityIndex(1048, 0, 10_000, False, -10.0)  # jbin > ncols
+    assert K.score_local(f, s1, fs=fs)[2][0, 0] > K.score_local(f, s2, fs=fs)[2][0, 0]
+
+
+# --- ADI (runtests.jl:402-424) --------------------------------------------------
+
+def test_adi_multiband_vs_single():
+    fs = 2000
+    s1 = sum(chirp(f0, f0 + 100, 5.0, fs) for f0 in [100, 200, 300, 400])
+    s2 = chirp(100, 200, 5.0, fs)
+    for thr in [-30.0, -50.0]:
+        f = K.AcousticDiversityIndex(128, 64, 50.0, (50.0, 1000.0), thr)
+        v1 = K.score_local(f, s1, fs=fs)[2][0, 0]
+        v2 = K.score_local(f, s2, fs=fs)[2][0, 0]
+        assert v1 > v2
+    f = K.AcousticDiversityIndex(128, 64, 50.0, (50.0, 1000.0))
+    assert K.score_local(f, np.zeros(100_000), fs=fs)[2][0, 0] == 0.0
+
+
+# --- FrequencyContours (runtests.jl:81-136) -------------------------------------
+
+def test_frequency_contours_double_vs_single_chirp():
+    duration = N / FS
+    x1 = chirp(10_000, 50_000, duration, FS) + chirp(1_000, 20_000, duration, FS)
+    x2 = chirp(10_000, 50_000, duration, FS)
+    f = K.FrequencyContours(512, 256, 1.0, 1000.0, 99.0, 1000.0, 0.05)
+    v1 = K.score_local(f, x1, fs=FS)[2][0, 0]
+    v2 = K.score_local(f, x2, fs=FS)[2][0, 0]
+    assert v1 > v2
+    for winlen in [10_000, 10_001]:
+        for noverlap in [0, 100, 500]:
+            w1 = K.score_local(f, x1, fs=FS, winlen=winlen, noverlap=noverlap)[2]
+            w2 = K.score_local(f, x2, fs=FS, winlen=winlen, noverlap=noverlap)[2]
+            assert np.all(w2[:, 0] < w1[:, 0])
+
+
+# --- utils (runtests.jl:434-496) -------------------------------------------------
+
+def test_normalize_envelope_edge_cases():
+    assert np.array_equal(K.normalize_envelope(np.zeros(10_000)), np.zeros(10_000))
+    x = np.ones(10_000)
+    assert np.allclose(K.normalize_envelope(x), np.zeros(10_000), atol=1e-6 * len(x))
+
+
+def test_spectrum_flatten_goldens():
+    x = np.array([1, 2, 3, 4, 5, 6, 7], dtype=float)
+    expected = x - np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 6.0])
+    assert np.array_equal(K.spectrum_flatten(x, 3), expected)
+    m = np.arange(1, 22, dtype=float).reshape(3, 7)
+    row_med = np.array(
+        [[1, 2, 3, 4, 5, 6, 6], [8, 9, 10, 11, 12, 13, 13], [15, 16, 17, 18, 19, 20, 20]],
+        dtype=float,
+    )
+    col_med = np.array(
+        [[1, 2, 3, 4, 5, 6, 7], [8, 9, 10, 11, 12, 13, 14], [8, 9, 10, 11, 12, 13, 14]],
+        dtype=float,
+    )
+    assert np.array_equal(K.spectrum_flatten_mat(m, 3, dims=2), m - row_med)
+    assert np.array_equal(K.spectrum_flatten_mat(m, 3, dims=1), m - col_med)
+
+
+def test_pressure_voltparams():
+    nbits, vref = 16, 1.0
+    x = np.cos(2 * np.pi * 64 * np.arange(512) / 512)
+    xvolt = vref * x
+    xbit = xvolt * (2 ** (nbits - 1))
+    p1 = K.pressure(xvolt, 0.0, 0.0)
+    p2 = K.pressure(xbit, 0.0, 0.0, voltparams=(nbits, vref))
+    assert np.array_equal(p1, p2)
+
+
+def test_get_pad_len_parity():
+    for m in range(2, 11, 2):
+        assert K.get_pad_len(m) == ((m - 1) // 2, m // 2)
+    for m in range(1, 11, 2):
+        assert K.get_pad_len(m) == (m // 2, m // 2)
+
+
+def test_ordinal_patterns_goldens():
+    p = np.arange(1, 8, dtype=float)
+    assert K.ordinal_patterns(p, 3, 1).tolist() == [1.0]
+    assert K.ordinal_patterns(p, 3, 2).tolist() == [1.0]
+    p = np.array([1, 2, 1, 2, 1, 2, 1], dtype=float)
+    assert np.allclose(K.ordinal_patterns(p, 3, 1), [0.6, 0.4])
+    assert K.ordinal_patterns(p, 3, 2).tolist() == [1.0]
+
+
+def test_norm_cross_corr_planted():
+    rng = np.random.default_rng(9)
+    n, m = 1000, 10
+    x = rng.normal(size=n)
+    index = 500
+    lpad, rpad = K.get_pad_len(m)
+    template = x[index - lpad : index + rpad + 1]
+    s = K.norm_cross_corr(x, template)
+    assert s[index] == pytest.approx(1.0)
+    mask = np.ones(n, dtype=bool)
+    mask[index] = False
+    assert np.all(s[mask] < 1.0)
+
+
+def test_find_peaks_plateau_and_distance():
+    x = np.array([0, 1, 1, 0, 2, 0, 3, 0], dtype=float)
+    assert find_peaks(x).tolist() == [1, 4, 6]
+    assert find_peaks(x, distance=3).tolist() == [1, 6]  # 4 suppressed by 6
+    assert find_peaks(x, distance=6).tolist() == [6]
+    assert find_peaks(x, height=1.5).tolist() == [4, 6]
+
+
+def test_window_starts_formula():
+    # hop arithmetic parity with the reference grid (runtests.jl:28-29)
+    for xlen in [100_000]:
+        for winlen in WINLENS:
+            for noverlap in NOVERLAPS:
+                step = winlen - noverlap
+                s = K.window_starts(xlen, winlen, noverlap)
+                assert s[0] == 1
+                assert np.all(np.diff(s) == step)
+                assert s[-1] + winlen - 1 <= xlen
+                assert s[-1] + step + winlen - 1 > xlen
