@@ -1,0 +1,110 @@
+"""Continuous-aggregate rollup tiers (north_rule: 1m -> 1h -> 1d -> 30d).
+
+The reference has no rollup (its tiers analog is SURVEY.md §2.9); these are
+classic TSDB downsamples: each tier holds per-(series, feature, bucket)
+``cnt/sum/min/max/first/last`` and is computed EITHER from raw points OR by
+re-aggregating the previous tier (tier consistency is tested:
+1h-from-1m == 1h-from-raw, tests/test_rollup.py).
+
+Bucketing is pure epoch arithmetic — floor(epoch/sec)*sec — identical in
+Spark and DuckDB (portable for the driver oracle), independent of calendar
+units, and cheap inside whole-stage codegen.  Aggregation is algebraic, so
+Spark performs map-side partial aggregation before the shuffle; at 100TB
+the only shuffle per tier is on (series_id, feature, bucket), and each
+subsequent tier is ~60x smaller than the previous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TIERS: dict[str, int] = {
+    "1m": 60,
+    "1h": 3_600,
+    "1d": 86_400,
+    "30d": 30 * 86_400,
+}
+
+
+def bucket_ts(ts: Column, tier_seconds: int) -> Column:
+    """floor(epoch(ts)/S)*S as timestamp — portable tumbling bucket."""
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(ts) / tier_seconds) * tier_seconds).cast("long")
+    )
+
+
+def rollup_points(
+    points: DataFrame,
+    tier_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-tier rollup from raw points.
+
+    Output: keys + (bucket_ts, cnt, sum, min, max, avg, first, last,
+    first_ts, last_ts).
+    """
+    v, ts = F.col(value_col), F.col(ts_col)
+    return (
+        points.withColumn("bucket_ts", bucket_ts(ts, tier_seconds))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            (F.sum(v) / F.count(v)).alias("avg"),
+            F.min_by(v, ts).alias("first"),
+            F.max_by(v, ts).alias("last"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+    )
+
+
+def rollup_tier(
+    prev: DataFrame, tier_seconds: int, keys: list[str] = ["series_id"]
+) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (algebraic merge)."""
+    return (
+        prev.withColumn("bucket_ts", bucket_ts(F.col("bucket_ts"), tier_seconds))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            (F.sum("sum") / F.sum("cnt")).alias("avg"),
+            F.min_by("first", "first_ts").alias("first"),
+            F.max_by("last", "last_ts").alias("last"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+def rollup_all_tiers(
+    points: DataFrame,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiers: dict[str, int] = TIERS,
+) -> dict[str, DataFrame]:
+    """Chained tiers: base from raw, every coarser tier from the previous.
+
+    The base tier is cached by the caller if it will be reused; each tier
+    re-shuffles only the (much smaller) previous tier.
+    """
+    names = sorted(tiers, key=tiers.get)
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for name in names:
+        sec = tiers[name]
+        if prev is None:
+            prev = rollup_points(points, sec, keys, ts_col, value_col)
+        else:
+            prev = rollup_tier(prev, sec, keys)
+        out[name] = prev
+    return out

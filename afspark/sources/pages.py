@@ -1,0 +1,192 @@
+"""Deterministic Common-Crawl-style ``pages`` table + samples derivation.
+
+Input shape fixed by BASELINE.json input_hint:
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Generation is fully distributed (spark.range -> mapInPandas) and
+deterministic in the row id alone (splitmix64 mixing), so any partitioning
+produces the same table — no driver-side data, no external files.  A
+configurable hot-domain fraction exercises the skew/salting path.
+
+text -> samples mapping (SURVEY.md §7.2): series_id = url domain; per
+series, pages are ordered by (warc_ts, url) and their ASCII text bytes are
+concatenated; sample value = (byte - 127.5)/127.5.  The page ``text`` is
+never rewritten, so the per-row invariant (byte-identical text per url)
+holds by construction; tests/test_pages.py reconstructs text from samples
+to prove it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+BASE_TS = np.datetime64("2024-01-01T00:00:00")
+SPAN_DAYS = 35  # covers the 30d retention tier
+
+# 128-word ASCII vocabulary; values chosen only for byte diversity.
+_VOCAB = np.array(
+    [
+        "".join(
+            chr(33 + ((w * 13 + i * 7) % 94)) for i in range(3 + (w % 9))
+        )
+        for w in range(128)
+    ],
+    dtype=object,
+)
+
+_LANGS = np.array(["en", "de", "zh"], dtype=object)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain algorithm)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_pages: int,
+    n_domains: int = 50,
+    hot_domain_frac: float = 0.3,
+    words_min: int = 40,
+    words_max: int = 200,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pages table; ``hot_domain_frac`` of rows hit domain 0."""
+    span_s = SPAN_DAYS * 86_400
+    sc_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy().astype(np.uint64)
+                h0 = _splitmix64(ids + np.uint64(seed))
+                h1 = _splitmix64(h0)
+                h2 = _splitmix64(h1)
+                hot = (h0 % np.uint64(1000)) < np.uint64(int(hot_domain_frac * 1000))
+                dom_idx = np.where(hot, 0, 1 + (h1 % np.uint64(n_domains - 1)).astype(np.int64))
+                nwords = (
+                    words_min + (h2 % np.uint64(words_max - words_min)).astype(np.int64)
+                )
+                ts_off = (h0 ^ h2) % np.uint64(span_s)
+                texts = []
+                for i in range(len(ids)):
+                    k = int(nwords[i])
+                    widx = _splitmix64(
+                        ids[i] * np.uint64(1_000_003) + np.arange(k, dtype=np.uint64)
+                    ) % np.uint64(len(_VOCAB))
+                    texts.append(" ".join(_VOCAB[widx.astype(np.int64)]))
+                domains = np.array([f"d{int(d):03d}.example.com" for d in dom_idx], dtype=object)
+                urls = np.array(
+                    [f"https://{d}/p/{int(i)}" for d, i in zip(domains, ids)], dtype=object
+                )
+                yield pd.DataFrame(
+                    {
+                        "url": urls,
+                        "warc_ts": BASE_TS + ts_off.astype("timedelta64[s]"),
+                        "html": [f"<html>{t}</html>".encode() for t in texts],
+                        "text": texts,
+                        "lang": _LANGS[(ids % np.uint64(3)).astype(np.int64)],
+                    }
+                )
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    return (
+        spark.range(0, n_pages, numPartitions=sc_partitions)
+        .mapInPandas(gen, schema)
+    )
+
+
+def url_domain(url_col):
+    """Domain component of the url — the series key (north_rule bucket key)."""
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def with_series_offsets(pages: DataFrame) -> DataFrame:
+    """Add series_id + the 0-based sample offset of each page within its
+    series ((warc_ts, url)-ordered concatenation of text bytes)."""
+    p = pages.withColumn("series_id", url_domain(F.col("url")))
+    w = (
+        W.partitionBy("series_id")
+        .orderBy("warc_ts", "url")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return p.withColumn(
+        "sample_offset",
+        F.coalesce(F.sum(F.octet_length("text")).over(w), F.lit(0)).cast("long"),
+    )
+
+
+def derive_samples(pages: DataFrame) -> DataFrame:
+    """samples(series_id, seq, ts, value) — Arrow path (scale path).
+
+    One window pass for offsets, then a vectorized per-page byte explode
+    (np.frombuffer; no per-row Python inside the loop beyond the page
+    iteration itself).
+    """
+    src = with_series_offsets(pages).select(
+        "series_id", "sample_offset", "warc_ts", "text"
+    )
+
+    def explode_bytes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bufs = [t.encode("utf-8") for t in pdf["text"]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            values = (
+                np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.float64)
+                - 127.5
+            ) / 127.5
+            offs = pdf["sample_offset"].to_numpy(dtype=np.int64)
+            seq = np.concatenate(
+                [o + 1 + np.arange(l, dtype=np.int64) for o, l in zip(offs, lens)]
+            )
+            yield pd.DataFrame(
+                {
+                    "series_id": np.repeat(pdf["series_id"].to_numpy(), lens),
+                    "seq": seq,
+                    "ts": np.repeat(pdf["warc_ts"].to_numpy(), lens),
+                    "value": values,
+                }
+            )
+
+    return src.mapInPandas(
+        explode_bytes, "series_id string, seq long, ts timestamp, value double"
+    )
+
+
+def derive_samples_sql(pages: DataFrame) -> DataFrame:
+    """samples via pure Catalyst (explode + ascii) — oracle-parity twin.
+
+    Only valid for ASCII text (char == byte), which the generator
+    guarantees; kept for DuckDB cross-checks and plan comparisons.
+    """
+    src = with_series_offsets(pages)
+    return (
+        src.select(
+            "series_id",
+            "sample_offset",
+            F.col("warc_ts").alias("ts"),
+            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("pos", "ch"),
+        )
+        .filter(F.col("ch") != "")  # split() keeps a trailing empty element
+        .select(
+            "series_id",
+            (F.col("sample_offset") + F.col("pos") + 1).alias("seq"),
+            "ts",
+            ((F.ascii("ch") - 127.5) / 127.5).alias("value"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Rollup tier consistency + gap-fill goldens."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from afspark.operators.gapfill import gapfill
+from afspark.operators.rollup import TIERS, rollup_all_tiers, rollup_points
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+
+
+def test_tier_consistency_1h(spark, points):
+    """1h tier re-aggregated from 1m == 1h tier straight from raw points."""
+    tiers = rollup_all_tiers(points)
+    direct = rollup_points(points, TIERS["1h"])
+    a = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max, r.first, r.last)
+        for r in tiers["1h"].collect()
+    }
+    b = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max, r.first, r.last)
+        for r in direct.collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-12)
+        assert a[k][2:] == pytest.approx(b[k][2:], rel=1e-12)
+
+
+def test_all_tiers_counts_conserve(points):
+    tiers = rollup_all_tiers(points)
+    total = points.count()
+    for name, df in tiers.items():
+        assert df.agg(F.sum("cnt")).first()[0] == total, name
+
+
+def make_sparse(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["series_id", "bucket_ts", "avg"])
+    pdf["bucket_ts"] = pd.to_datetime(pdf["bucket_ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_gapfill_linear_golden(spark):
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        ("s", "2024-01-01 00:00:00", 10.0),
+        ("s", "2024-01-01 00:03:00", 40.0),  # 2 missing minutes between
+        ("s", "2024-01-01 00:05:00", 0.0),
+    ]
+    out = gapfill(make_sparse(spark, rows), 60, method="linear").orderBy("bucket_ts")
+    got = [(r.bucket_ts.minute, r.value, r.is_gap) for r in out.collect()]
+    assert got == [
+        (0, 10.0, False),
+        (1, 20.0, True),
+        (2, 30.0, True),
+        (3, 40.0, False),
+        (4, 20.0, True),
+        (5, 0.0, False),
+    ]
+
+
+def test_gapfill_locf_golden(spark):
+    rows = [
+        ("s", "2024-01-01 00:00:00", 5.0),
+        ("s", "2024-01-01 00:02:00", 7.0),
+    ]
+    out = gapfill(make_sparse(spark, rows), 60, method="locf").orderBy("bucket_ts")
+    assert [(r.value, r.is_gap) for r in out.collect()] == [
+        (5.0, False),
+        (5.0, True),
+        (7.0, False),
+    ]
+
+
+def test_gapfill_multiseries_independent(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 00:02:00", 3.0),
+        ("b", "2024-01-01 00:10:00", 100.0),
+    ]
+    out = gapfill(make_sparse(spark, rows), 60, method="linear")
+    got = {(r.series_id, r.bucket_ts.minute): r.value for r in out.collect()}
+    assert got[("a", 1)] == 2.0
+    assert got[("b", 10)] == 100.0
+    assert len([k for k in got if k[0] == "b"]) == 1
