@@ -1,0 +1,935 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Each entry in QUERIES maps a name to (spark_fn, duckdb_sql | None).  The
+spark_fn takes (spark, sf_dir) and returns a DataFrame whose column NAMES
+and VALUES match the DuckDB SQL run on the same parquet tables (views:
+region nation customer supplier part orders lineitem events documents
+embeddings).  Floats are rounded on BOTH sides — digits chosen per column
+magnitude — so the driver's order-insensitive value-hash is robust to
+summation-order/libm noise; timestamps are emitted as epoch BIGINTs for
+the same reason.
+
+Where an operator is not SQL-expressible (kernel features, codecs), the
+oracle is None and the driver records a rows-only check; those operators
+are instead bit-exactness-tested against the local numpy twins in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions import kernels as K
+from .operators.gapfill import gapfill
+from .operators.rollup import TIERS, rollup_points, rollup_tier
+from .operators.score import score
+from .operators.windows import (
+    energy_agg,
+    myriad_agg,
+    sliding_agg,
+    spl_agg,
+    tumbling_agg,
+    zcr_windowed,
+)
+
+WINLEN = 16
+NOVERLAP = 8
+MYRIAD_K = 2.5
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def events_samples(spark: SparkSession, sf_dir: str, cents: bool = False) -> DataFrame:
+    """events -> samples(series_id, seq, ts, value); series = user_id.
+
+    seq is the 1-based rank by (ts, event_id) within each user — the same
+    total order the oracle SQL uses.  ``cents=True`` scales values to
+    integer cents (floor(v*100+0.5)): sums of integers are EXACT in
+    float64 (up to 2^53) and therefore summation-order independent, which
+    makes aggregate outputs bit-identical between Spark and DuckDB — raw
+    2-decimal data can otherwise land exactly on rounding boundaries.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.floor(F.col("value") * 100 + 0.5).cast("double") if cents else F.col("value")
+    return ev.select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        "ts",
+        v.alias("value"),
+    )
+
+
+_SAMPLES_CTE = """
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+             value AS v
+      FROM events
+    )
+"""
+
+_SAMPLES_CTE_CENTS = """
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+             floor(value*100 + 0.5) AS v
+      FROM events
+    )
+"""
+
+
+def _r(c, d: int = 6) -> F.Column:
+    """Round for the oracle value-hash: floor(x*10^d + 0.5)/10^d.
+
+    Deliberately NOT round(): Spark rounds the shortest-decimal repr
+    (BigDecimal) while DuckDB rounds the binary value, and they disagree
+    on exact decimal boundaries.  This floor form is pure IEEE arithmetic,
+    evaluated identically by both engines (the SQL twins use the same
+    expression).  Digits are chosen per column so that 10^-d is many
+    orders above cross-engine float noise at that column's magnitude.
+    """
+    p = float(10**d)
+    return F.floor(c * p + 0.5) / p
+
+
+# ---------------------------------------------------------------------------
+# 1-4: tumbling windowed Catalyst twins (energy / SPL / Myriad / ZCR)
+# ---------------------------------------------------------------------------
+
+def q_energy_win_tumbling(spark, sf_dir):
+    s = events_samples(spark, sf_dir, cents=True)
+    out = tumbling_agg(s, WINLEN, {"energy": energy_agg(F.col("value"))})
+    return out.select("series_id", "win_start", _r(F.col("energy"), 3).alias("energy"))
+
+
+SQL_ENERGY_TUMBLING = _SAMPLES_CTE_CENTS + f"""
+    SELECT series_id,
+           ((seq-1)//{WINLEN})*{WINLEN}+1 AS win_start,
+           floor((avg(v*v))*1000.0 + 0.5)/1000.0 AS energy
+    FROM s GROUP BY 1, 2 HAVING count(*) = {WINLEN}
+"""
+
+
+def q_spl_win_tumbling(spark, sf_dir):
+    s = events_samples(spark, sf_dir)
+    out = tumbling_agg(s, WINLEN, {"spl": spl_agg(F.col("value"))})
+    return out.select("series_id", "win_start", _r(F.col("spl"), 4).alias("spl"))
+
+
+SQL_SPL_TUMBLING = _SAMPLES_CTE + f"""
+    SELECT series_id,
+           ((seq-1)//{WINLEN})*{WINLEN}+1 AS win_start,
+           floor((20*log10(sqrt(avg(v*v))/1.0))*10000.0 + 0.5)/10000.0 AS spl
+    FROM s GROUP BY 1, 2 HAVING count(*) = {WINLEN}
+"""
+
+
+def q_myriad_win_tumbling(spark, sf_dir):
+    s = events_samples(spark, sf_dir)
+    out = tumbling_agg(s, WINLEN, {"myriad": myriad_agg(F.col("value"), MYRIAD_K)})
+    return out.select("series_id", "win_start", _r(F.col("myriad"), 3).alias("myriad"))
+
+
+SQL_MYRIAD_TUMBLING = _SAMPLES_CTE + f"""
+    SELECT series_id,
+           ((seq-1)//{WINLEN})*{WINLEN}+1 AS win_start,
+           floor((sum(ln({MYRIAD_K} + v*v)))*1000.0 + 0.5)/1000.0 AS myriad
+    FROM s GROUP BY 1, 2 HAVING count(*) = {WINLEN}
+"""
+
+
+def q_zcr_win_tumbling(spark, sf_dir):
+    s = events_samples(spark, sf_dir).withColumn("value", F.col("value") - 50.0)
+    out = zcr_windowed(s, WINLEN, 0)
+    return out.select("series_id", "win_start", _r(F.col("zcr"), 6).alias("zcr"))
+
+
+SQL_ZCR_TUMBLING = f"""
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+             value - 50.0 AS v
+      FROM events
+    ), c AS (
+      SELECT series_id, seq,
+             CASE WHEN (v > 0) <> lag(v > 0) OVER (PARTITION BY series_id ORDER BY seq)
+                  THEN 1 ELSE 0 END AS chg
+      FROM s
+    )
+    SELECT series_id,
+           ((seq-2)//{WINLEN})*{WINLEN}+1 AS win_start,
+           floor((sum(chg)/({WINLEN}-1.0))*1000000.0 + 0.5)/1000000.0 AS zcr
+    FROM c WHERE seq >= 2 AND (seq-1) % {WINLEN} <> 0
+    GROUP BY 1, 2 HAVING count(*) = {WINLEN}-1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5-6: sliding windows with overlap + hop arithmetic
+# ---------------------------------------------------------------------------
+
+def q_energy_win_sliding(spark, sf_dir):
+    s = events_samples(spark, sf_dir, cents=True)
+    out = sliding_agg(s, WINLEN, NOVERLAP, {"energy": energy_agg(F.col("value"))})
+    return out.select("series_id", "win_start", _r(F.col("energy"), 3).alias("energy"))
+
+
+SQL_ENERGY_SLIDING = _SAMPLES_CTE_CENTS + f"""
+    , lens AS (SELECT series_id, max(seq) AS n FROM s GROUP BY 1),
+    starts AS (
+      SELECT series_id, unnest(generate_series(1, n - {WINLEN-1}, {WINLEN - NOVERLAP})) AS win_start
+      FROM lens WHERE n >= {WINLEN}
+    )
+    SELECT st.series_id, st.win_start, floor((avg(s.v*s.v))*1000.0 + 0.5)/1000.0 AS energy
+    FROM starts st JOIN s ON s.series_id = st.series_id
+                        AND s.seq BETWEEN st.win_start AND st.win_start + {WINLEN-1}
+    GROUP BY 1, 2
+"""
+
+
+def q_hop_window_counts(spark, sf_dir):
+    """Actual sliding-window count per series == the hop formula."""
+    s = events_samples(spark, sf_dir)
+    actual = (
+        sliding_agg(s, WINLEN, NOVERLAP, {"energy": energy_agg(F.col("value"))})
+        .groupBy("series_id")
+        .agg(F.count(F.lit(1)).alias("nwin"))
+    )
+    n = s.groupBy("series_id").agg(F.max("seq").alias("n_samples"))
+    return n.join(actual, "series_id", "left").select(
+        "series_id", "n_samples", F.coalesce("nwin", F.lit(0)).alias("nwin")
+    )
+
+
+SQL_HOP_WINDOW_COUNTS = _SAMPLES_CTE + f"""
+    SELECT series_id, max(seq) AS n_samples,
+           CASE WHEN max(seq) >= {WINLEN}
+                THEN (max(seq) - {WINLEN})//{WINLEN - NOVERLAP} + 1 ELSE 0 END AS nwin
+    FROM s GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7-10: rollup tiers
+# ---------------------------------------------------------------------------
+
+def _rollup_out(df):
+    """Oracle-facing projection; cents units keep sums integer-exact."""
+    return df.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "cnt",
+        F.col("sum").cast("long").alias("sum_c"),
+        F.col("min").cast("long").alias("min_c"),
+        F.col("max").cast("long").alias("max_c"),
+        _r(F.col("avg") / 100.0, 6).alias("avg_v"),
+    )
+
+
+def _sql_rollup(sec: int) -> str:
+    return f"""
+    WITH c AS (
+      SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           (floor(epoch(ts)/{sec})*{sec})::BIGINT AS bucket_epoch,
+           count(*) AS cnt,
+           CAST(sum(v) AS BIGINT) AS sum_c,
+           CAST(min(v) AS BIGINT) AS min_c,
+           CAST(max(v) AS BIGINT) AS max_c,
+           floor((sum(v)/count(*)/100.0)*1000000.0 + 0.5)/1000000.0 AS avg_v
+    FROM c GROUP BY 1, 2
+    """
+
+
+def q_rollup_1m(spark, sf_dir):
+    pts = events_samples(spark, sf_dir, cents=True)
+    return _rollup_out(rollup_points(pts, TIERS["1m"]))
+
+
+def q_rollup_1h_chained(spark, sf_dir):
+    """1h tier computed FROM the 1m tier; oracle computes 1h from raw."""
+    pts = events_samples(spark, sf_dir, cents=True)
+    return _rollup_out(rollup_tier(rollup_points(pts, TIERS["1m"]), TIERS["1h"]))
+
+
+def q_rollup_1d_chained(spark, sf_dir):
+    pts = events_samples(spark, sf_dir, cents=True)
+    t1m = rollup_points(pts, TIERS["1m"])
+    return _rollup_out(rollup_tier(rollup_tier(t1m, TIERS["1h"]), TIERS["1d"]))
+
+
+def q_rollup_30d_chained(spark, sf_dir):
+    pts = events_samples(spark, sf_dir, cents=True)
+    t1m = rollup_points(pts, TIERS["1m"])
+    t1d = rollup_tier(rollup_tier(t1m, TIERS["1h"]), TIERS["1d"])
+    return _rollup_out(rollup_tier(t1d, TIERS["30d"]))
+
+
+# ---------------------------------------------------------------------------
+# 11-12: gap-fill over the 1h tier
+# ---------------------------------------------------------------------------
+
+def _gapfill_q(spark, sf_dir, method):
+    # cents: bucket averages are exact-integer/cnt, so the interpolation
+    # inputs (and hence outputs) are bit-identical across engines
+    pts = events_samples(spark, sf_dir, cents=True)
+    rolled = rollup_points(pts, TIERS["1h"])
+    out = gapfill(rolled, TIERS["1h"], value_col="avg", method=method)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        _r(F.col("value") / 100.0, 4).alias("value"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    return _gapfill_q(spark, sf_dir, "locf")
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    return _gapfill_q(spark, sf_dir, "linear")
+
+
+_SQL_GAPFILL_BASE = """
+    WITH r AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+             sum(floor(value*100 + 0.5))/count(*) AS avg_v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT series_id, min(bucket_epoch) AS lo, max(bucket_epoch) AS hi FROM r GROUP BY 1
+    ), spine AS (
+      SELECT series_id, unnest(generate_series(lo, hi, 3600)) AS bucket_epoch FROM b
+    ), j AS (
+      SELECT sp.series_id, sp.bucket_epoch, r.avg_v AS v
+      FROM spine sp LEFT JOIN r USING (series_id, bucket_epoch)
+    ), nb AS (
+      SELECT series_id, bucket_epoch, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY series_id ORDER BY bucket_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket_epoch END IGNORE NULLS) OVER
+          (PARTITION BY series_id ORDER BY bucket_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY series_id ORDER BY bucket_epoch
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket_epoch END IGNORE NULLS) OVER
+          (PARTITION BY series_id ORDER BY bucket_epoch
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+"""
+
+SQL_GAPFILL_LOCF = _SQL_GAPFILL_BASE + """
+    SELECT series_id, bucket_epoch, floor((pv/100.0)*10000.0 + 0.5)/10000.0 AS value,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM nb
+"""
+
+SQL_GAPFILL_LINEAR = _SQL_GAPFILL_BASE + """
+    SELECT series_id, bucket_epoch,
+           floor(((CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * ((bucket_epoch - pt) / (nt - pt))
+                 END)/100.0)*10000.0 + 0.5)/10000.0 AS value,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM nb
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13: pressure scalar (utils.jl:41-49)
+# ---------------------------------------------------------------------------
+
+def q_pressure_scalar(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    v = F.col("value")
+    p1 = v / (F.pow(F.lit(10.0), -120.0 / 20) * F.pow(F.lit(10.0), 20.0 / 20))
+    v2 = v * (1.0 / (2 ** 15))
+    p2 = v2 / (F.pow(F.lit(10.0), -120.0 / 20) * F.pow(F.lit(10.0), 20.0 / 20))
+    return ev.select(
+        "event_id", _r(p1, 2).alias("p_upa"), _r(p2, 6).alias("p_upa_volt")
+    )
+
+
+SQL_PRESSURE = """
+    SELECT event_id,
+           floor((value / (pow(10, -120/20.0) * pow(10, 20/20.0)))*100.0 + 0.5)/100.0 AS p_upa,
+           floor(((value * (1.0/32768)) / (pow(10, -120/20.0) * pow(10, 20/20.0)))*1000000.0 + 0.5)/1000000.0 AS p_upa_volt
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14: text -> samples derivation (SURVEY.md §7.2) on documents
+# ---------------------------------------------------------------------------
+
+def q_samples_from_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("pos", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("seq"),
+            _r((F.ascii("ch") - 127.5) / 127.5).alias("value"),
+        )
+    )
+
+
+SQL_SAMPLES_FROM_DOCS = """
+    SELECT doc_id, i AS seq,
+           floor(((ascii(substr(text, i, 1)) - 127.5)/127.5)*1000000.0 + 0.5)/1000000.0 AS value
+    FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    WHERE doc_id < 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15: TPC-H Q1-style pruning/agg sanity
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    # integer-scaled partial terms -> exact sums, order-independent
+    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    rev_i4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_c).alias("sum_qty_c"),
+        F.sum(rev_i4).alias("rev_i4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_i4,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16-19: dedup family (exact, minhash, n-gram jaccard, simhash)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1
+"""
+
+_SHINGLE_LEN = 8
+_MINHASH_K = 4
+
+
+def _doc_shingles(docs):
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_SHINGLE_LEN - 1))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.substring("text", F.col("i"), _SHINGLE_LEN).alias("sh"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash with portable hash functions: md5 hex strings of salted
+    shingles — lexicographic min over fixed-length lowercase hex ==
+    numeric min, identical in Spark and DuckDB."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+        for k in range(_MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH = f"""
+    WITH sh AS (
+      SELECT doc_id, substr(text, i, {_SHINGLE_LEN}) AS sh
+      FROM documents,
+           unnest(generate_series(1, length(text) - {_SHINGLE_LEN - 1})) AS t(i)
+    )
+    SELECT doc_id,
+           {", ".join(f"min(md5('{k}:' || sh)) AS mh{k}" for k in range(_MINHASH_K))}
+    FROM sh GROUP BY 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs on a deterministic doc subset."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = _doc_shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+    return jac.select("doc_a", "doc_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_SHINGLE_LEN}) AS sh
+      FROM documents,
+           unnest(generate_series(1, length(text) - {_SHINGLE_LEN - 1})) AS t(i)
+      WHERE doc_id % 5 = 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, floor((i*1.0/(sa.sz + sb.sz - i))*1000000.0 + 0.5)/1000000.0 AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i*1.0/(sa.sz + sb.sz - i) >= 0.1
+"""
+
+
+def _simhash_bits_sql(dialect: str) -> str:
+    """16-bit SimHash from the first 4 hex digits of md5(token)."""
+    div = "//" if dialect == "duckdb" else "DIV"
+    strpos = "strpos" if dialect == "duckdb" else "locate"
+    terms = []
+    for j in range(16):
+        hexpos = j // 4 + 1
+        shift = 2 ** (3 - j % 4)
+        if dialect == "duckdb":
+            d = f"(strpos('0123456789abcdef', substr(md5(tok), {hexpos}, 1)) - 1)"
+        else:
+            d = f"(locate(substr(md5(tok), {hexpos}, 1), '0123456789abcdef') - 1)"
+        bit = f"(({d} {div} {shift}) % 2)"
+        terms.append(
+            f"CASE WHEN sum(2*{bit} - 1) > 0 THEN {2**j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def q_simhash16(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents
+        )
+        SELECT doc_id, CAST({_simhash_bits_sql("spark")} AS BIGINT) AS simhash
+        FROM toks WHERE tok <> '' GROUP BY doc_id
+        """
+    )
+
+
+SQL_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id, CAST({_simhash_bits_sql("duckdb")} AS BIGINT) AS simhash
+    FROM toks WHERE tok <> '' GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20-23: text analysis (lang-id features, quality, tokens, fingerprint)
+# ---------------------------------------------------------------------------
+
+def q_langid_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n = F.length(txt)
+    vowels = F.length(F.regexp_replace(F.lower(txt), "[^aeiou]", ""))
+    spaces = F.length(F.regexp_replace(txt, "[^ ]", ""))
+    ntok = spaces + 1
+    vr = vowels / n
+    atl = (n - spaces) / ntok
+    pred = (
+        F.when(vr >= 0.3, F.lit("vowelish"))
+        .when(atl >= 6.0, F.lit("longtok"))
+        .otherwise(F.lit("other"))
+    )
+    return docs.select(
+        "doc_id",
+        _r(vr).alias("vowel_ratio"),
+        _r(atl).alias("avg_token_len"),
+        pred.alias("pred_class"),
+    )
+
+
+SQL_LANGID = """
+    SELECT doc_id,
+           floor((length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))*1.0/length(text))*1000000.0 + 0.5)/1000000.0 AS vowel_ratio,
+           floor(((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))*1.0
+                 / (length(regexp_replace(text, '[^ ]', '', 'g')) + 1))*1000000.0 + 0.5)/1000000.0 AS avg_token_len,
+           CASE WHEN length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))*1.0/length(text) >= 0.3
+                THEN 'vowelish'
+                WHEN (length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))*1.0
+                     / (length(regexp_replace(text, '[^ ]', '', 'g')) + 1) >= 6.0
+                THEN 'longtok'
+                ELSE 'other' END AS pred_class
+    FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n = F.length(txt)
+    digits = F.length(F.regexp_replace(txt, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(txt, "[^.,;:!?]", ""))
+    ntok = F.length(F.regexp_replace(txt, "[^ ]", "")) + 1
+    quality = (
+        F.least(n / 500.0, F.lit(1.0)) * 0.5
+        + (1.0 - digits / n) * 0.3
+        + F.least(ntok / 100.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+        digits.cast("long").alias("n_digits"),
+        punct.cast("long").alias("n_punct"),
+        _r(quality).alias("quality"),
+    )
+
+
+SQL_QUALITY = """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS n_tokens,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           floor((least(length(text)/500.0, 1.0)*0.5
+                 + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))*1.0/length(text))*0.3
+                 + least((length(regexp_replace(text, '[^ ]', '', 'g')) + 1)/100.0, 1.0)*0.2)*1000000.0 + 0.5)/1000000.0 AS quality
+    FROM documents
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        _r(F.avg(F.length("tok")), 4).alias("avg_len"),
+    )
+
+
+SQL_TOKEN_STATS = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+           floor((avg(length(tok)))*10000.0 + 0.5)/10000.0 AS avg_len
+    FROM toks WHERE tok <> '' GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24-26: embedding similarity (brute-force cosine; LSH path in operators/)
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def _emb(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+
+def q_topk_cosine_centroid(spark, sf_dir):
+    """Top-10 vectors by cosine similarity to the label-0 centroid."""
+    e = _emb(spark, sf_dir)
+    lab0 = e.filter(F.col("label") == 0)
+    exploded = lab0.select(F.posexplode("emb").alias("pos", "x"))
+    cent = (
+        exploded.groupBy("pos")
+        .agg(F.avg("x").alias("cx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+            ).alias("cvec")
+        )
+    )
+    joined = e.crossJoin(F.broadcast(cent))
+    cos = _dot(F.col("emb"), F.col("cvec")) / (_norm(F.col("emb")) * _norm(F.col("cvec")))
+    ranked = joined.select("vec_id", cos.alias("_cos")).withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("_cos").desc(), F.col("vec_id"))),
+    )
+    return ranked.filter(F.col("rk") <= 10).select(
+        "vec_id", _r(F.col("_cos")).alias("cos_sim"), F.col("rk").cast("long").alias("rk")
+    )
+
+
+SQL_TOPK_CENTROID = """
+    WITH ex AS (
+      SELECT u.pos, u.x FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE label = 0
+      ) u(x, pos)
+    ), cent AS (
+      SELECT list(avg_x ORDER BY pos) AS cvec
+      FROM (SELECT pos, avg(x) AS avg_x FROM ex GROUP BY pos)
+    ), cos AS (
+      SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], cvec)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(cvec, cvec))) AS c
+      FROM embeddings, cent
+    )
+    SELECT vec_id, floor((c)*1000000.0 + 0.5)/1000000.0 AS cos_sim,
+           row_number() OVER (ORDER BY c DESC, vec_id) AS rk
+    FROM cos ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_nn_bruteforce(spark, sf_dir):
+    """Exact nearest neighbor for the first 20 vectors (cosine)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    ranked = pairs.select("qid", "cid", cos.alias("_c")).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("_c").desc(), F.col("cid"))
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "qid", F.col("cid").alias("nn_id"), _r(F.col("_c")).alias("cos_sim")
+    )
+
+
+SQL_ANN_NN = """
+    WITH cos AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ), rk AS (
+      SELECT qid, cid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rk
+      FROM cos
+    )
+    SELECT qid, cid AS nn_id, floor((c)*1000000.0 + 0.5)/1000000.0 AS cos_sim FROM rk WHERE rk = 1
+"""
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """All pairs above a cosine threshold on a deterministic subset."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("emb").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.select("ida", "idb", cos.alias("_c"))
+        .filter(F.col("_c") >= 0.25)
+        .select("ida", "idb", _r(F.col("_c")).alias("cos_sim"))
+    )
+
+
+SQL_NEARDUP_PAIRS = """
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))*1000000.0 + 0.5)/1000000.0 AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.25
+"""
+
+
+# ---------------------------------------------------------------------------
+# kernel-path queries (not SQL-expressible -> rows-only driver check;
+# bit-exactness vs local numpy is covered by tests/test_score_spark.py)
+# ---------------------------------------------------------------------------
+
+def _doc_samples_for_kernels(spark, sf_dir):
+    """documents -> per-source sample series (source ≙ channel)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    offs = docs.withColumn(
+        "sample_offset",
+        F.coalesce(
+            F.sum(F.octet_length("text")).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    exploded = (
+        offs.select(
+            F.col("source").alias("series_id"),
+            "sample_offset",
+            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("pos", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select(
+            "series_id",
+            (F.col("sample_offset") + F.col("pos") + 1).alias("seq"),
+            ((F.ascii("ch") - 127.5) / 127.5).alias("value"),
+        )
+    )
+    return exploded
+
+
+def q_score_kernels_docs(spark, sf_dir):
+    samples = _doc_samples_for_kernels(spark, sf_dir)
+    feats = [
+        K.PermutationEntropy(4),
+        K.SpectralCentroid(),
+        K.SpectralFlatness(),
+        K.Entropy(64, 32),
+        K.StatisticalComplexity(3),
+        K.ZeroCrossingRate(),
+    ]
+    out = score(samples, feats, winlen=256, noverlap=128, fs=1000.0)
+    return out.select("series_id", "win_start", "feature", _r(F.col("value")).alias("value"))
+
+
+def q_score_psd_docs(spark, sf_dir):
+    samples = _doc_samples_for_kernels(spark, sf_dir)
+    out = score(samples, K.PSD(64, 32, 1000.0), winlen=512, noverlap=0, fs=1000.0)
+    return out.select("series_id", "win_start", "feature", _r(F.col("value")).alias("value"))
+
+
+def q_score_impulse_sas_events(spark, sf_dir):
+    samples = events_samples(spark, sf_dir)
+    feats = [K.ImpulseStats(3.0, 0.004), K.SymmetricAlphaStableStats(), K.Myriad()]
+    out = score(samples, feats, winlen=32, noverlap=0, fs=1000.0)
+    return out.select(
+        "series_id", "win_start", "feature", _r(F.col("value")).alias("value")
+    ).filter(~F.isnan("value"))
+
+
+def q_score_freq_contours_docs(spark, sf_dir):
+    samples = _doc_samples_for_kernels(spark, sf_dir)
+    f = K.FrequencyContours(64, 32, None, 100.0, 95.0, 100.0, 0.01)
+    out = score(samples, f, winlen=1024, noverlap=0, fs=1000.0)
+    return out.select("series_id", "win_start", "feature", _r(F.col("value")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "energy_win_tumbling": (q_energy_win_tumbling, SQL_ENERGY_TUMBLING),
+    "spl_win_tumbling": (q_spl_win_tumbling, SQL_SPL_TUMBLING),
+    "myriad_win_tumbling": (q_myriad_win_tumbling, SQL_MYRIAD_TUMBLING),
+    "zcr_win_tumbling": (q_zcr_win_tumbling, SQL_ZCR_TUMBLING),
+    "energy_win_sliding": (q_energy_win_sliding, SQL_ENERGY_SLIDING),
+    "hop_window_counts": (q_hop_window_counts, SQL_HOP_WINDOW_COUNTS),
+    "rollup_1m": (q_rollup_1m, _sql_rollup(60)),
+    "rollup_1h_chained": (q_rollup_1h_chained, _sql_rollup(3600)),
+    "rollup_1d_chained": (q_rollup_1d_chained, _sql_rollup(86400)),
+    "rollup_30d_chained": (q_rollup_30d_chained, _sql_rollup(30 * 86400)),
+    "gapfill_locf_1h": (q_gapfill_locf_1h, SQL_GAPFILL_LOCF),
+    "gapfill_linear_1h": (q_gapfill_linear_1h, SQL_GAPFILL_LINEAR),
+    "pressure_scalar": (q_pressure_scalar, SQL_PRESSURE),
+    "samples_from_documents": (q_samples_from_documents, SQL_SAMPLES_FROM_DOCS),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "simhash16": (q_simhash16, SQL_SIMHASH),
+    "langid_features": (q_langid_features, SQL_LANGID),
+    "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "topk_cosine_centroid": (q_topk_cosine_centroid, SQL_TOPK_CENTROID),
+    "ann_nn_bruteforce": (q_ann_nn_bruteforce, SQL_ANN_NN),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_NEARDUP_PAIRS),
+    # kernel path — rows-only driver check, bit-exact vs numpy in pytest
+    "score_kernels_docs": (q_score_kernels_docs, None),
+    "score_psd_docs": (q_score_psd_docs, None),
+    "score_impulse_sas_events": (q_score_impulse_sas_events, None),
+    "score_freq_contours_docs": (q_score_freq_contours_docs, None),
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: sf0.001 events -> samples -> multi-feature windowed Score."""
+    sf_dir = "/root/testdata/sf0.001"
+    samples = events_samples(spark, sf_dir)
+    feats = [
+        K.Energy(),
+        K.SoundPressureLevel(),
+        K.ZeroCrossingRate(),
+        K.PermutationEntropy(3),
+        K.SpectralCentroid(),
+    ]
+    return score(samples, feats, winlen=WINLEN, noverlap=NOVERLAP, fs=1000.0)

@@ -151,7 +151,12 @@ def zcr_windowed(
     # j in [ceil((seq-winlen)/step), floor((seq-2)/step)]
     j_hi = F.floor((seq - 2) / step)
     j_lo = F.greatest(F.lit(0), -F.floor((winlen - seq) / step))
-    exploded = flagged.withColumn("_j", F.explode(F.sequence(j_lo, j_hi)))
+    # guard: Spark's sequence(lo, hi) DESCENDS when lo > hi — a boundary
+    # transition belonging to no window must yield an empty array instead
+    js = F.when(j_lo <= j_hi, F.sequence(j_lo, j_hi)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    exploded = flagged.withColumn("_j", F.explode(js))
     return (
         exploded.withColumn("win_start", (F.col("_j") * step + 1).cast("long"))
         .groupBy(series_col, "win_start")
