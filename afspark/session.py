@@ -3,8 +3,22 @@
 from __future__ import annotations
 
 import os
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PKG_DIR = Path(__file__).resolve().parent
+_REPO_ROOT = _PKG_DIR.parent
+
+
+def package_zip(target: str | None = None) -> str:
+    """Zip the afspark package for spark-submit --py-files / addPyFile."""
+    target = target or os.path.join("/tmp", "afspark_pyfiles.zip")
+    with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(_PKG_DIR.rglob("*.py")):
+            z.write(p, arcname=str(p.relative_to(_REPO_ROOT)))
+    return target
 
 
 def get_session(
@@ -20,6 +34,13 @@ def get_session(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # Python workers are separate processes: they need the afspark package
+    # on THEIR path, not just the driver's.  PYTHONPATH covers local-mode
+    # workers; the addPyFile below covers real executors (north_rule:
+    # spark-submit --py-files).
+    pp = os.environ.get("PYTHONPATH", "")
+    if str(_REPO_ROOT) not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = os.pathsep.join(filter(None, [str(_REPO_ROOT), pp]))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
     builder = (
@@ -39,4 +60,8 @@ def get_session(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:  # noqa: BLE001 — e.g. already added on a shared context
+        pass
     return spark

@@ -1,0 +1,114 @@
+"""Compressed chunk store: Gorilla/delta-of-delta chunks as BinaryType rows.
+
+north_rule layout: rolled-up points are stored per (series_id, chunk_start)
+as two binary blobs (timestamps + values) plus the row count — the classic
+TSDB chunk shape.  Written as parquet partitioned by ``chunk_date`` so a
+time-range query prunes partitions at the scan, and the (series, chunk)
+grain makes out-of-order repair surgical (operators/ooo.py rewrites only
+the chunks a late batch touches, via dynamic partition overwrite).
+
+Encode/decode are Arrow-batched pandas UDF passes (one Python call per
+group/partition, numpy inside) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+CHUNK_SCHEMA = (
+    "series_id string, chunk_start long, n long, ts_blob binary, val_blob binary"
+)
+
+
+def encode_chunks(
+    points: DataFrame,
+    chunk_seconds: int = 3600,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """points -> one row per (series, chunk) with encoded blobs.
+
+    Timestamps are stored as epoch MICROseconds (lossless for parquet/Spark
+    timestamps); values as Gorilla-encoded float64 (bit-lossless).
+    """
+    pts = points.select(
+        F.col(series_col).cast("string").alias("series_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).withColumn(
+        "chunk_start",
+        (F.floor(F.unix_timestamp("ts") / chunk_seconds) * chunk_seconds).cast("long"),
+    )
+
+    def encode(key, pdf):
+        series_id, chunk_start = key
+        pdf = pdf.sort_values("ts", kind="stable")
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "series_id": [series_id],
+                "chunk_start": [int(chunk_start)],
+                "n": [len(vals)],
+                "ts_blob": [encode_timestamps(ts_us)],
+                "val_blob": [encode_values(vals)],
+            }
+        )
+
+    return pts.groupBy("series_id", "chunk_start").applyInPandas(encode, CHUNK_SCHEMA)
+
+
+def decode_chunks(chunks: DataFrame) -> DataFrame:
+    """chunks -> points(series_id, ts, value); inverse of encode_chunks."""
+
+    def decode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n)
+                ts = decode_timestamps(bytes(r.ts_blob), n).astype("datetime64[us]")
+                vals = decode_values(bytes(r.val_blob), n)
+                frames.append(
+                    pd.DataFrame(
+                        {"series_id": r.series_id, "ts": ts, "value": vals}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return chunks.mapInPandas(decode, "series_id string, ts timestamp, value double")
+
+
+def write_chunk_store(
+    points: DataFrame, path: str, chunk_seconds: int = 3600, mode: str = "overwrite"
+) -> None:
+    """Encode and persist, partitioned by chunk_date for partition pruning."""
+    chunks = encode_chunks(points, chunk_seconds)
+    (
+        chunks.withColumn(
+            "chunk_date", F.to_date(F.timestamp_seconds(F.col("chunk_start")))
+        )
+        .write.mode(mode)
+        .partitionBy("chunk_date")
+        .parquet(path)
+    )
+
+
+def read_chunk_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_points(spark: SparkSession, path: str) -> DataFrame:
+    return decode_chunks(read_chunk_store(spark, path))
