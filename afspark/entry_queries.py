@@ -448,13 +448,18 @@ _MINHASH_K = 4
 
 
 def _doc_shingles(docs):
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (_SHINGLE_LEN - 1))
-        ).alias("i"),
-        "text",
-    ).select("doc_id", F.substring("text", F.col("i"), _SHINGLE_LEN).alias("sh"))
+    # length guard: Spark sequence(1, hi) descends when hi < 1
+    return (
+        docs.filter(F.length("text") >= _SHINGLE_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (_SHINGLE_LEN - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.substring("text", F.col("i"), _SHINGLE_LEN).alias("sh"))
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):

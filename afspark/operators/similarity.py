@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k (broadcast the queries, one
+narrow pass over the corpus — at 100TB this is a full scan but zero
+shuffle until the per-query top-k aggregation, which is tiny).
+
+Scale path: IVF — a seeded k-means-lite codebook (trained on a bounded
+sample) assigns every vector to its nearest centroid ONCE (narrow); a
+query probes only the ``n_probe`` closest cells, turning the full scan
+into a partition-pruned scan when the table is written partitioned by
+``cell``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k per query.  Queries are broadcast (small side)."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(query_vec_col).alias("qv")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    ranked = pairs.select("qid", "cid", cos.alias("cos_sim")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+def train_codebook(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded k-means-lite on a bounded driver sample -> (n_cells, dim).
+
+    The sample is capped (default 2048 vectors) so the driver cost is
+    constant regardless of corpus size; codebook quality degrades
+    gracefully, which is acceptable for IVF cell assignment.
+    """
+    pdf = (
+        corpus.select(_as_double(vec_col).alias("v"))
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.stack(pdf["v"].to_numpy())
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+    return cents
+
+
+def assign_cells(
+    corpus: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the nearest-centroid ``cell`` — one Arrow pass, no shuffle."""
+    cb = codebook.astype(np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            d2 = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "v": pdf["v"].to_numpy(),
+                    "cell": d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    src = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    return src.mapInPandas(assign, "id long, v array<double>, cell int")
+
+
+def ivf_topk(
+    corpus_cells: DataFrame,
+    codebook: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: probe only the n_probe nearest cells per query.
+
+    corpus_cells: output of assign_cells (persisted/partitioned by cell
+    at scale -> the cell filter becomes partition pruning).
+    """
+    qpdf = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(query_vec_col).alias("qv")
+    ).toPandas()
+    cb = codebook.astype(np.float64)
+    probes = []
+    for r in qpdf.itertuples(index=False):
+        qv = np.asarray(r.qv)
+        d2 = ((cb - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probes.append((int(r.qid), list(map(float, r.qv)), int(cell)))
+    spark = corpus_cells.sparkSession
+    qcells = spark.createDataFrame(probes, "qid long, qv array<double>, cell int")
+    joined = corpus_cells.join(F.broadcast(qcells), "cell")
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    ranked = joined.select("qid", F.col("id").alias("cid"), cos.alias("cos_sim")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -1,0 +1,148 @@
+"""Text-analysis operators for the pages/documents corpus.
+
+All pure Catalyst (regexp/length/split expressions compile into
+whole-stage codegen; zero Python in the hot path): language-ID heuristic,
+quality scoring, token statistics, document fingerprinting.  Oracle twins
+in entry_queries.py mirror these expressions 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+}
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "*", F.explode(F.split(F.col(text_col), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio language guess (+ vowel-ratio fallback).
+
+    Emits per-language ratios and ``pred_lang`` (max ratio; 'und' when no
+    stopword hits).  One explode + one hash-agg.
+    """
+    toks = tokens(docs.select(id_col, text_col), text_col).select(
+        id_col, F.lower("tok").alias("tok")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_tok")]
+    for lang, words in STOPWORDS.items():
+        aggs.append(
+            F.sum(F.col("tok").isin(words).cast("int")).alias(f"hits_{lang}")
+        )
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    ratios = per_doc.select(
+        id_col,
+        "n_tok",
+        *[(F.col(f"hits_{lang}") / F.col("n_tok")).alias(f"ratio_{lang}") for lang in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"ratio_{lang}") for lang in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:
+        pred = pred.when(F.col(f"ratio_{lang}") == best, F.lit(lang))
+    return ratios.withColumn("pred_lang", pred)
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length/punct/digit/token features + a composite quality score."""
+    t = F.col(text_col)
+    n = F.length(t)
+    spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
+    ntok = spaces + 1
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    quality = (
+        F.least(n / 500.0, F.lit(1.0)) * 0.5
+        + (1.0 - digits / n) * 0.3
+        + F.least(ntok / 100.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+        digits.cast("long").alias("n_digits"),
+        punct.cast("long").alias("n_punct"),
+        upper.cast("long").alias("n_upper"),
+        (n / ntok).alias("chars_per_token"),
+        quality.alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = tokens(docs.select(id_col, text_col), text_col)
+    return toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.avg(F.length("tok")).alias("avg_token_len"),
+        (F.countDistinct("tok") / F.count(F.lit(1))).alias("type_token_ratio"),
+    )
+
+
+def bpe_ish_token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cheap BPE-proxy token count: split on word/number/punct boundaries.
+
+    Counts regex pieces (letters runs, digit runs, single punctuation) —
+    the standard pre-tokenizer shape — as a deterministic proxy for LLM
+    token counting without a tokenizer library.
+    """
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return docs.select(
+        id_col,
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        # crude chars-per-token calibration constant for LLM budgeting
+        (F.length(text_col) / F.greatest(F.size(pieces), F.lit(1))).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-normalized md5 fingerprint (near-exact dedup key)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return docs.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+def rolling_hash_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    keep_every: int = 4,
+) -> DataFrame:
+    """Rolling token-window fingerprints with 0-mod-p content sampling.
+
+    Emits xxhash64 of every ``window_tokens``-token window, keeping only
+    windows whose hash ≡ 0 (mod keep_every).  Selection depends on window
+    CONTENT, not position, so it is offset-invariant: a passage quoted at
+    any token offset inside another document yields the same kept
+    fingerprints (the classic 0-mod-p fingerprinting scheme underlying
+    winnowing).  Usable for containment/quotation detection.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.regexp_replace(F.col(text_col), "\\s+", " "), " ").alias("ts"),
+    )
+    idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.size("ts") - window_tokens, F.lit(0)) - 1)
+    )
+    win = toks.select("id", idx.alias("i"), "ts").filter(
+        F.size("ts") >= window_tokens
+    )
+    window_str = F.concat_ws(" ", F.slice(F.col("ts"), F.col("i") + 1, window_tokens))
+    fps = win.select("id", F.col("i").alias("pos"), F.xxhash64(window_str).alias("fp"))
+    return fps.filter(F.pmod(F.col("fp"), F.lit(keep_every)) == 0)

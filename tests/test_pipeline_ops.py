@@ -1,0 +1,246 @@
+"""Tests for dedup / similarity / text / multimodal / planner operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from afspark.operators import dedup, multimodal, similarity, text
+from afspark.plans.planner import choose_assembly, hot_keys, salt_series
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_removes_planted_dupes(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100_000)
+    with_dupes = docs.unionByName(dup)
+    out = dedup.exact_dedup(with_dupes)
+    assert out.count() == docs.count()
+    # keeper is the min doc_id (the original, not the planted copy)
+    assert out.filter(F.col("doc_id") >= 100_000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, docs):
+    base = docs.limit(20)
+    one = base.first()
+    # plant a near-duplicate: same text with a tiny suffix
+    near = spark.createDataFrame(
+        [(999_999, one.text + " x", one.lang, one.source, one.n_chars)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = base.unionByName(near)
+    pairs = dedup.minhash_lsh_dedup_pairs(corpus, threshold=0.8).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (one.doc_id, 999_999) in found
+    for r in pairs:
+        assert r.jaccard >= 0.8
+
+
+def test_lsh_candidates_superset_verified(docs):
+    sh = dedup.char_shingles(docs.limit(50))
+    sig = dedup.minhash_signatures(sh, n_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sig, bands=4)
+    ver = dedup.jaccard_verify(cand, sh, threshold=0.5)
+    c = {(r.id_a, r.id_b) for r in cand.collect()}
+    v = {(r.id_a, r.id_b) for r in ver.collect()}
+    assert v <= c
+
+
+def test_simhash_near_pairs_on_planted(spark, docs):
+    base = docs.limit(15)
+    one = base.first()
+    near = spark.createDataFrame(
+        [(888_888, one.text + " zzz", "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sh = dedup.simhash64(base.unionByName(near))
+    vals = {r.id: r.simhash for r in sh.collect()}
+    assert len(vals) == 16
+    ham = bin(vals[one.doc_id] ^ vals[888_888]).count("1")
+    assert ham <= 3
+    pairs = dedup.simhash_near_pairs(sh, max_hamming=3)
+    assert (one.doc_id, 888_888) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+def test_simhash_deterministic_across_partitionings(docs):
+    a = {r.id: r.simhash for r in dedup.simhash64(docs.limit(30).repartition(1)).collect()}
+    b = {r.id: r.simhash for r in dedup.simhash64(docs.limit(30).repartition(7)).collect()}
+    assert a == b
+
+
+def test_embedding_neardup_planted(spark, emb):
+    base = emb.limit(30)
+    one = base.first()
+    twin = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [777_777],
+                "embedding": [[float(x) * 1.0001 for x in one.embedding]],
+                "label": [one.label],
+            }
+        )
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        base.unionByName(twin), threshold=0.999
+    ).collect()
+    assert (one.vec_id, 777_777) in {(r.id_a, r.id_b) for r in pairs}
+
+
+# --- similarity ---------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = X[:3]
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": ids[:3], "qvec": [list(map(float, v)) for v in q]})
+    )
+    got = similarity.brute_force_topk(emb, queries, k=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.qid, []).append((r.rank, r.cid))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qi in range(3):
+        cos = Xn @ (q[qi] / np.linalg.norm(q[qi]))
+        order = sorted(zip(-cos, ids))  # desc cos, asc id tiebreak
+        want = [int(i) for _, i in order[:5]]
+        have = [cid for _, cid in sorted(got_map[ids[qi]])]
+        assert have == want
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    cb = similarity.train_codebook(emb, n_cells=8, sample=500)
+    cells = similarity.assign_cells(emb, cb).cache()
+    pdf = emb.limit(5).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": pdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in pdf["embedding"]],
+            }
+        )
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(cells, cb, queries, k=5, n_probe=4)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.cid)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.cid)
+    recalls = [len(ex[q] & ap.get(q, set())) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5  # probing half the cells
+
+
+# --- text ----------------------------------------------------------------------
+
+def test_lang_id_and_quality(spark, docs):
+    english = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is in that it for was the")],
+        "doc_id long, text string",
+    )
+    out = text.lang_id(english).first()
+    assert out.pred_lang == "en"
+    q = text.quality_features(docs).filter(F.col("doc_id") == 0).first()
+    assert q.n_chars > 0 and 0 <= q.quality <= 1.0
+
+
+def test_token_stats_and_bpe_count(spark):
+    d = spark.createDataFrame(
+        [(1, "hello world hello 123 foo-bar!")], "doc_id long, text string"
+    )
+    ts = text.token_stats(d).first()
+    assert ts.n_tokens == 5 and ts.n_distinct == 4
+    bpe = text.bpe_ish_token_count(d).first()
+    # hello, world, hello, 123, foo, -, bar, !
+    assert bpe.n_bpe_tokens == 8
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    d = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(d).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_rolling_hash_fingerprints_detect_containment(spark, docs):
+    one = docs.first()
+    container = spark.createDataFrame(
+        [(555_555, "prefix words here " + one.text + " suffix words")],
+        "doc_id long, text string",
+    )
+    corpus = docs.limit(10).select("doc_id", "text").unionByName(container)
+    fps = text.rolling_hash_fingerprints(corpus)
+    overlap = (
+        fps.filter(F.col("id") == one.doc_id)
+        .select("fp")
+        .intersect(fps.filter(F.col("id") == 555_555).select("fp"))
+        .count()
+    )
+    assert overlap > 0
+
+
+# --- multimodal ------------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    from afspark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 40)
+    media = multimodal.media_from_pages(pages)
+    assert media.schema["meta"].dataType.fieldNames() == ["mime", "width", "height", "duration_ms"]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media).count()
+    decoded = multimodal.decode_media(media, out_h=8, out_w=8, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 40 and all(len(r.pixels) == 64 for r in rows)
+    feats = multimodal.media_features(decoded)
+    f = feats.first()
+    assert f.std_px >= 0 and 0 <= f.entropy_px <= 8.0
+    # determinism across partitionings
+    d2 = multimodal.decode_media(media.repartition(7), out_h=8, out_w=8, fake=True)
+    assert {(r.media_id, tuple(r.pixels)) for r in d2.collect()} == {
+        (r.media_id, tuple(r.pixels)) for r in rows
+    }
+    frames = multimodal.frame_sample(media, fake=True)
+    assert frames.count() == 40  # duration 0 -> one frame each
+
+
+# --- planner ----------------------------------------------------------------------
+
+def test_choose_assembly():
+    assert choose_assembly(1000, 0, algebraic=True).strategy == "tumbling"
+    assert choose_assembly(1000, 500, algebraic=True).strategy == "sliding"
+    assert choose_assembly(1000, 900, algebraic=True).strategy == "halo"
+    assert choose_assembly(1000, 500, algebraic=False).strategy == "halo"
+    assert choose_assembly(1000, 900, algebraic=False).replication < 1.02
+
+
+def test_hot_keys_and_salting(spark):
+    from afspark.sources.pages import generate_pages, derive_samples
+
+    pages = generate_pages(spark, 400, hot_domain_frac=0.4)
+    samples = derive_samples(pages)
+    hot = hot_keys(samples, "series_id", frac_threshold=0.2)
+    assert hot == ["d000.example.com"]
+    salted = salt_series(samples, hot, n_salts=4, span=1000)
+    per_salt = (
+        salted.filter(F.col("series_id") == "d000.example.com")
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    assert len(per_salt) > 1  # hot series split across salts
+    cold = salted.filter(F.col("series_id") != "d000.example.com")
+    assert cold.filter(F.col("salt") != 0).count() == 0
