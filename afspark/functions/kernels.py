@@ -301,6 +301,39 @@ class SpectralFlatness(Feature):
         return (g / np.mean(m2, axis=1))[:, None]
 
 
+def _pattern_probs_batch(
+    W: np.ndarray, m: int, tau: int, weighted: bool
+) -> np.ndarray:
+    """Per-window ordinal-pattern probabilities, vectorized across windows.
+
+    Returns a dense (nwin, m**m) matrix of probabilities (zeros for absent
+    patterns) using a base-m digit encoding of the stable argsort — the
+    entropy sums below ignore zeros, so density is harmless for small m.
+    """
+    nwin, winlen = W.shape
+    n = winlen - tau * m + tau
+    idx = np.arange(n)[:, None] + tau * np.arange(m)[None, :]
+    T = W[:, idx]  # (nwin, n, m)
+    P = np.argsort(T, axis=2, kind="stable")
+    codes = (P * (m ** np.arange(m))).sum(axis=2)  # injective over perms
+    weights = T.var(axis=2, ddof=1).ravel() if weighted else None
+    M = m**m
+    flat = (codes + M * np.arange(nwin)[:, None]).ravel()
+    counts = np.bincount(flat, weights=weights, minlength=M * nwin).reshape(nwin, M)
+    return counts / counts.sum(axis=1, keepdims=True)
+
+
+def _entropy_rows(p: np.ndarray, base2: bool = True) -> np.ndarray:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logs = np.log2(p) if base2 else np.log(p)
+        t = np.where(p > 0, p * logs, 0.0)
+    return -t.sum(axis=1)
+
+
+# vectorized batch path memory guard: nwin * m**m floats
+_PATTERN_BATCH_CELLS = 50_000_000
+
+
 @dataclass(frozen=True)
 class PermutationEntropy(Feature):
     """Bandt–Pompe (optionally weighted) PE — reference :639-647."""
@@ -320,6 +353,15 @@ class PermutationEntropy(Feature):
         if self.normalization:
             pe /= math.log2(math.factorial(self.m))
         return np.array([pe])
+
+    def compute_batch(self, W, fs=1.0):
+        if len(W) * self.m**self.m > _PATTERN_BATCH_CELLS:
+            return super().compute_batch(W, fs)
+        probs = _pattern_probs_batch(W, self.m, self.tau, self.weighted)
+        pe = _entropy_rows(probs)
+        if self.normalization:
+            pe = pe / math.log2(math.factorial(self.m))
+        return pe[:, None]
 
 
 @dataclass(frozen=True)
@@ -347,6 +389,29 @@ class StatisticalComplexity(Feature):
         js = s1 - s2 - s3
         return np.array([pe * js / js_max])
 
+    def compute_batch(self, W, fs=1.0):
+        m = self.m
+        if len(W) * m**m > _PATTERN_BATCH_CELLS:
+            return super().compute_batch(W, fs)
+        probs = _pattern_probs_batch(W, m, self.tau, False)
+        n = math.factorial(m)
+        pe = _entropy_rows(probs) / math.log2(n)
+        pu = 1.0 / n
+        a = (pu + probs) / 2.0
+        # sum over OBSERVED patterns only (matches the reference's sparse
+        # probability vector: absent patterns contribute via the explicit
+        # missing-pattern correction term, reference :778)
+        present = probs > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a_term = np.where(present, a * np.log(a), 0.0)
+        n_present = present.sum(axis=1)
+        s1 = -a_term.sum(axis=1) - (pu / 2.0) * math.log(pu / 2.0) * (n - n_present)
+        s2 = _entropy_rows(probs, base2=False) / 2.0
+        s3 = math.log(n) / 2.0
+        js_max = -(((n + 1) / n) * math.log(n + 1) + math.log(n) - 2 * math.log(2 * n)) / 2.0
+        js = s1 - s2 - s3
+        return (pe * js / js_max)[:, None]
+
 
 @dataclass(frozen=True)
 class Entropy(Feature):
@@ -371,6 +436,51 @@ class Entropy(Feature):
         ns = normalize_spectrum(sp)
         hf = self._h(ns) / math.log2(len(ns))
         return np.array([ht, hf, ht * hf])
+
+    def compute_batch(self, W, fs=1.0):
+        """Vectorized across windows: batched Hilbert + batched STFT.
+
+        Same arithmetic per window as ``compute`` (vectorized numpy sums
+        reduce in the same order), dominant kernel in the bench mix.
+        """
+        nwin, winlen = W.shape
+        n, nov = self.n, self.noverlap
+        step = n - nov
+        if winlen < n:
+            return super().compute_batch(W, fs)
+        # batched analytic signal (Hilbert) along axis 1
+        xf = np.fft.fft(W, axis=1)
+        h = np.zeros(winlen)
+        if winlen % 2 == 0:
+            h[0] = h[winlen // 2] = 1.0
+            h[1 : winlen // 2] = 2.0
+        else:
+            h[0] = 1.0
+            h[1 : (winlen + 1) // 2] = 2.0
+        env = np.abs(np.fft.ifft(xf * h, axis=1))
+        ne = env / (env.sum(axis=1, keepdims=True) + EPS)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ht_terms = np.where(ne != 0, ne * np.log2(ne), 0.0)
+        ht = -ht_terms.sum(axis=1) / math.log2(winlen)
+        # batched one-sided spectrogram: (nwin, nseg, n) segment tensor
+        nseg = (winlen - n) // step + 1
+        segs = np.lib.stride_tricks.sliding_window_view(W, n, axis=1)[:, ::step][
+            :, :nseg
+        ]
+        w = hann_window(n)
+        spec = np.fft.rfft(segs * w, axis=2)
+        power = (spec.real**2 + spec.imag**2) / (fs * np.sum(w * w))
+        scale = np.full(n // 2 + 1, 2.0)
+        scale[0] = 1.0
+        if n % 2 == 0:
+            scale[-1] = 1.0
+        power *= scale
+        sf = power.sum(axis=1)  # (nwin, nfreq): per-frequency time sums
+        ns = sf / sf.sum(axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hf_terms = np.where(ns != 0, ns * np.log2(ns), 0.0)
+        hf = -hf_terms.sum(axis=1) / math.log2(ns.shape[1])
+        return np.stack([ht, hf, ht * hf], axis=1)
 
 
 @dataclass(frozen=True)

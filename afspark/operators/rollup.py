@@ -91,11 +91,14 @@ def rollup_all_tiers(
     ts_col: str = "ts",
     value_col: str = "value",
     tiers: dict[str, int] = TIERS,
+    materialize: bool = True,
 ) -> dict[str, DataFrame]:
     """Chained tiers: base from raw, every coarser tier from the previous.
 
-    The base tier is cached by the caller if it will be reused; each tier
-    re-shuffles only the (much smaller) previous tier.
+    ``materialize`` persists each tier before deriving the next — without
+    it, lazily consuming tier k re-executes tiers 1..k-1 (the base tier
+    would be recomputed once per coarser tier).  In production each tier
+    is committed to storage anyway; persist mirrors that.
     """
     names = sorted(tiers, key=tiers.get)
     out: dict[str, DataFrame] = {}
@@ -106,5 +109,7 @@ def rollup_all_tiers(
             prev = rollup_points(points, sec, keys, ts_col, value_col)
         else:
             prev = rollup_tier(prev, sec, keys)
+        if materialize:
+            prev = prev.persist()
         out[name] = prev
     return out

@@ -34,39 +34,35 @@ from .windows import ChunkSpec, assign_chunks, make_chunk_spec
 RESULT_SCHEMA = "series_id string, win_start long, feature string, value double"
 
 
-def _make_evaluator(
+_EMPTY_RESULT = pd.DataFrame(
+    {"series_id": [], "win_start": [], "feature": [], "value": []}
+).astype({"series_id": str, "win_start": "int64", "value": "float64"})
+
+
+def _make_dense_evaluator(
     features: Sequence[Feature],
     spec: ChunkSpec,
     fs: float,
     preprocess: Callable[[np.ndarray], np.ndarray] | None,
 ):
-    """Per-(series, chunk) kernel evaluator for applyInPandas."""
+    """Dense-window kernel core shared by the samples and pages paths.
+
+    evaluate_dense(series_id, chunk, seq0, vals): ``vals`` holds the
+    contiguous samples [seq0, seq0+len-1] available to this chunk; emits
+    the long-format rows for every full window whose start this chunk
+    owns (1-based hop grid, flush=false).
+    """
     winlen, step, span = spec.winlen, spec.step, spec.chunk_span
     feat_names = [(f, f.names()) for f in features]
 
-    def evaluate(key, pdf):
-        series_id, chunk = key
-        pdf = pdf.sort_values("seq")
-        seqs = pdf["seq"].to_numpy()
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        seq0 = int(seqs[0])
-        seq_last = int(seqs[-1])
-        if seq_last - seq0 + 1 != len(seqs):
-            raise ValueError(
-                f"samples not dense for series={series_id} chunk={chunk}: "
-                f"[{seq0},{seq_last}] has {len(seqs)} rows"
-            )
+    def evaluate_dense(series_id, chunk, seq0, vals):
+        seq_last = seq0 + len(vals) - 1
         chunk_start = int(chunk) * span + 1
-        # global window starts owned by this chunk (aligned to the 1-based
-        # hop grid), restricted to fully-available windows (flush=false)
-        first = chunk_start
         n_starts = span // step
-        starts = first + step * np.arange(n_starts, dtype=np.int64)
+        starts = chunk_start + step * np.arange(n_starts, dtype=np.int64)
         starts = starts[(starts >= seq0) & (starts + winlen - 1 <= seq_last)]
         if len(starts) == 0 or len(vals) < winlen:
-            return pd.DataFrame(
-                {"series_id": [], "win_start": [], "feature": [], "value": []}
-            ).astype({"series_id": str, "win_start": "int64", "value": "float64"})
+            return _EMPTY_RESULT
         W = np.lib.stride_tricks.sliding_window_view(vals, winlen)[starts - seq0]
         if preprocess is not None:
             W = np.stack([np.asarray(preprocess(w), dtype=np.float64) for w in W])
@@ -85,6 +81,36 @@ def _make_evaluator(
                 )
             )
         return pd.concat(out_frames, ignore_index=True)
+
+    return evaluate_dense
+
+
+def _make_evaluator(
+    features: Sequence[Feature],
+    spec: ChunkSpec,
+    fs: float,
+    preprocess: Callable[[np.ndarray], np.ndarray] | None,
+):
+    """Per-(series, chunk) evaluator over samples rows (numpy only)."""
+    dense = _make_dense_evaluator(features, spec, fs, preprocess)
+
+    def evaluate(key, pdf):
+        series_id, chunk = key
+        seqs = pdf["seq"].to_numpy()
+        if not np.all(seqs[1:] > seqs[:-1]):
+            order = np.argsort(seqs, kind="stable")
+            seqs = seqs[order]
+            vals = pdf["value"].to_numpy(dtype=np.float64)[order]
+        else:
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+        seq0 = int(seqs[0])
+        seq_last = int(seqs[-1])
+        if seq_last - seq0 + 1 != len(seqs):
+            raise ValueError(
+                f"samples not dense for series={series_id} chunk={chunk}: "
+                f"[{seq0},{seq_last}] has {len(seqs)} rows"
+            )
+        return dense(series_id, chunk, seq0, vals)
 
     return evaluate
 
@@ -118,9 +144,136 @@ def score(
         F.col(value_col).cast("double").alias("value"),
     )
     chunked = assign_chunks(sdf, spec)
-    return chunked.groupBy("series_id", "chunk").applyInPandas(
-        _make_evaluator(list(features), spec, fs, preprocess), RESULT_SCHEMA
+    evaluate = _make_evaluator(list(features), spec, fs, preprocess)
+
+    # One shuffle keyed (series, chunk), then ONE Arrow pass per partition
+    # with in-process grouping (groupBy().applyInPandas costs a Python
+    # round-trip per chunk; with thousands of chunks that overhead
+    # dominated kernel compute ~3x).  A chunk's rows may straddle Arrow
+    # batches within the partition -> tail group carried forward.
+    # Partition count is EXPLICIT: AQE coalesces column-only repartitions
+    # by shuffle bytes, but this stage is CPU-bound per byte (kernels), so
+    # byte-based coalescing serializes the work; 8x parallelism keeps
+    # tasks small enough to even out per-chunk cost skew.
+    n_parts = samples.sparkSession.sparkContext.defaultParallelism * 8
+    pre = chunked.repartition(n_parts, "series_id", "chunk").sortWithinPartitions(
+        "series_id", "chunk", "seq"
     )
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_sid = pdf["series_id"].iloc[-1]
+            last_ch = pdf["chunk"].iloc[-1]
+            tail = (pdf["series_id"] == last_sid) & (pdf["chunk"] == last_ch)
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                out = [
+                    evaluate(key, g)
+                    for key, g in head.groupby(["series_id", "chunk"], sort=False)
+                ]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            yield evaluate(
+                (carry["series_id"].iloc[0], carry["chunk"].iloc[0]), carry
+            )
+
+    return pre.mapInPandas(run, RESULT_SCHEMA)
+
+
+def score_pages(
+    pages_with_offsets: DataFrame,
+    features: Sequence[Feature] | Feature,
+    winlen: int,
+    noverlap: int = 0,
+    fs: float = 1.0,
+    preprocess: Callable[[np.ndarray], np.ndarray] | None = None,
+    target_chunk_samples: int = 65_536,
+) -> DataFrame:
+    """Windowed kernels DIRECTLY over page text — the 100TB dataflow.
+
+    Input: ``with_series_offsets(pages)`` output — (series_id,
+    sample_offset, text, ...).  Instead of exploding every text byte into
+    a samples row (a ~40x row-size amplification that makes the shuffle
+    row-bound), each PAGE is routed to the 1-2 chunks its byte range
+    overlaps; the chunk evaluator slices and decodes the bytes in numpy.
+    Shuffle volume ~= the text bytes themselves (plus halo), and the
+    output is bit-identical to ``score(derive_samples(pages), ...)``
+    (tests/test_score_spark.py::test_score_pages_equals_samples_path).
+    """
+    if isinstance(features, Feature):
+        features = [features]
+    spec = make_chunk_spec(winlen, noverlap, target_chunk_samples)
+    span, halo = spec.chunk_span, spec.halo
+    src = pages_with_offsets.select(
+        F.col("series_id").cast("string").alias("series_id"),
+        F.col("sample_offset").cast("long").alias("off"),
+        F.col("text").alias("text"),
+    ).filter(F.octet_length("text") >= 1)
+    off, ln = F.col("off"), F.octet_length("text")
+    c_hi = F.floor((off + ln - 1) / span)
+    c_lo = F.greatest(F.lit(0), (-F.floor((F.lit(halo) - off - 1) / span) - 1))
+    chunks = F.when(c_lo <= c_hi, F.sequence(c_lo, c_hi)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    routed = src.withColumn("chunk", F.explode(chunks))
+    # explicit count: see score() — kernel stages must not be byte-coalesced
+    n_parts = pages_with_offsets.sparkSession.sparkContext.defaultParallelism * 8
+    pre = routed.repartition(n_parts, "series_id", "chunk").sortWithinPartitions(
+        "series_id", "chunk", "off"
+    )
+    dense = _make_dense_evaluator(list(features), spec, fs, preprocess)
+
+    def eval_group(series_id, chunk, g: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(chunk)
+        lo_pos = chunk * span + 1  # first sample position this chunk owns
+        hi_pos = (chunk + 1) * span + halo  # last position it may read
+        parts = []
+        seq0 = None
+        for off_i, txt in zip(g["off"].to_numpy(), g["text"]):
+            b = txt.encode("utf-8")
+            a = max(0, lo_pos - 1 - int(off_i))
+            z = min(len(b), hi_pos - int(off_i))
+            if z <= a:
+                continue
+            if seq0 is None:
+                seq0 = int(off_i) + a + 1
+            parts.append(b[a:z])
+        if not parts:
+            return _EMPTY_RESULT
+        buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        vals = (buf.astype(np.float64) - 127.5) / 127.5
+        return dense(series_id, chunk, seq0, vals)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_sid = pdf["series_id"].iloc[-1]
+            last_ch = pdf["chunk"].iloc[-1]
+            tail = (pdf["series_id"] == last_sid) & (pdf["chunk"] == last_ch)
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                out = [
+                    eval_group(sid, ch, g)
+                    for (sid, ch), g in head.groupby(["series_id", "chunk"], sort=False)
+                ]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            yield eval_group(
+                carry["series_id"].iloc[0], carry["chunk"].iloc[0], carry
+            )
+
+    return pre.mapInPandas(run, RESULT_SCHEMA)
 
 
 def score_wide(score_long: DataFrame) -> DataFrame:

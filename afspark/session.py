@@ -41,6 +41,11 @@ def get_session(
     pp = os.environ.get("PYTHONPATH", "")
     if str(_REPO_ROOT) not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = os.pathsep.join(filter(None, [str(_REPO_ROOT), pp]))
+    # One numpy thread per Python worker: Spark already runs one worker per
+    # core, so BLAS/OpenMP threading inside each worker oversubscribes the
+    # box (measured ~2.5x slowdown on FFT-heavy kernels at local[32]).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
     builder = (

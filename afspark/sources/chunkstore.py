@@ -51,22 +51,49 @@ def encode_chunks(
         (F.floor(F.unix_timestamp("ts") / chunk_seconds) * chunk_seconds).cast("long"),
     )
 
-    def encode(key, pdf):
-        series_id, chunk_start = key
-        pdf = pdf.sort_values("ts", kind="stable")
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        return pd.DataFrame(
-            {
-                "series_id": [series_id],
-                "chunk_start": [int(chunk_start)],
-                "n": [len(vals)],
-                "ts_blob": [encode_timestamps(ts_us)],
-                "val_blob": [encode_values(vals)],
-            }
-        )
+    # One shuffle keyed by the chunk key, then a single Arrow pass per
+    # partition with IN-PROCESS grouping.  (groupBy().applyInPandas pays
+    # one Python/Arrow round-trip per chunk — with many tiny chunks that
+    # overhead dominated the encode by ~10x.)  A chunk's rows can span
+    # Arrow batches within the partition, so the tail group of each batch
+    # is carried into the next one.
+    n_parts = points.sparkSession.sparkContext.defaultParallelism * 4
+    pre = pts.repartition(n_parts, "series_id", "chunk_start").sortWithinPartitions(
+        "series_id", "chunk_start", "ts"
+    )
 
-    return pts.groupBy("series_id", "chunk_start").applyInPandas(encode, CHUNK_SCHEMA)
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {
+            "series_id": [], "chunk_start": [], "n": [], "ts_blob": [], "val_blob": []
+        }
+        for (sid, cs), g in pdf.groupby(["series_id", "chunk_start"], sort=False):
+            ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            vals = g["value"].to_numpy(dtype=np.float64)
+            rows["series_id"].append(sid)
+            rows["chunk_start"].append(int(cs))
+            rows["n"].append(len(vals))
+            rows["ts_blob"].append(encode_timestamps(ts_us))
+            rows["val_blob"].append(encode_values(vals))
+        return pd.DataFrame(rows)
+
+    def encode_iter(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_sid = pdf["series_id"].iloc[-1]
+            last_cs = pdf["chunk_start"].iloc[-1]
+            tail = (pdf["series_id"] == last_sid) & (pdf["chunk_start"] == last_cs)
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield encode_groups(head)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return pre.mapInPandas(encode_iter, CHUNK_SCHEMA)
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:

@@ -113,16 +113,41 @@ def url_domain(url_col):
 
 def with_series_offsets(pages: DataFrame) -> DataFrame:
     """Add series_id + the 0-based sample offset of each page within its
-    series ((warc_ts, url)-ordered concatenation of text bytes)."""
-    p = pages.withColumn("series_id", url_domain(F.col("url")))
-    w = (
-        W.partitionBy("series_id")
+    series ((warc_ts, url)-ordered concatenation of text bytes).
+
+    Skew-safe two-level running sum: a single per-series window would put
+    a hot domain's entire history in ONE task (the classic window-function
+    skew — it capped bench scaling at ~1x).  Instead the running sum is
+    computed within (series, utc-day) buckets — parallel across
+    series x days — and each bucket adds a base offset from a tiny
+    per-bucket aggregate (series-partitioned, but only ~days rows per
+    series).  Day buckets respect the (warc_ts, url) global order.
+    """
+    p = pages.withColumn("series_id", url_domain(F.col("url"))).withColumn(
+        "_day", F.to_date("warc_ts")
+    )
+    in_bucket = (
+        W.partitionBy("series_id", "_day")
         .orderBy("warc_ts", "url")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    return p.withColumn(
-        "sample_offset",
-        F.coalesce(F.sum(F.octet_length("text")).over(w), F.lit(0)).cast("long"),
+    p = p.withColumn(
+        "_in_off",
+        F.coalesce(F.sum(F.octet_length("text")).over(in_bucket), F.lit(0)).cast("long"),
+    )
+    bucket_sums = p.groupBy("series_id", "_day").agg(
+        F.sum(F.octet_length("text")).alias("_blen")
+    )
+    prev_buckets = (
+        W.partitionBy("series_id").orderBy("_day").rowsBetween(W.unboundedPreceding, -1)
+    )
+    bucket_base = bucket_sums.withColumn(
+        "_base", F.coalesce(F.sum("_blen").over(prev_buckets), F.lit(0)).cast("long")
+    ).select("series_id", "_day", "_base")
+    return (
+        p.join(F.broadcast(bucket_base), ["series_id", "_day"])
+        .withColumn("sample_offset", (F.col("_base") + F.col("_in_off")).cast("long"))
+        .drop("_day", "_in_off", "_base")
     )
 
 

@@ -1,0 +1,159 @@
+"""Benchmark harness: headline engine throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "rolled_up_points_per_sec", "value": N, "unit": "points/sec",
+   "queries": {...per-phase seconds...}, "sf": ..., "cpus": ...,
+   "points": ..., "sec": ...}
+
+The headline value is the north metric proxy: samples flowing from
+synthesized Common-Crawl-style pages through windowed kernel scoring and
+ALL retention tiers (1m->1h->1d->30d), divided by the wall time of those
+phases.  Secondary queries time the Catalyst window path, gap-fill,
+chunk-store encode, and the dedup/similarity pipeline on the driver's
+sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     AFSPARK_BENCH_PAGES (override synthesized page count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from afspark.functions import kernels as K  # noqa: E402
+from afspark.operators.gapfill import gapfill  # noqa: E402
+from afspark.operators.rollup import TIERS, rollup_all_tiers, rollup_points  # noqa: E402
+from afspark.operators.score import score, score_pages  # noqa: E402
+from afspark.operators.windows import energy_agg, spl_agg, tumbling_agg  # noqa: E402
+from afspark.operators import dedup  # noqa: E402
+from afspark.session import get_session  # noqa: E402
+from afspark.sources.chunkstore import encode_chunks  # noqa: E402
+from afspark.sources.pages import (  # noqa: E402
+    derive_samples,
+    generate_pages,
+    with_series_offsets,
+)
+
+WINLEN = 1024
+NOVERLAP = 512
+FEATURES = [
+    K.Energy(),
+    K.SoundPressureLevel(),
+    K.ZeroCrossingRate(),
+    K.PermutationEntropy(4),
+    K.SpectralCentroid(),
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:  # noqa: BLE001
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_pages = int(os.environ.get("AFSPARK_BENCH_PAGES", max(2000, int(200_000 * sf))))
+    spark = get_session(app_name="afspark-bench")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # --- headline: pages -> windowed kernels -> all tiers -------------------
+    # score_pages shuffles page TEXT (~bytes), not a per-sample row table —
+    # the 100TB dataflow; output bit-identical to the samples path.
+    pages = generate_pages(spark, n_pages).persist()
+    n_samples = pages.agg(F.sum(F.octet_length("text"))).first()[0]  # warms cache
+
+    with timed("q_score_pages_kernels"):
+        scored = score_pages(
+            with_series_offsets(pages), FEATURES, WINLEN, NOVERLAP, fs=1000.0
+        ).persist()
+        n_scores = scored.count()
+
+    with timed("q_rollup_tiers"):
+        # window scores become timestamped points: ts = origin + win_start/fs
+        pts = scored.select(
+            F.concat_ws("|", "series_id", "feature").alias("series_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("win_start") / 1000.0)
+            ).alias("ts"),
+            "value",
+        )
+        tiers = rollup_all_tiers(pts)
+        n_rolled = 0
+        for name, df in tiers.items():
+            n_rolled += df.count()
+
+    headline_sec = timings["q_score_pages_kernels"] + timings["q_rollup_tiers"]
+    points = n_samples + n_scores
+
+    # --- secondary phases ---------------------------------------------------
+    with timed("q_derive_samples"):
+        samples = derive_samples(pages).persist()
+        samples.count()
+
+    with timed("q_energy_catalyst_tumbling"):
+        tumbling_agg(
+            samples, WINLEN, {"energy": energy_agg(F.col("value")), "spl": spl_agg(F.col("value"))}
+        ).count()
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    with timed("q_gapfill_linear_1h"):
+        gapfill(rollup_points(events, TIERS["1h"]), TIERS["1h"], method="linear").count()
+
+    with timed("q_chunk_encode"):
+        chunks = encode_chunks(events, chunk_seconds=86_400)
+        chunks.agg(F.sum("n")).collect()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with timed("q_minhash_lsh_dedup"):
+        dedup.minhash_lsh_dedup_pairs(docs, threshold=0.7).count()
+
+    with timed("q_simhash64"):
+        dedup.simhash64(docs).count()
+
+    samples.unpersist()
+    scored.unpersist()
+    pages.unpersist()
+
+    out = {
+        "metric": "rolled_up_points_per_sec",
+        "value": round(points / headline_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pages": n_pages,
+        "samples": n_samples,
+        "score_rows": n_scores,
+        "rolled_rows": n_rolled,
+        "headline_sec": round(headline_sec, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

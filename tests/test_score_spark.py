@@ -165,3 +165,26 @@ def test_zcr_windowed_matches_kernel(spark, signals):
         starts, _, v = K.score_local(K.ZeroCrossingRate(), x, winlen=winlen, noverlap=noverlap)
         for i, s in enumerate(starts):
             assert got[(sid, int(s))] == pytest.approx(v[i, 0], rel=1e-12)
+
+
+def test_score_pages_equals_samples_path(spark):
+    """Page-direct windowing == samples-table windowing, bit-for-bit."""
+    from afspark.operators.score import score_pages
+    from afspark.sources.pages import derive_samples, generate_pages, with_series_offsets
+
+    pages = generate_pages(spark, 150)
+    feats = [K.Energy(), K.PermutationEntropy(4), K.SpectralCentroid()]
+    via_samples = collect_scores(
+        score(derive_samples(pages), feats, 960, 480, fs=FS)
+    )
+    via_pages = collect_scores(
+        score_pages(with_series_offsets(pages), feats, 960, 480, fs=FS)
+    )
+    assert via_pages == via_samples
+    assert len(via_pages) > 100
+    # tiny chunks force every page to straddle chunk boundaries
+    via_pages_tiny = collect_scores(
+        score_pages(with_series_offsets(pages), feats, 960, 480, fs=FS,
+                    target_chunk_samples=1000)
+    )
+    assert via_pages_tiny == via_samples
