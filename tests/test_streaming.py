@@ -1,0 +1,53 @@
+"""Streaming 1m rollup == batch rollup on the same data (+ watermark drop)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from afspark.operators.rollup import rollup_points
+from afspark.streaming.stream_rollup import run_stream_to_memory
+
+SCHEMA = "series_id string, ts timestamp, value double"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="afspark_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, tmpdir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    src = f"{tmpdir}/in"
+    # two file drops simulate two micro-batches
+    a = pts.filter(F.col("event_id") % 2 == 0)
+    b = pts.filter(F.col("event_id") % 2 == 1)
+    a.write.mode("overwrite").parquet(src)
+    q = run_stream_to_memory(
+        spark, src, SCHEMA, query_name="t_rollup_stream", watermark="365 days"
+    )
+    try:
+        q.processAllAvailable()
+        b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max)
+            for r in spark.sql("select * from t_rollup_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max)
+        for r in rollup_points(pts, 60).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+        assert got[k][2:] == want[k][2:]
