@@ -888,6 +888,229 @@ def q_score_freq_contours_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# end-to-end composition + operator-module queries
+# ---------------------------------------------------------------------------
+
+def q_score_to_rollup_1m(spark, sf_dir):
+    """End-to-end composition: windowed energy scores -> 1m tier.
+
+    Window scores get synthetic timestamps (epoch 1.7e9 + win_start) and
+    roll up through the real operator; the oracle reproduces the whole
+    chain in SQL (cents-exact arithmetic throughout).
+    """
+    from .operators.rollup import rollup_points as _rp
+
+    s = events_samples(spark, sf_dir, cents=True)
+    win = tumbling_agg(s, WINLEN, {"energy": energy_agg(F.col("value"))})
+    pts = win.select(
+        "series_id",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("win_start")).alias("ts"),
+        F.col("energy").alias("value"),
+    )
+    rolled = _rp(pts, 60)
+    return rolled.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "cnt",
+        _r(F.col("avg"), 4).alias("avg_energy"),
+    )
+
+
+SQL_SCORE_TO_ROLLUP = _SAMPLES_CTE_CENTS + f"""
+    , win AS (
+      SELECT series_id,
+             ((seq-1)//{WINLEN})*{WINLEN}+1 AS win_start,
+             avg(v*v) AS energy
+      FROM s GROUP BY 1, 2 HAVING count(*) = {WINLEN}
+    )
+    SELECT series_id,
+           (floor((1700000000 + win_start)/60)*60)::BIGINT AS bucket_epoch,
+           count(*) AS cnt,
+           floor((sum(energy)/count(*))*10000.0 + 0.5)/10000.0 AS avg_energy
+    FROM win GROUP BY 1, 2
+"""
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    from .operators.text import bpe_ish_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bpe_ish_token_count(docs)
+    return out.select(
+        "doc_id", "n_bpe_tokens", _r(F.col("chars_per_bpe_token"), 6).alias("cpt")
+    )
+
+
+SQL_BPE_TOKENS = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           floor((length(text)*1.0
+                  / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1))
+                 *1000000.0 + 0.5)/1000000.0 AS cpt
+    FROM documents
+"""
+
+
+def q_quality_filter_dedup(spark, sf_dir):
+    """Pipeline composition: quality gate -> exact dedup -> survivors."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_features(docs).filter(F.col("quality") >= 0.7).select("doc_id")
+    kept = exact_dedup(docs.join(q, "doc_id"))
+    return kept.select("doc_id", "lang")
+
+
+SQL_QUALITY_FILTER_DEDUP = """
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             least(length(text)/500.0, 1.0)*0.5
+             + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))*1.0/length(text))*0.3
+             + least((length(regexp_replace(text, '[^ ]', '', 'g')) + 1)/100.0, 1.0)*0.2 AS quality
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM q WHERE quality >= 0.7
+    )
+    SELECT doc_id, lang FROM gated WHERE rn = 1
+"""
+
+
+def q_stopword_langid(spark, sf_dir):
+    from .operators.text import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lang_id(docs)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        _r(F.col("ratio_en"), 6).alias("ratio_en"),
+        _r(F.col("ratio_de"), 6).alias("ratio_de"),
+        "pred_lang",
+    )
+
+
+SQL_STOPWORD_LANGID = """
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\\s+'))) AS tok
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tok,
+        sum(CASE WHEN tok IN ('the','and','of','to','in','is','that','it','for','was') THEN 1 ELSE 0 END)*1.0/count(*) AS r_en,
+        sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht','mit','ein','zu','den') THEN 1 ELSE 0 END)*1.0/count(*) AS r_de,
+        sum(CASE WHEN tok IN ('le','la','les','et','est','pas','pour','que','une','des') THEN 1 ELSE 0 END)*1.0/count(*) AS r_fr,
+        sum(CASE WHEN tok IN ('el','la','los','de','que','es','en','un','por','con') THEN 1 ELSE 0 END)*1.0/count(*) AS r_es
+      FROM filtered GROUP BY 1
+    )
+    SELECT doc_id, n_tok,
+           floor((r_en)*1000000.0 + 0.5)/1000000.0 AS ratio_en,
+           floor((r_de)*1000000.0 + 0.5)/1000000.0 AS ratio_de,
+           CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'und'
+                WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+                WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+                WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM agg
+"""
+
+
+def q_rolling_fingerprints(spark, sf_dir):
+    """0-mod-p winnowing fingerprints (rows-only; offset invariance is
+    pytest-verified via planted containment)."""
+    from .operators.text import rolling_hash_fingerprints
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return rolling_hash_fingerprints(docs.select("doc_id", "text"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Full LSH near-dup pipeline (rows-only; LSH-superset law in pytest)."""
+    from .operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    from .operators.dedup import simhash64, simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash64(docs), max_hamming=3)
+
+
+def q_ivf_recall_check(spark, sf_dir):
+    """IVF vs exact top-5 recall per query (rows-only; recall >= 0.5
+    asserted in pytest; deterministic seeded codebook)."""
+    import pandas as pd
+
+    from .operators.similarity import assign_cells, brute_force_topk, ivf_topk, train_codebook
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = train_codebook(emb, n_cells=8, sample=500)
+    cells = assign_cells(emb, cb)
+    qpdf = emb.limit(5).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": qpdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in qpdf["embedding"]],
+            }
+        )
+    )
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "qid", F.col("cid").alias("ecid")
+    )
+    approx = ivf_topk(cells, cb, queries, k=5, n_probe=4).select(
+        "qid", F.col("cid").alias("acid")
+    )
+    hits = exact.join(
+        approx, (exact.qid == approx.qid) & (exact.ecid == approx.acid)
+    ).groupBy(exact.qid).count()
+    return (
+        exact.groupBy("qid")
+        .count()
+        .select(F.col("qid"), F.col("count").alias("k"))
+        .join(hits.select(F.col("qid").alias("qid2"), F.col("count").alias("hit")), F.col("qid") == F.col("qid2"), "left")
+        .select("qid", "k", F.coalesce("hit", F.lit(0)).alias("hits"))
+    )
+
+
+def q_chunk_roundtrip_check(spark, sf_dir):
+    """Gorilla/DoD store round-trip: per-series mismatch count (expect 0)."""
+    from .sources.chunkstore import decode_chunks, encode_chunks
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    back = decode_chunks(encode_chunks(pts, chunk_seconds=86_400))
+    joined = pts.alias("a").join(
+        back.alias("b"),
+        (F.col("a.series_id") == F.col("b.series_id"))
+        & (F.col("a.ts") == F.col("b.ts")),
+        "full_outer",
+    )
+    return (
+        joined.groupBy(F.coalesce(F.col("a.series_id"), F.col("b.series_id")).alias("series_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("a.value").isNull()
+                    | F.col("b.value").isNull()
+                    | (F.col("a.value") != F.col("b.value"))
+                ).cast("int")
+            ).alias("n_mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -918,11 +1141,21 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_cosine_centroid": (q_topk_cosine_centroid, SQL_TOPK_CENTROID),
     "ann_nn_bruteforce": (q_ann_nn_bruteforce, SQL_ANN_NN),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_NEARDUP_PAIRS),
+    # end-to-end compositions + operator modules
+    "score_to_rollup_1m": (q_score_to_rollup_1m, SQL_SCORE_TO_ROLLUP),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKENS),
+    "quality_filter_dedup": (q_quality_filter_dedup, SQL_QUALITY_FILTER_DEDUP),
+    "stopword_langid": (q_stopword_langid, SQL_STOPWORD_LANGID),
     # kernel path — rows-only driver check, bit-exact vs numpy in pytest
     "score_kernels_docs": (q_score_kernels_docs, None),
     "score_psd_docs": (q_score_psd_docs, None),
     "score_impulse_sas_events": (q_score_impulse_sas_events, None),
     "score_freq_contours_docs": (q_score_freq_contours_docs, None),
+    "rolling_fingerprints": (q_rolling_fingerprints, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "simhash_near_pairs": (q_simhash_near_pairs, None),
+    "ivf_recall_check": (q_ivf_recall_check, None),
+    "chunk_roundtrip_check": (q_chunk_roundtrip_check, None),
 }
 
 
