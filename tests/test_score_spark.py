@@ -188,3 +188,23 @@ def test_score_pages_equals_samples_path(spark):
                     target_chunk_samples=1000)
     )
     assert via_pages_tiny == via_samples
+
+
+def test_preprocess_hook_bit_exact(spark, signals):
+    """Reference :868,882: preprocess applied per window before scoring."""
+    pre = lambda w: K.pressure(w, -6.0, 0.0)  # noqa: E731
+    feats = [K.Energy(), K.SoundPressureLevel()]
+    df = make_samples(spark, {"sine": signals["sine"]})
+    got = collect_scores(score(df, feats, 960, 480, fs=FS, preprocess=pre))
+    rows = []
+    for f in feats:
+        starts, names, vals = K.score_local(
+            f, signals["sine"], fs=FS, winlen=960, noverlap=480, preprocess=pre
+        )
+        for i, s in enumerate(starts):
+            for j, name in enumerate(names):
+                rows.append(("sine", int(s), name, vals[i, j]))
+    assert got == sorted(rows)
+    # and preprocess actually changes the result
+    base = collect_scores(score(df, feats, 960, 480, fs=FS))
+    assert got != base
