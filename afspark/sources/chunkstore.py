@@ -134,8 +134,46 @@ def write_chunk_store(
 
 
 def read_chunk_store(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # explicit schema: a fully-expired store (all chunk_date partitions
+    # aged out) must read back as EMPTY, not fail schema inference
+    return spark.read.schema(CHUNK_SCHEMA + ", chunk_date date").parquet(path)
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
     return decode_chunks(read_chunk_store(spark, path))
+
+
+def read_points_range(
+    spark: SparkSession, path: str, start_date: str, end_date: str
+) -> DataFrame:
+    """Time-range read with partition pruning on chunk_date.
+
+    The filter hits the partition column, so Spark lists only the
+    matching chunk_date directories — the decode pass never sees other
+    chunks (tested via inputFiles()).
+    """
+    chunks = spark.read.parquet(path).filter(
+        (F.col("chunk_date") >= start_date) & (F.col("chunk_date") <= end_date)
+    )
+    return decode_chunks(chunks)
+
+
+def expire_chunks(spark: SparkSession, path: str, older_than_date: str) -> int:
+    """Retention enforcement: drop chunk partitions older than the cutoff.
+
+    Returns the number of partition directories removed.  Implemented as
+    directory-level deletes of expired ``chunk_date=`` partitions — the
+    parquet analog of Iceberg's expire-snapshots/delete-partition; no
+    data rewrite, surviving chunks untouched.
+    """
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    removed = 0
+    for p in sorted(root.glob("chunk_date=*")):
+        date = p.name.split("=", 1)[1]
+        if date < older_than_date:
+            shutil.rmtree(p)
+            removed += 1
+    return removed

@@ -111,6 +111,31 @@ def url_domain(url_col):
     return F.parse_url(url_col, F.lit("HOST"))
 
 
+def write_pages_table(pages: DataFrame, path: str, n_buckets: int = 16) -> None:
+    """Persist pages with the north_rule layout: PARTITIONED BY
+    (days(warc_ts), bucket(N, url_domain)).
+
+    On plain parquet the Iceberg transforms become physical partition
+    columns ``day`` and ``bucket`` (pmod(xxhash64(domain), N)); a time- or
+    domain-scoped query prunes directories at the scan, and the bucket
+    column co-locates each series' pages for the downstream
+    (series, chunk) shuffle.
+    """
+    (
+        pages.withColumn("day", F.to_date("warc_ts"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64(url_domain(F.col("url"))), F.lit(n_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("day", "bucket")
+        .parquet(path)
+    )
+
+
+def read_pages_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("day", "bucket")
+
+
 def with_series_offsets(pages: DataFrame) -> DataFrame:
     """Add series_id + the 0-based sample offset of each page within its
     series ((warc_ts, url)-ordered concatenation of text bytes).

@@ -140,3 +140,43 @@ def test_kill_resume_skips_completed(spark, points, tmpdir):
     m = log.metrics()
     assert m.count() == len(keys)
     assert m.filter(F.col("rows") > 0).count() == len(keys)
+
+
+def test_range_read_prunes_partitions(spark, points, tmpdir):
+    store = f"{tmpdir}/store"
+    write_chunk_store(points, store, chunk_seconds=86_400)
+    from afspark.sources.chunkstore import read_points_range
+
+    full_files = (
+        spark.read.parquet(store).select(F.input_file_name()).distinct().count()
+    )
+    ranged = spark.read.parquet(store).filter(
+        (F.col("chunk_date") >= "2024-01-05") & (F.col("chunk_date") <= "2024-01-07")
+    )
+    # files actually read at execution — partition pruning must bite
+    read_files = ranged.select(F.input_file_name()).distinct().count()
+    assert 0 < read_files < full_files
+    pts = read_points_range(spark, store, "2024-01-05", "2024-01-07")
+    got_days = {r.d for r in pts.select(F.to_date("ts").alias("d")).distinct().collect()}
+    assert got_days == {
+        r.d
+        for r in points.filter(
+            (F.to_date("ts") >= "2024-01-05") & (F.to_date("ts") <= "2024-01-07")
+        ).select(F.to_date("ts").alias("d")).distinct().collect()
+    }
+
+
+def test_retention_expiry(spark, points, tmpdir):
+    from afspark.sources.chunkstore import expire_chunks, read_points
+
+    store = f"{tmpdir}/store"
+    write_chunk_store(points, store, chunk_seconds=86_400)
+    before = read_points(spark, store).count()
+    removed = expire_chunks(spark, store, "2024-01-10")
+    assert removed > 0
+    kept = read_points(spark, store)
+    assert kept.filter(F.to_date("ts") < "2024-01-10").count() == 0
+    expected = points.filter(F.to_date("ts") >= "2024-01-10").count()
+    assert kept.count() == expected < before
+    # idempotent
+    assert expire_chunks(spark, store, "2024-01-10") == 0

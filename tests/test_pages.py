@@ -88,3 +88,30 @@ def test_end_to_end_pages_to_scores(spark):
             assert got[(dom, int(s))] == vals[i, 0]
             n_checked += 1
     assert n_checked > 50
+
+
+def test_pages_table_layout_prunes(spark, tmp_path):
+    """north_rule layout: days(warc_ts) x bucket(url_domain) partitioning."""
+    from pyspark.sql import functions as F
+    from afspark.sources.pages import read_pages_table, write_pages_table
+
+    pages = generate_pages(spark, 400)
+    path = str(tmp_path / "pages_tbl")
+    write_pages_table(pages, path, n_buckets=8)
+    back = read_pages_table(spark, path)
+    assert back.count() == 400
+    assert sorted(back.columns) == sorted(pages.columns)
+    full = spark.read.parquet(path)
+    total_files = full.select(F.input_file_name()).distinct().count()
+    # day-scoped read prunes
+    one_day = full.filter(F.col("day") == "2024-01-03")
+    day_files = one_day.select(F.input_file_name()).distinct().count()
+    assert 0 < day_files < total_files
+    # domain-bucket-scoped read prunes
+    one_bucket = full.filter(F.col("bucket") == 3)
+    b_files = one_bucket.select(F.input_file_name()).distinct().count()
+    assert 0 < b_files < total_files
+    # byte identity through the layout
+    a = {r.url: r.text for r in pages.collect()}
+    b = {r.url: r.text for r in back.collect()}
+    assert a == b

@@ -208,3 +208,29 @@ def test_preprocess_hook_bit_exact(spark, signals):
     # and preprocess actually changes the result
     base = collect_scores(score(df, feats, 960, 480, fs=FS))
     assert got != base
+
+
+def test_score_auto_dispatch(spark, signals):
+    """Planner dispatch: Catalyst path for algebraic features, kernel
+    path otherwise; values agree to round-off; no Python node in the
+    Catalyst plan."""
+    from afspark.operators.score import score_auto
+
+    df = make_samples(spark, signals)
+    feats = [K.Energy(), K.SoundPressureLevel()]
+    auto = score_auto(df, feats, 1000, 0, fs=FS)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan
+    got = {(r.series_id, r.win_start, r.feature): r.value for r in auto.collect()}
+    want = {
+        (sid, s, name): v
+        for sid, s, name, v in local_expected(signals, feats, 1000, 0)
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # non-algebraic feature -> falls back to the kernel path (bit-exact)
+    auto2 = score_auto(df, [K.PermutationEntropy(3)], 1000, 0, fs=FS)
+    plan2 = auto2._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" in plan2
+    assert collect_scores(auto2) == local_expected(signals, [K.PermutationEntropy(3)], 1000, 0)
