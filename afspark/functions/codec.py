@@ -159,21 +159,35 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
 
 _DOD_BUCKETS = [(7, 0b10, 2), (9, 0b110, 3), (12, 0b1110, 4)]
 
+_U64 = (1 << 64) - 1
+
+
+def _wrap_i64(x: int) -> int:
+    """Two's-complement wrap of a Python int into signed 64-bit range."""
+    x &= _U64
+    return x - (1 << 64) if x >= 1 << 63 else x
+
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
-    """Delta-of-delta encode an int64 array (epoch seconds/millis/us)."""
+    """Delta-of-delta encode an int64 array (epoch seconds/millis/us).
+
+    Delta arithmetic is mod-2^64 (two's complement), so the codec
+    round-trips the ENTIRE int64 range — deltas between extreme values
+    wrap identically on encode and decode (hypothesis-tested).
+    """
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     if n == 0:
         return b""
     w = _BitWriter()
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    w.write(int(ts[0]) & _U64, 64)
     if n == 1:
         return w.getvalue()
-    d0 = int(ts[1]) - int(ts[0])
-    w.write(d0 & ((1 << 64) - 1), 64)  # first delta (64b: micros deltas exceed 32b)
-    deltas = np.diff(ts)
-    dods = np.diff(deltas)
+    d0 = _wrap_i64(int(ts[1]) - int(ts[0]))
+    w.write(d0 & _U64, 64)  # first delta (64b: micros deltas exceed 32b)
+    with np.errstate(over="ignore"):
+        deltas = np.diff(ts)  # int64 wraparound == mod-2^64
+        dods = np.diff(deltas)
     for dod in dods.tolist():
         if dod == 0:
             w.write(0, 1)
@@ -217,6 +231,6 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
                 dod = r.read(64)
                 if dod >= 1 << 63:
                     dod -= 1 << 64
-        d += dod
-        out[i] = out[i - 1] + d
+        d = _wrap_i64(d + dod)
+        out[i] = np.int64(_wrap_i64(int(out[i - 1]) + d))
     return out

@@ -9,6 +9,10 @@ the chunks a late batch touches, via dynamic partition overwrite).
 
 Encode/decode are Arrow-batched pandas UDF passes (one Python call per
 group/partition, numpy inside) — no per-row Python.
+
+Timestamp domain: the pandas-UDF boundary converts through nanosecond
+precision, so store timestamps must lie in pandas' ns range
+(1677-09-21 .. 2262-04-11); the raw codec itself round-trips all int64.
 """
 
 from __future__ import annotations
