@@ -1,17 +1,23 @@
 """Two-cluster-size scaling evidence (north_rule: efficiency >= 0.8).
 
 No real cluster exists in this sandbox, so the criterion is evidenced by
-running the SAME job at two parallelism levels (local[8] vs local[32]) on
-the SAME input and reporting throughput at both plus the efficiency
-ratio (BASELINE.md row 4).  Each level runs in its own subprocess (fresh
-JVM) so nothing is warm-shared.
+running the SAME job at two parallelism levels on the SAME input and
+reporting throughput at both plus the efficiency ratio (BASELINE.md
+row 4).  Each level runs in its own subprocess (fresh JVM).
+
+Two modes:
+* thread mode (default): local[N] vs local[4N] — shared JVM, harshest.
+* executor mode (--exec): local-cluster[N,4,4096] vs
+  local-cluster[4N,4,4096] — SEPARATE executor JVMs, each with its own
+  Python workers and shuffle endpoints: the faithful proxy of the
+  north_rule's "N vs 4N executors via spark-submit".
 
 The job is the engine headline made compute-heavy enough that fixed
 local-mode job-launch overheads (~5 s) don't mask scaling: N pages ->
 page-direct windowed kernels (8 features incl. spectral + ordinal) ->
 all retention tiers.  Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_pages] [levels...]
+Usage: python tools/bench_scaling.py [n_pages] [levels...] [--exec]
 """
 
 from __future__ import annotations
@@ -36,7 +42,11 @@ from afspark.sources.pages import generate_pages, with_series_offsets
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 n_pages = {n_pages}
-spark = get_session(app_name=f"afspark-scaling-{{cpus}}")
+master = os.environ.get("AFSPARK_MASTER") or None
+if master:
+    os.environ.setdefault("AFSPARK_DRIVER_MEM", "8g")
+spark = get_session(master=master, app_name=f"afspark-scaling-{{cpus}}",
+                    shuffle_partitions=max(cpus, 8))
 pages = generate_pages(spark, n_pages).persist()
 n_bytes = pages.agg(F.sum(F.octet_length("text"))).first()[0]
 offs = with_series_offsets(pages).persist()
@@ -99,9 +109,12 @@ print(json.dumps({{
 """
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
+def run_level(cpus: int, n_pages: int, executors: int | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    code = CHILD.format(repo=REPO, n_pages=n_pages, reps=4)
+    if executors is not None:
+        env["AFSPARK_MASTER"] = f"local-cluster[{executors},4,4096]"
+    code = CHILD.format(repo=REPO, n_pages=n_pages,
+                        reps=int(os.environ.get("AFSPARK_SCALING_REPS", "4")))
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
         timeout=1200,
@@ -111,9 +124,17 @@ def run_level(cpus: int, n_pages: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    levels = [int(x) for x in sys.argv[2:]] or [8, 32]
-    results = {c: run_level(c, n_pages) for c in levels}
+    args = [a for a in sys.argv[1:] if a != "--exec"]
+    exec_mode = "--exec" in sys.argv
+    n_pages = int(args[0]) if args else 100_000
+    levels = [int(x) for x in args[1:]] or ([1, 4] if exec_mode else [8, 32])
+    if exec_mode:
+        results = {
+            n * 4: run_level(n * 4, n_pages, executors=n) for n in levels
+        }
+        levels = sorted(results)
+    else:
+        results = {c: run_level(c, n_pages) for c in levels}
     lo, hi = min(levels), max(levels)
     ratio = results[hi]["points_per_sec"] / results[lo]["points_per_sec"]
     eff = ratio / (hi / lo)
@@ -136,20 +157,23 @@ def main():
     ]
     for c in levels:
         r = results[c]
+        label = f"{c // 4} executors x 4 cores" if exec_mode else f"local[{c}]"
         lines.append(
-            f"| local[{c}] | {r['pages']} | {r['samples']} | {r['sec']} | "
+            f"| {label} | {r['pages']} | {r['samples']} | {r['sec']} | "
             f"{r['points_per_sec']:.0f} | {r['pool_kernel_sec']} | {r['pool_points_per_sec']:.0f} |"
         )
     pool_ratio = results[hi]["pool_points_per_sec"] / results[lo]["pool_points_per_sec"]
     pool_eff = pool_ratio / (hi / lo)
     lines += [
         "",
-        f"**Scaling local[{lo}] -> local[{hi}]** ({hi // lo}x cores):",
+        (f"**Scaling {lo//4} -> {hi//4} executor JVMs (local-cluster, 4 cores each)**"
+         if exec_mode else f"**Scaling local[{lo}] -> local[{hi}]**")
+        + f" ({hi // lo}x):",
         "",
         f"* engine kernels (same evaluator, plain process pool — isolates the",
         f"  engine's compute from local-mode JVM/Python core co-residency):",
         f"  throughput ratio {pool_ratio:.2f}x, **efficiency {pool_eff:.2f}**;",
-        f"* full Spark pipeline in local mode: ratio {ratio:.2f}x, efficiency {eff:.2f}.",
+        (f"* full Spark pipeline ({{}}): ratio {ratio:.2f}x, efficiency {eff:.2f}.".format("separate executor JVMs, one box" if exec_mode else "local thread mode")),
         "",
         "Interpretation for the N->4N (>=0.8) criterion: the engine's",
         "parallel work scales at the pool efficiency above; the Spark-side",
