@@ -828,10 +828,13 @@ def _doc_samples_for_kernels(spark, sf_dir):
     """documents -> per-source sample series (source ≙ channel)."""
     docs = _read(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy("doc_id")
+    # F.length (chars), not octet_length (bytes): samples are exploded per
+    # CHARACTER below, so a byte offset would leave seq non-dense on any
+    # non-ASCII document and trip the kernel path's density check.
     offs = docs.withColumn(
         "sample_offset",
         F.coalesce(
-            F.sum(F.octet_length("text")).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.sum(F.length("text")).over(w.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
         ).cast("long"),
     )
@@ -1019,28 +1022,154 @@ SQL_STOPWORD_LANGID = """
 
 
 def q_rolling_fingerprints(spark, sf_dir):
-    """0-mod-p winnowing fingerprints (rows-only; offset invariance is
-    pytest-verified via planted containment)."""
+    """0-mod-p winnowing fingerprints, portable md5 twin (oracled).
+
+    The xxhash64 scale path of the same operator is pytest-verified
+    (planted containment / offset invariance); this driver query runs the
+    identical windowing with hash_mode="md5" so DuckDB can reproduce it.
+    """
     from .operators.text import rolling_hash_fingerprints
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return rolling_hash_fingerprints(docs.select("doc_id", "text"))
+    return rolling_hash_fingerprints(docs.select("doc_id", "text"), hash_mode="md5")
+
+
+SQL_ROLLING_FP = """
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE doc_id < 100
+    ), w AS (
+      SELECT doc_id AS id, i - 1 AS pos,
+             md5(array_to_string(ts[i:i+7], ' ')) AS fp
+      FROM toks, unnest(generate_series(1, len(ts) - 7)) AS t(i)
+      WHERE len(ts) >= 8
+    )
+    SELECT id, CAST(pos AS INTEGER) AS pos, fp FROM w
+    WHERE (strpos('0123456789abcdef', substr(fp, 32, 1)) - 1) % 4 = 0
+"""
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Full LSH near-dup pipeline (rows-only; LSH-superset law in pytest)."""
+    """Full LSH near-dup pipeline, portable md5 twin (oracled).
+
+    Same operator chain (shingle -> minhash -> banded LSH -> exact
+    Jaccard verify) with hash_mode="md5" so DuckDB reproduces the exact
+    candidate set; the xxhash64 scale path keeps its pytest coverage
+    (LSH-superset law, planted near-dups).
+    """
     from .operators.dedup import minhash_lsh_dedup_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    out = minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    out = minhash_lsh_dedup_pairs(
+        docs, n_hashes=4, bands=2, threshold=0.5, hash_mode="md5"
+    )
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
 
 
-def q_simhash_near_pairs(spark, sf_dir):
-    from .operators.dedup import simhash64, simhash_near_pairs
+SQL_MINHASH_LSH = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, substr(text, i, {_SHINGLE_LEN}) AS sh
+      FROM documents,
+           unnest(generate_series(1, length(text) - {_SHINGLE_LEN - 1})) AS t(i)
+      WHERE length(text) >= {_SHINGLE_LEN}
+    ), sig AS (
+      SELECT id,
+             min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+             min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
+      FROM sh GROUP BY 1
+    ), banded AS (
+      SELECT id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM sig
+      UNION ALL
+      SELECT id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM sig
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bh) AS _sz FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+      WHERE a._sz <= 200 AND b._sz <= 200
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           floor((i.i*1.0/(za.sz + zb.sz - i.i))*1000000.0 + 0.5)/1000000.0 AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.id = i.id_a
+    JOIN sizes zb ON zb.id = i.id_b
+    WHERE i.i*1.0/(za.sz + zb.sz - i.i) >= 0.5
+"""
 
-    docs = _read(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash64(docs), max_hamming=3)
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Near-dup pairs by Hamming distance on the portable 16-bit SimHash,
+    via the same pigeonhole block-join strategy as the 64-bit scale path
+    (4 blocks of 4 bits; any pair within Hamming 3 shares a block).  The
+    64-bit mapInPandas operator keeps its pytest coverage (determinism,
+    planted near-dups)."""
+    sh = q_simhash16(spark, sf_dir)
+    blocks = sh.select(
+        F.col("doc_id").alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright("simhash", 4 * i)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+SQL_SIMHASH_NEAR = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), sh AS (
+      SELECT doc_id, CAST({_simhash_bits_sql("duckdb")} AS BIGINT) AS simhash
+      FROM toks WHERE tok <> '' GROUP BY doc_id
+    ), blocks AS (
+      SELECT doc_id, simhash, bi, (simhash // (1 << (4 * bi))) % 16 AS bv
+      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS bi) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM blocks a JOIN blocks b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 def q_ivf_recall_check(spark, sf_dir):
@@ -1053,7 +1182,8 @@ def q_ivf_recall_check(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     cb = train_codebook(emb, n_cells=8, sample=500)
     cells = assign_cells(emb, cb)
-    qpdf = emb.limit(5).toPandas()
+    # deterministic query subset — a bare limit() varies with partitioning
+    qpdf = emb.orderBy("vec_id").limit(5).toPandas()
     queries = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -1081,7 +1211,14 @@ def q_ivf_recall_check(spark, sf_dir):
 
 
 def q_chunk_roundtrip_check(spark, sf_dir):
-    """Gorilla/DoD store round-trip: per-series mismatch count (expect 0)."""
+    """Gorilla/DoD store round-trip: per-series mismatch count (expect 0).
+
+    Multiset compare — group BOTH sides by (series_id, ts, value) with
+    counts before joining, so duplicate timestamps within a series (ties
+    are possible in events) cannot fan out and report false mismatches.
+    The DuckDB oracle asserts the clean outcome: per-series row count with
+    n_mismatch = 0.
+    """
     from .sources.chunkstore import decode_chunks, encode_chunks
 
     ev = _read(spark, sf_dir, "events")
@@ -1089,25 +1226,26 @@ def q_chunk_roundtrip_check(spark, sf_dir):
         F.col("user_id").cast("string").alias("series_id"), "ts", "value"
     )
     back = decode_chunks(encode_chunks(pts, chunk_seconds=86_400))
-    joined = pts.alias("a").join(
-        back.alias("b"),
-        (F.col("a.series_id") == F.col("b.series_id"))
-        & (F.col("a.ts") == F.col("b.ts")),
-        "full_outer",
+    keys = ["series_id", "ts", "value"]
+    a = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_a"))
+    b = back.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_b"))
+    joined = a.join(b, keys, "full_outer").select(
+        "series_id",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
-    return (
-        joined.groupBy(F.coalesce(F.col("a.series_id"), F.col("b.series_id")).alias("series_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (
-                    F.col("a.value").isNull()
-                    | F.col("b.value").isNull()
-                    | (F.col("a.value") != F.col("b.value"))
-                ).cast("int")
-            ).alias("n_mismatch"),
-        )
+    return joined.groupBy("series_id").agg(
+        F.sum("n_a").alias("n"),
+        F.sum(F.abs(F.col("n_a") - F.col("n_b"))).alias("n_mismatch"),
     )
+
+
+SQL_CHUNK_ROUNDTRIP = """
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           count(*) AS n,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM events GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1151,11 +1289,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "score_psd_docs": (q_score_psd_docs, None),
     "score_impulse_sas_events": (q_score_impulse_sas_events, None),
     "score_freq_contours_docs": (q_score_freq_contours_docs, None),
-    "rolling_fingerprints": (q_rolling_fingerprints, None),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-    "simhash_near_pairs": (q_simhash_near_pairs, None),
+    "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FP),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "ivf_recall_check": (q_ivf_recall_check, None),
-    "chunk_roundtrip_check": (q_chunk_roundtrip_check, None),
+    "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
 }
 
 

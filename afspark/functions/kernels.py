@@ -643,6 +643,42 @@ class SymmetricAlphaStableStats(Feature):
         return np.array([alpha, scale])
 
 
+def link_frequency_contours(p, freqs, col_peaks, fd):
+    """Greedy peak-contour linker — literal port of reference :303-323.
+
+    ``col_peaks(col) -> peak row indices``; returns the raw contour list
+    (before the mintlen filter).  Replicates the reference's bookkeeping
+    quirks exactly: column 1 peaks are labeled 1 but later columns are
+    labeled with the loop index over columns 2.. (so column-1 peaks never
+    chain into column 2), and RESTARTED contours (first time peaks appear
+    after a peak-free prefix) are labeled literal 1 as well (:305), which
+    prevents them chaining unless the next column is column index 2.
+    """
+    crds = col_peaks(p[:, 0])
+    ctrs: list[list[tuple[int, int]]] = [[(int(c), 1)] for c in crds]
+    for i in range(1, p.shape[1]):  # reference's enumerate over cols 2:end
+        crds = col_peaks(p[:, i])
+        for crd in crds:
+            if len(ctrs) == 0:
+                # reference :305 labels restarted contours with literal
+                # column 1 (not the current index) — its own bookkeeping
+                # quirk; replicated for parity (they only chain into the
+                # next column when i == 2).
+                ctrs = [[(int(c), 1)] for c in crds]
+            else:
+                idxselect: list[int] = []
+                costselect: list[float] = []
+                for j, ctr in enumerate(ctrs):
+                    if ctr[-1][1] == i - 1 and abs(freqs[ctr[-1][0]] - freqs[crd]) <= fd:
+                        idxselect.append(j)
+                        costselect.append(abs(freqs[ctr[-1][0]] - freqs[crd]))
+                if not idxselect:
+                    ctrs.append([(int(crd), i)])
+                else:
+                    ctrs[idxselect[int(np.argmin(costselect))]].append((int(crd), i))
+    return ctrs
+
+
 @dataclass(frozen=True)
 class FrequencyContours(Feature):
     """Spectral-peak contour density — reference :291-331.
@@ -677,24 +713,7 @@ class FrequencyContours(Feature):
             height = EPS + np.percentile(col, self.minhprc)
             return find_peaks(col, height=height, distance=distance)
 
-        crds = col_peaks(p[:, 0])
-        ctrs: list[list[tuple[int, int]]] = [[(int(c), 1)] for c in crds]
-        for i in range(1, p.shape[1]):  # reference's enumerate over cols 2:end
-            crds = col_peaks(p[:, i])
-            for crd in crds:
-                if len(ctrs) == 0:
-                    ctrs = [[(int(c), i)] for c in crds]
-                else:
-                    idxselect: list[int] = []
-                    costselect: list[float] = []
-                    for j, ctr in enumerate(ctrs):
-                        if ctr[-1][1] == i - 1 and abs(freqs[ctr[-1][0]] - freqs[crd]) <= self.fd:
-                            idxselect.append(j)
-                            costselect.append(abs(freqs[ctr[-1][0]] - freqs[crd]))
-                    if not idxselect:
-                        ctrs.append([(int(crd), i)])
-                    else:
-                        ctrs[idxselect[int(np.argmin(costselect))]].append((int(crd), i))
+        ctrs = link_frequency_contours(p, freqs, col_peaks, self.fd)
         ctrs = [c for c in ctrs if (len(c) - 1) * dt >= self.mintlen]
         count = sum(len(c) for c in ctrs) if ctrs else 0
         return np.array([count / p.size])

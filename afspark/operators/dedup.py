@@ -61,13 +61,25 @@ def char_shingles(
 
 
 def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 16
+    shingles: DataFrame, n_hashes: int = 16, hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """(id, mh: array<bigint>) — n_hashes seeded xxhash64 min-hashes."""
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
-        for i in range(n_hashes)
-    ]
+    """(id, mh: array) — n_hashes seeded min-hashes.
+
+    ``hash_mode``: "xxhash64" (default, JVM-native bigints — the scale
+    path) or "md5" (salted md5 hex strings; lexicographic min over
+    fixed-length lowercase hex == numeric min, identical in Spark and
+    DuckDB, used for the driver oracle).
+    """
+    if hash_mode == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     sig = shingles.groupBy("id").agg(*aggs)
     return sig.select(
         "id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("mh")
@@ -75,7 +87,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, max_bucket: int = 200
+    signatures: DataFrame,
+    bands: int = 4,
+    max_bucket: int = 200,
+    n_hashes: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b) from minhash signatures.
 
@@ -83,23 +99,30 @@ def lsh_candidate_pairs(
     at 100TB a single degenerate bucket would otherwise emit |bucket|^2
     pairs.  Dropped buckets are a recall/robustness tradeoff, the standard
     production mitigation.
+
+    Pass ``n_hashes`` (the signature length) so plan construction stays
+    lazy; the ``.first()`` fallback launches a Spark job mid-plan and is
+    kept only for ad-hoc use.
     """
-    n = signatures.select(F.size("mh")).first()[0]
+    n = (
+        n_hashes
+        if n_hashes is not None
+        else signatures.select(F.size("mh")).first()[0]
+    )
     rows_per_band = n // bands
+
+    def _band_hash(b):
+        cols = [F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_mode == "md5":
+            return F.md5(F.concat_ws(",", *cols))
+        return F.xxhash64(*cols)
+
     banded = signatures.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("mh")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -158,11 +181,12 @@ def minhash_lsh_dedup_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
     sh = char_shingles(docs, text_col, id_col, k)
-    sig = minhash_signatures(sh, n_hashes)
-    cand = lsh_candidate_pairs(sig, bands)
+    sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode)
+    cand = lsh_candidate_pairs(sig, bands, n_hashes=n_hashes, hash_mode=hash_mode)
     return jaccard_verify(cand, sh, threshold)
 
 
@@ -257,14 +281,19 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane LSH + exact verify.
 
     Pairs agreeing on ALL n_planes sign bits are candidates (single
     bucket key -> one shuffle); exact cosine filters them.  Recall drops
     with distance — by design for near-DUPLICATE detection.
+
+    Pass ``dim`` (embedding dimensionality) to keep plan construction
+    lazy; the ``.first()`` fallback launches a Spark job mid-plan.
     """
-    dim = emb.select(F.size(vec_col)).first()[0]
+    if dim is None:
+        dim = emb.select(F.size(vec_col)).first()[0]
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     e = emb.select(

@@ -123,26 +123,39 @@ def rolling_hash_fingerprints(
     id_col: str = "doc_id",
     window_tokens: int = 8,
     keep_every: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Rolling token-window fingerprints with 0-mod-p content sampling.
 
-    Emits xxhash64 of every ``window_tokens``-token window, keeping only
+    Emits a hash of every ``window_tokens``-token window, keeping only
     windows whose hash ≡ 0 (mod keep_every).  Selection depends on window
     CONTENT, not position, so it is offset-invariant: a passage quoted at
     any token offset inside another document yields the same kept
     fingerprints (the classic 0-mod-p fingerprinting scheme underlying
     winnowing).  Usable for containment/quotation detection.
+
+    ``hash_mode``: "xxhash64" (default, JVM-native scale path; fp is a
+    bigint) or "md5" (portable twin — fp is the md5 hex string and the
+    mod-p selector is its last hex digit, reproducible in DuckDB for the
+    driver oracle).
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.split(F.regexp_replace(F.col(text_col), "\\s+", " "), " ").alias("ts"),
     )
-    idx = F.explode(
-        F.sequence(F.lit(0), F.greatest(F.size("ts") - window_tokens, F.lit(0)) - 1)
-    )
-    win = toks.select("id", idx.alias("i"), "ts").filter(
-        F.size("ts") >= window_tokens
-    )
+    # Window starts 0..size-w INCLUSIVE (size-w+1 windows).  Guard with
+    # when(): Spark's sequence(0, hi) DESCENDS for hi < 0, and an
+    # exactly-w-token doc would otherwise emit i=-1 → slice(ts, 0, w)
+    # aborts the job with INVALID_PARAMETER_VALUE.START.
+    starts = F.when(
+        F.size("ts") >= window_tokens,
+        F.sequence(F.lit(0), F.size("ts") - window_tokens),
+    ).otherwise(F.array().cast("array<int>"))
+    win = toks.select("id", F.explode(starts).alias("i"), "ts")
     window_str = F.concat_ws(" ", F.slice(F.col("ts"), F.col("i") + 1, window_tokens))
+    if hash_mode == "md5":
+        fps = win.select("id", F.col("i").alias("pos"), F.md5(window_str).alias("fp"))
+        sel = F.conv(F.substring("fp", 32, 1), 16, 10).cast("int")
+        return fps.filter(F.pmod(sel, F.lit(keep_every)) == 0)
     fps = win.select("id", F.col("i").alias("pos"), F.xxhash64(window_str).alias("fp"))
     return fps.filter(F.pmod(F.col("fp"), F.lit(keep_every)) == 0)

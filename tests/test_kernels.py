@@ -384,3 +384,37 @@ def test_window_starts_formula():
                 assert np.all(np.diff(s) == step)
                 assert s[-1] + winlen - 1 <= xlen
                 assert s[-1] + step + winlen - 1 > xlen
+
+
+def test_contour_restart_branch_labels_one():
+    """Reference :305 labels RESTARTED contours (first peaks after a
+    peak-free prefix) with literal column 1, so they cannot chain into
+    the following column unless it is column index 2.  Hand-traced:
+    peak-free cols 0-1, then a peak at row 2 in cols 2 and 3 -> two
+    length-1 contours, NOT one chained length-2 contour."""
+    p = np.zeros((5, 4))
+    p[2, 2] = 1.0
+    p[2, 3] = 1.0
+    freqs = np.array([0.0, 10.0, 20.0, 30.0, 40.0])
+
+    def col_peaks(col):
+        return np.nonzero(col > 0.5)[0]
+
+    ctrs = K.link_frequency_contours(p, freqs, col_peaks, fd=15.0)
+    assert ctrs == [[(2, 1)], [(2, 3)]]
+
+
+def test_contour_restart_chains_only_into_column_two():
+    """The reference quirk in the other direction: a restart at column
+    index 2 (0-based col 2 == Julia loop i=2)... peaks in cols 1 and 2
+    DO chain because the restart label 1 equals i-1 == 1 at i=2."""
+    p = np.zeros((5, 4))
+    p[2, 1] = 1.0
+    p[2, 2] = 1.0
+    freqs = np.array([0.0, 10.0, 20.0, 30.0, 40.0])
+
+    def col_peaks(col):
+        return np.nonzero(col > 0.5)[0]
+
+    ctrs = K.link_frequency_contours(p, freqs, col_peaks, fd=15.0)
+    assert ctrs == [[(2, 1), (2, 2)]]

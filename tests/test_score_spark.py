@@ -7,6 +7,7 @@ Bit-for-bit is asserted with == on float64 (same numpy kernel code, same
 per-window inputs).
 """
 
+import math
 import numpy as np
 import pandas as pd
 import pytest
@@ -234,3 +235,54 @@ def test_score_auto_dispatch(spark, signals):
     plan2 = auto2._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" in plan2
     assert collect_scores(auto2) == local_expected(signals, [K.PermutationEntropy(3)], 1000, 0)
+
+
+def test_score_auto_zcr_catalyst_twin(spark, signals):
+    """ZCR dispatches to its lag-based Catalyst twin (no Python node) and
+    matches the kernel path exactly; mixes with other algebraic features."""
+    from afspark.operators.score import score_auto
+
+    df = make_samples(spark, signals)
+    for winlen, noverlap in [(1000, 0), (1000, 500)]:
+        auto = score_auto(df, [K.ZeroCrossingRate()], winlen, noverlap, fs=FS)
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "ArrowEvalPython" not in plan
+        got = collect_scores(auto)
+        want = local_expected(signals, [K.ZeroCrossingRate()], winlen, noverlap)
+        assert got == want  # zcr is a count ratio -> exact, not approx
+    # mixed: energy + zcr unions the two Catalyst paths, still no Python
+    mixed = score_auto(df, [K.Energy(), K.ZeroCrossingRate()], 1000, 0, fs=FS)
+    planm = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in planm and "ArrowEvalPython" not in planm
+    gotm = {(r.series_id, r.win_start, r.feature): r.value for r in mixed.collect()}
+    wantm = {
+        (sid, s, name): v
+        for sid, s, name, v in local_expected(
+            signals, [K.Energy(), K.ZeroCrossingRate()], 1000, 0
+        )
+    }
+    assert set(gotm) == set(wantm)
+    for k in wantm:
+        assert gotm[k] == pytest.approx(wantm[k], rel=1e-12)
+
+
+def test_score_auto_duplicate_feature_keys(spark, signals):
+    """Two features sharing a key (different params) must NOT collapse:
+    falls back to the kernel path and emits both (ADVICE r1)."""
+    from afspark.operators.score import score_auto
+
+    feats = [K.SoundPressureLevel(ref=1.0), K.SoundPressureLevel(ref=20e-6)]
+    df = make_samples(spark, {"sine": signals["sine"]})
+    out = score_auto(df, feats, 1000, 0, fs=FS)
+    rows = out.collect()
+    starts = {r.win_start for r in rows}
+    # two values per (series, win_start): ref=1 and ref=20e-6 differ by
+    # a constant 20*log10(1/20e-6) offset
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(r.win_start, []).append(r.value)
+    assert all(len(v) == 2 for v in by_start.values())
+    offset = 20.0 * math.log10(1.0 / 20e-6)
+    for s in starts:
+        lo, hi = sorted(by_start[s])
+        assert hi - lo == pytest.approx(offset, rel=1e-9)
