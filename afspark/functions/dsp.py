@@ -105,8 +105,22 @@ def hilbert_analytic(x: np.ndarray) -> np.ndarray:
 
 
 def envelope(x: np.ndarray) -> np.ndarray:
-    """Hilbert envelope |analytic(x)| (utils.jl:54-56 semantics)."""
-    return np.abs(hilbert_analytic(x))
+    """Hilbert envelope |analytic(x)| (utils.jl:54-56 semantics).
+
+    Scaling note (checked round 2): the reference's envelope wraps
+    SignalAnalysis.jl's ``analytic``, whose documented contract is
+    ENERGY-PRESERVING — "the conversion preserves energy", i.e.
+    rms(analytic(x)) == rms(x) — which means the standard Hilbert
+    analytic signal divided by sqrt(2) (its inverse ``real()``
+    multiplies by sqrt(2); the round trip is exact).  Matched here: a
+    unit-amplitude tone has envelope 1/sqrt(2).  Every reference feature
+    consuming the envelope is scale-invariant (ImpulseStats' auto height
+    is median+k*MAD of the envelope itself; normalize_envelope divides
+    by the envelope sum), so the convention only shows in direct
+    envelope() calls and explicit-height ImpulseStats.  Pinned by
+    tests/test_kernels.py::test_envelope_energy_preserving_convention.
+    """
+    return np.abs(hilbert_analytic(x)) / np.sqrt(2.0)
 
 
 def pow2db(x: np.ndarray | float) -> np.ndarray | float:

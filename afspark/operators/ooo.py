@@ -8,10 +8,17 @@ they touch are re-opened.  Dataflow:
 2. broadcast-semi-join those keys against the store scan so only the
    affected chunk rows are decoded (everything else is untouched on disk),
 3. decoded old points UNION late points -> re-encode those chunks,
-4. dynamic-partition/selective overwrite of just those chunk rows.
+4. dynamic-partition overwrite of ONLY the (chunk_date, bucket)
+   partitions those chunks live in (bucket = hash(series) % n_buckets,
+   the store's write layout) — repair write volume is proportional to
+   touched bucket-days, not whole days.  With Iceberg this would be a
+   MERGE/RewriteFiles commit at file grain; the bucketed dynamic
+   overwrite is the plain-parquet equivalent.
 
 Equivalence contract (tested): merge(store, late) == encode(all points at
-once), bit-for-bit on blobs after decode.
+once), bit-for-bit on blobs after decode; rewrite proportionality is
+asserted by tests/test_chunkstore.py (untouched partition directories
+keep byte-identical files).
 """
 
 from __future__ import annotations
@@ -19,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.chunkstore import decode_chunks, encode_chunks
+from ..sources.chunkstore import (
+    bucket_expr,
+    decode_chunks,
+    encode_chunks,
+    read_store_meta,
+)
 
 
 def chunk_key(ts_col, chunk_seconds: int):
@@ -61,29 +73,36 @@ def merge_out_of_order(
     merged_points = old_points.unionByName(late).dropDuplicates(
         ["series_id", "ts", "value"]
     )
+    meta = read_store_meta(store_path)
+    n_buckets = meta.get("n_buckets")
     repaired = encode_chunks(merged_points, chunk_seconds).withColumn(
         "chunk_date", F.to_date(F.timestamp_seconds(F.col("chunk_start")))
     )
-    # keep untouched chunks + repaired chunks; write staging then swap the
-    # affected partitions.  (With Iceberg this is a MERGE/RewriteFiles
-    # commit; on plain parquet we rewrite affected chunk_date partitions.)
-    untouched_same_dates = (
-        store.withColumn(
+    if n_buckets is None:
+        # legacy layout (partitioned by chunk_date only): rewrite whole
+        # affected dates
+        part_cols = ["chunk_date"]
+        store_p = store.withColumn(
             "chunk_date", F.to_date(F.timestamp_seconds(F.col("chunk_start")))
         )
-        .join(
-            F.broadcast(repaired.select("chunk_date").distinct()),
-            "chunk_date",
-            "left_semi",
+    else:
+        part_cols = ["chunk_date", "bucket"]
+        repaired = repaired.withColumn(
+            "bucket", bucket_expr(F.col("series_id"), n_buckets)
         )
-        .join(F.broadcast(affected), ["series_id", "chunk_start"], "left_anti")
-    )
-    out = untouched_same_dates.select(repaired.columns).unionByName(repaired)
+        store_p = store  # bucketed stores carry chunk_date+bucket columns
+    # keep the untouched chunks that share a partition with a repaired
+    # chunk, plus the repaired chunks; dynamic overwrite swaps ONLY those
+    # partitions — everything else is never read or written.
+    untouched_same_parts = store_p.join(
+        F.broadcast(repaired.select(*part_cols).distinct()), part_cols, "left_semi"
+    ).join(F.broadcast(affected), ["series_id", "chunk_start"], "left_anti")
+    out = untouched_same_parts.select(repaired.columns).unionByName(repaired)
     out = out.cache()
     out.count()  # materialize before overwriting source partitions
     (
         out.write.mode("overwrite")
-        .partitionBy("chunk_date")
+        .partitionBy(*part_cols)
         .option("partitionOverwriteMode", "dynamic")
         .parquet(store_path)
     )

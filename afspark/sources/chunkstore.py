@@ -2,10 +2,20 @@
 
 north_rule layout: rolled-up points are stored per (series_id, chunk_start)
 as two binary blobs (timestamps + values) plus the row count — the classic
-TSDB chunk shape.  Written as parquet partitioned by ``chunk_date`` so a
-time-range query prunes partitions at the scan, and the (series, chunk)
-grain makes out-of-order repair surgical (operators/ooo.py rewrites only
-the chunks a late batch touches, via dynamic partition overwrite).
+TSDB chunk shape.  Written as parquet partitioned by
+``(chunk_date, bucket)`` where bucket = hash(series_id) % n_buckets, so
+
+* a time-range query prunes ``chunk_date`` partitions at the scan, and
+* out-of-order repair is surgical: a late batch dynamic-overwrites only
+  the (date, bucket) partitions its chunks live in — repair write volume
+  is proportional to touched buckets (~1/n_buckets of a day per touched
+  series), not to whole days (operators/ooo.py).  At 100TB raise
+  n_buckets so one bucket-day is a few GB; Iceberg's MERGE INTO /
+  RewriteFiles would replace this with file-grain commits.
+
+``n_buckets`` is recorded in ``_afspark_meta.json`` at the store root
+(underscore-prefixed -> invisible to Spark's file index) so readers and
+the repair path never guess the layout.
 
 Encode/decode are Arrow-batched pandas UDF passes (one Python call per
 group/partition, numpy inside) — no per-row Python.
@@ -122,25 +132,61 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
     return chunks.mapInPandas(decode, "series_id string, ts timestamp, value double")
 
 
+N_BUCKETS_DEFAULT = 16
+
+
+def bucket_expr(series_col, n_buckets: int):
+    """Stable series -> partition bucket (hash-mod, layout contract)."""
+    return F.pmod(F.xxhash64(series_col), F.lit(n_buckets)).cast("int")
+
+
+def write_store_meta(path: str, n_buckets: int, chunk_seconds: int) -> None:
+    import json
+    from pathlib import Path
+
+    Path(path).mkdir(parents=True, exist_ok=True)
+    (Path(path) / "_afspark_meta.json").write_text(
+        json.dumps({"n_buckets": n_buckets, "chunk_seconds": chunk_seconds})
+    )
+
+
+def read_store_meta(path: str) -> dict:
+    import json
+    from pathlib import Path
+
+    p = Path(path) / "_afspark_meta.json"
+    if not p.exists():  # pre-bucketed legacy layout
+        return {"n_buckets": None, "chunk_seconds": None}
+    return json.loads(p.read_text())
+
+
 def write_chunk_store(
-    points: DataFrame, path: str, chunk_seconds: int = 3600, mode: str = "overwrite"
+    points: DataFrame,
+    path: str,
+    chunk_seconds: int = 3600,
+    mode: str = "overwrite",
+    n_buckets: int = N_BUCKETS_DEFAULT,
 ) -> None:
-    """Encode and persist, partitioned by chunk_date for partition pruning."""
+    """Encode and persist, partitioned by (chunk_date, series bucket)."""
     chunks = encode_chunks(points, chunk_seconds)
     (
         chunks.withColumn(
             "chunk_date", F.to_date(F.timestamp_seconds(F.col("chunk_start")))
         )
+        .withColumn("bucket", bucket_expr(F.col("series_id"), n_buckets))
         .write.mode(mode)
-        .partitionBy("chunk_date")
+        .partitionBy("chunk_date", "bucket")
         .parquet(path)
     )
+    write_store_meta(path, n_buckets, chunk_seconds)
 
 
 def read_chunk_store(spark: SparkSession, path: str) -> DataFrame:
     # explicit schema: a fully-expired store (all chunk_date partitions
     # aged out) must read back as EMPTY, not fail schema inference
-    return spark.read.schema(CHUNK_SCHEMA + ", chunk_date date").parquet(path)
+    return spark.read.schema(CHUNK_SCHEMA + ", chunk_date date, bucket int").parquet(
+        path
+    )
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:

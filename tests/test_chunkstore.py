@@ -180,3 +180,52 @@ def test_retention_expiry(spark, points, tmpdir):
     assert kept.count() == expected < before
     # idempotent
     assert expire_chunks(spark, store, "2024-01-10") == 0
+
+
+def test_ooo_merge_rewrite_volume_proportional_to_touched_buckets(
+    spark, points, tmpdir
+):
+    """The bucketed layout contract: a late batch touching one series on
+    one day rewrites ONLY that (chunk_date, bucket) partition directory;
+    every other partition keeps byte-identical files (never read, never
+    written)."""
+    import os
+    from afspark.sources.chunkstore import bucket_expr, read_store_meta
+
+    store = f"{tmpdir}/store"
+    write_chunk_store(points, store, chunk_seconds=86_400, n_buckets=8)
+    assert read_store_meta(store)["n_buckets"] == 8
+
+    def file_map(root):
+        m = {}
+        for dirpath, _dirs, files in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    m.setdefault(rel, set()).add((f, os.path.getsize(p)))
+        return m
+
+    before = file_map(store)
+    one = points.orderBy("series_id", "ts").limit(1).collect()[0]
+    late = spark.createDataFrame(
+        [(one.series_id, one.ts, one.value + 1.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    merge_out_of_order(spark, store, late, chunk_seconds=86_400)
+    after = file_map(store)
+
+    bkt = (
+        spark.createDataFrame([(one.series_id,)], "series_id string")
+        .select(bucket_expr(F.col("series_id"), 8).alias("b"))
+        .first()
+        .b
+    )
+    date = one.ts.strftime("%Y-%m-%d")
+    touched = f"chunk_date={date}/bucket={bkt}"
+    assert touched in before and touched in after
+    changed = {d for d in set(before) | set(after) if before.get(d) != after.get(d)}
+    assert changed == {touched}
+    # and the merged data is still correct
+    merged = as_set(read_points(spark, store))
+    assert (one.series_id, one.ts, one.value + 1.0) in merged

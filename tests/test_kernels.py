@@ -418,3 +418,98 @@ def test_contour_restart_chains_only_into_column_two():
 
     ctrs = K.link_frequency_contours(p, freqs, col_peaks, fd=15.0)
     assert ctrs == [[(2, 1), (2, 2)]]
+
+
+def test_mcculloch_full_tables_at_grid_nodes():
+    """Bilinear interpolator reproduces published table values exactly at
+    the grid nodes (McCulloch 1986 Tables I-III)."""
+    from afspark.functions import alphastable as ast
+
+    # Table I corners/interior
+    assert ast._bilinear(ast._NU_ALPHA, ast._NU_BETA, ast._PSI1, 2.439, 0.0) == 2.0
+    assert ast._bilinear(ast._NU_ALPHA, ast._NU_BETA, ast._PSI1, 25.0, 0.0) == 0.593
+    assert ast._bilinear(ast._NU_ALPHA, ast._NU_BETA, ast._PSI1, 5.0, 1.0) == 0.973
+    assert ast._bilinear(ast._NU_ALPHA, ast._NU_BETA, ast._PSI1, 3.5, 0.5) == 1.337
+    # Table II
+    assert ast._bilinear(ast._NU_ALPHA, ast._NU_BETA, ast._PSI2, 4.0, 0.2) == 0.271
+    # Table III (ascending alpha grid)
+    ag = ast._ALPHA_GRID[::-1]
+    assert ast._bilinear(ag, ast._BETA_GRID, ast._PSI3[::-1], 2.0, 0.0) == 1.908
+    assert ast._bilinear(ag, ast._BETA_GRID, ast._PSI3[::-1], 0.5, 1.0) == 9.144
+    assert ast._bilinear(ag, ast._BETA_GRID, ast._PSI3[::-1], 1.0, 0.5) == 2.311
+
+
+def test_mcculloch_full_fit_recovers_skewed_params():
+    """Full (alpha, beta) recovery on skewed CMS draws — the reference's
+    fit(AlphaStable, x) path; the beta=0-only fit cannot see the skew."""
+    from afspark.functions.alphastable import (
+        fit_alpha_stable_full,
+        rand_alpha_stable,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rand_alpha_stable(rng, alpha=1.5, beta=0.6, scale=2.0, size=200_000)
+    alpha, beta, scale, _loc = fit_alpha_stable_full(x)
+    assert alpha == pytest.approx(1.5, abs=0.1)
+    assert beta == pytest.approx(0.6, abs=0.2)
+    assert scale == pytest.approx(2.0, abs=0.2)
+    # negative skew mirrors
+    xn = rand_alpha_stable(rng, alpha=1.5, beta=-0.6, scale=2.0, size=200_000)
+    _, beta_n, _, _ = fit_alpha_stable_full(xn)
+    assert beta_n == pytest.approx(-0.6, abs=0.2)
+
+
+def test_mcculloch_full_fit_gaussian_endpoint():
+    from afspark.functions.alphastable import fit_alpha_stable_full
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0.0, 3.0, 100_000)
+    alpha, beta, scale, loc = fit_alpha_stable_full(x)
+    assert alpha == pytest.approx(2.0, abs=0.05)
+    assert beta == 0.0
+    # for alpha=2 (Gaussian sigma), stable scale c = sigma/sqrt(2)
+    assert scale == pytest.approx(3.0 / math.sqrt(2.0), abs=0.1)
+    assert loc == pytest.approx(0.0, abs=0.1)
+
+
+def test_myriad_fitted_constant_uses_full_fit_on_skewed_data():
+    """Myriad() with no constant fits AlphaStable (reference utils.jl:34):
+    on skewed data the full fit's alpha differs from the symmetric
+    assumption, and the fitted myriad constant follows the full fit."""
+    from afspark.functions.alphastable import (
+        fit_alpha_stable,
+        fit_alpha_stable_full,
+        fit_symmetric_alpha_stable,
+        rand_alpha_stable,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rand_alpha_stable(rng, alpha=1.3, beta=0.8, scale=1.0, size=100_000)
+    a_full, _, c_full, _ = fit_alpha_stable_full(x)
+    a_sym, _c_sym = fit_symmetric_alpha_stable(x)
+    assert a_full != a_sym  # the skew is visible to the full fit only
+    assert fit_alpha_stable(x) == (a_full, c_full)
+    got = K.Myriad().compute(x[:4096])
+    want = np.sum(np.log(myriad_constant(*fit_alpha_stable(x[:4096])) + x[:4096] ** 2))
+    assert got[0] == want
+
+
+def test_envelope_energy_preserving_convention():
+    """SignalAnalysis.jl's analytic() is documented energy-preserving
+    (rms(analytic(x)) == rms(x)), i.e. the standard Hilbert analytic
+    signal divided by sqrt(2); the reference envelope = abs(analytic(x)).
+    Pin it: a unit tone's envelope is 1/sqrt(2), and energy is preserved
+    (sum(env^2) == sum(x^2) for a zero-mean signal up to the Nyquist-bin
+    residual)."""
+    n = 4096
+    t = np.arange(n) / 1000.0
+    x = np.cos(2 * np.pi * 50.0 * t)
+    env = envelope(x)
+    mid = env[200:-200]  # away from FFT edge effects
+    assert np.allclose(mid, 1.0 / np.sqrt(2.0), atol=2e-2)
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=n)
+    y -= y.mean()
+    # exact only when the DC and Nyquist bins vanish; mean removal
+    # zeroes DC, the Nyquist bin leaves a ~1e-5 relative residual
+    assert np.sum(envelope(y) ** 2) == pytest.approx(np.sum(y * y), rel=1e-3)
