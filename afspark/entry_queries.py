@@ -1061,7 +1061,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     out = minhash_lsh_dedup_pairs(
-        docs, n_hashes=4, bands=2, threshold=0.5, hash_mode="md5"
+        docs, n_hashes=4, bands=2, threshold=0.5, hash_mode="md5",
+        est_margin=None,  # pure LSH -> exact verify, mirrored in SQL
     )
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
 

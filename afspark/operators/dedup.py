@@ -47,9 +47,17 @@ def char_shingles(
 
     Texts shorter than k yield no shingles (sequence(lo, hi) would
     DESCEND for hi < lo — guarded).
+
+    The input is explicitly spread over the cluster before the explode:
+    shingling amplifies bytes ~k x, so input-split sizing (which sees
+    pre-explode bytes) underestimates the CPU downstream — a handful of
+    parquet files would otherwise serialize the whole shingle+minhash
+    stage on a handful of tasks.
     """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
     return (
         docs.filter(F.length(text_col) >= k)
+        .repartition(n_parts)
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("i"),
@@ -76,10 +84,19 @@ def minhash_signatures(
             for i in range(n_hashes)
         ]
     else:
-        aggs = [
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
-            for i in range(n_hashes)
-        ]
+        # Kirsch–Mitzenmacher double hashing: hash each shingle TWICE and
+        # derive the n_hashes functions as h1 + i*h2 — 2 xxhash64 + n
+        # integer ops per shingle instead of n xxhash64 (the n-fold hash
+        # evaluation dominated the minhash stage).  31-bit lanes keep
+        # i*h2 + h1 < 2^36, safe under ANSI overflow checking; 31-bit
+        # minhash collision odds (2^-31 per shingle pair) are standard
+        # for LSH (cf. 32-bit universal hashing in Spark MLlib's
+        # MinHashLSH).
+        h1 = F.shiftrightunsigned(F.xxhash64(F.col("sh")), 33)
+        h2 = F.shiftrightunsigned(F.xxhash64(F.col("sh"), F.lit(1)), 33).bitwiseOR(
+            F.lit(1)
+        )
+        aggs = [F.min(h1 + F.lit(i) * h2).alias(f"_h{i}") for i in range(n_hashes)]
     sig = shingles.groupBy("id").agg(*aggs)
     return sig.select(
         "id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("mh")
@@ -128,9 +145,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    sized = banded.withColumn(
-        "_sz", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
-    ).filter(F.col("_sz") <= max_bucket)
+    # Hot-bucket cap via hash-agg + broadcast anti-join instead of a
+    # count() window: the window forced a sort of the full banded set by
+    # (band, bh); the aggregate is map-side combinable and the hot list
+    # (boilerplate buckets) is tiny, so the cap costs one small shuffle +
+    # a narrow broadcast join.  The signature aggregate's exchange is
+    # reused across both branches (ReusedExchange).
+    hot = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") > max_bucket)
+        .select("band", "bh")
+    )
+    sized = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a = sized.alias("a")
     b = sized.alias("b")
     return (
@@ -150,7 +177,18 @@ def jaccard_verify(
     shingles: DataFrame,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (the LSH contract)."""
+    """Exact n-gram Jaccard on candidate pairs only (the LSH contract).
+
+    Shingles are first semi-join-pruned to docs that appear in a
+    candidate pair — the verify joins then shuffle only the candidate
+    docs' shingles instead of the whole corpus.
+    """
+    ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shingles = shingles.join(F.broadcast(ids), "id", "left_semi")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.select(F.col("id").alias("id_a"), "sh")
     sb = shingles.select(F.col("id").alias("id_b"), "sh")
@@ -182,11 +220,52 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     hash_mode: str = "xxhash64",
+    est_margin: float | None = 0.25,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
-    sh = char_shingles(docs, text_col, id_col, k)
-    sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode)
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
+
+    ``est_margin``: before the exact verify, candidates are pre-filtered
+    by the minhash ESTIMATE of Jaccard (matching-signature fraction,
+    already computed — two cheap joins instead of a shingle-set join),
+    keeping pairs with estimate >= threshold - est_margin.  On
+    boilerplate-heavy corpora LSH bands emit many low-similarity
+    candidates; the estimate kills them before they hit the expensive
+    exact join.  Recall cost is the binomial tail, e.g. a true-0.7 pair
+    with 16 hashes and margin 0.25 survives with P[Bin(16,0.7) >= 8] ~
+    0.98.  ``None`` disables (pure LSH -> exact verify, the oracle twin).
+    """
+    from pyspark import StorageLevel
+
+    # The DAG branches heavily: sh feeds the signature agg AND the exact
+    # verify; sig feeds the banded self-join (2 branches) plus the
+    # estimate pre-filter (2 more); the candidate set feeds the verify
+    # join AND the doc-id pruning broadcast.  Without persist each branch
+    # recomputes the shingle explode + distinct from scratch (measured
+    # ~4x the total work at sf0.1).  MEMORY_AND_DISK spills instead of
+    # OOMing at scale — the standard multi-use intermediate pattern.
+    sh = char_shingles(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidate_pairs(sig, bands, n_hashes=n_hashes, hash_mode=hash_mode)
+    if est_margin is not None:
+        cutoff = threshold - est_margin
+        siga = sig.select(F.col("id").alias("id_a"), F.col("mh").alias("_mha"))
+        sigb = sig.select(F.col("id").alias("id_b"), F.col("mh").alias("_mhb"))
+        est = F.aggregate(
+            F.zip_with("_mha", "_mhb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(n_hashes)
+        cand = (
+            cand.join(siga, "id_a")
+            .join(sigb, "id_b")
+            .filter(est >= cutoff)
+            .select("id_a", "id_b")
+        )
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(cand, sh, threshold)
 
 
