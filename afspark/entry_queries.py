@@ -1107,6 +1107,49 @@ SQL_MINHASH_LSH = f"""
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the deterministic
+    n-gram-Jaccard pair set (same edges as ngram_jaccard_pairs), labels =
+    min doc_id per component.  Oracle: DuckDB recursive CTE computing the
+    min reachable node over the symmetric edge set."""
+    from .operators.dedup import connected_components
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, id_a="doc_a", id_b="doc_b").select(
+        "id", "cluster_id"
+    )
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_SHINGLE_LEN}) AS sh
+      FROM documents,
+           unnest(generate_series(1, length(text) - {_SHINGLE_LEN - 1})) AS t(i)
+      WHERE doc_id % 5 = 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.i*1.0/(sa.sz + sb.sz - i.i) >= 0.1
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), walk(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id
+"""
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """Near-dup pairs by Hamming distance on the portable 16-bit SimHash,
     via the same pigeonhole block-join strategy as the 64-bit scale path
@@ -1293,6 +1336,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FP),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "ivf_recall_check": (q_ivf_recall_check, None),
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
 }

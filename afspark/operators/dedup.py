@@ -412,3 +412,82 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup clusters from a pair list: (id, cluster_id=min id in
+    component) via iterative min-label propagation.
+
+    Each iteration joins labels across symmetric edges and takes the
+    per-node min; converges in O(component diameter) rounds — near-dup
+    graphs are dense local clumps, so diameter is small (2-4).  Every
+    round is one join + one hash agg; labels persist between rounds and
+    the loop exits on a zero-changes check (one lightweight count per
+    round).  For adversarial long-chain graphs at 100TB the alternating
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce") bounds rounds by O(log n); the propagation loop below
+    shares its join shape, so swapping it in is mechanical.
+    """
+    from pyspark import StorageLevel
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        # (a) min over neighbors' labels
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # (b) pointer jumping: label <- label's label; combined with (a)
+        # this converges in O(log n) rounds even on long chains, where
+        # pure neighbor propagation needs O(diameter).
+        new = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+                ),
+                F.col("x.label") == F.col("_pid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("_plabel"), F.col("x.label")).alias("label"),
+            )
+            # localCheckpoint truncates the lineage: the iterative plan
+            # otherwise references the previous round's DataFrame through
+            # two paths and DOUBLES in size every round (optimizer time
+            # explodes after ~10 rounds)
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        stepped.unpersist()
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -67,27 +67,52 @@ def _fake_decode(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     return np.tile(buf, reps)[: h * w].reshape(h, w)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+    """REAL image decode: PIL -> grayscale -> resize.  Import inside the
+    function so only tasks that take this path need the library."""
+    import io
+
+    from PIL import Image
+
+    h, w = out_hw
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L").resize((w, h)), dtype=np.uint8)
+
+
 def decode_media(
     media: DataFrame, out_h: int = 16, out_w: int = 16, fake: bool = False
 ) -> DataFrame:
     """payload -> fixed-size grayscale 'pixels' (array<int>), resized.
 
-    REAL decode requires PIL/libvips/ffmpeg — unavailable here; call with
-    fake=True for the deterministic stub.  Output schema and batching are
-    what a real decoder returns.
+    Decode body is chosen at plan time behind an optional import: when
+    Pillow is installed, fake=False decodes real image bytes
+    (grayscale + resize); in codec-less environments (this container) it
+    raises NotImplementedError, and fake=True substitutes a deterministic
+    byte-derived stub so the Spark-side plumbing (schema, batching,
+    partitioning, UDF signatures) stays real and tested.
     """
-    if not fake:
+    if not fake and not _pil_available():
         raise NotImplementedError(
-            "media decode requires an image/audio codec library not present "
-            "in this environment; pass fake=True for the deterministic stub"
+            "media decode requires Pillow (PIL), not present in this "
+            "environment; pass fake=True for the deterministic stub"
         )
+    body = _fake_decode if fake else _real_decode
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pixels = [
-                _fake_decode(bytes(p) if p is not None else b"", (out_h, out_w))
+                body(bytes(p) if p is not None else b"", (out_h, out_w))
                 .ravel()
                 .astype("int32")
                 .tolist()

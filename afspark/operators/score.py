@@ -34,6 +34,21 @@ from .windows import ChunkSpec, assign_chunks, make_chunk_spec
 RESULT_SCHEMA = "series_id string, win_start long, feature string, value double"
 
 
+def _kernel_partitions(spark) -> int:
+    """Partition count for the CPU-bound kernel shuffle.
+
+    Explicit (not AQE-coalesced: AQE sizes by shuffle BYTES, but this
+    stage is CPU-bound per byte).  The multiplier trades per-task
+    fixed overhead (each task pays a Python-worker/Arrow round-trip
+    handshake; waves = multiplier) against skew smoothing; 8x evens out
+    per-chunk cost variance, tunable via AFSPARK_KERNEL_PART_MULT.
+    """
+    import os
+
+    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "8"))
+    return spark.sparkContext.defaultParallelism * mult
+
+
 _EMPTY_RESULT = pd.DataFrame(
     {"series_id": [], "win_start": [], "feature": [], "value": []}
 ).astype({"series_id": str, "win_start": "int64", "value": "float64"})
@@ -153,9 +168,8 @@ def score(
     # batches within the partition -> tail group carried forward.
     # Partition count is EXPLICIT: AQE coalesces column-only repartitions
     # by shuffle bytes, but this stage is CPU-bound per byte (kernels), so
-    # byte-based coalescing serializes the work; 8x parallelism keeps
-    # tasks small enough to even out per-chunk cost skew.
-    n_parts = samples.sparkSession.sparkContext.defaultParallelism * 8
+    # byte-based coalescing serializes the work (_kernel_partitions).
+    n_parts = _kernel_partitions(samples.sparkSession)
     pre = chunked.repartition(n_parts, "series_id", "chunk").sortWithinPartitions(
         "series_id", "chunk", "seq"
     )
@@ -223,7 +237,7 @@ def score_pages(
     )
     routed = src.withColumn("chunk", F.explode(chunks))
     # explicit count: see score() — kernel stages must not be byte-coalesced
-    n_parts = pages_with_offsets.sparkSession.sparkContext.defaultParallelism * 8
+    n_parts = _kernel_partitions(pages_with_offsets.sparkSession)
     pre = routed.repartition(n_parts, "series_id", "chunk").sortWithinPartitions(
         "series_id", "chunk", "off"
     )

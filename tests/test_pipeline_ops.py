@@ -303,3 +303,56 @@ def test_hot_keys_and_salting(spark):
     assert len(per_salt) > 1  # hot series split across salts
     cold = salted.filter(F.col("series_id") != "d000.example.com")
     assert cold.filter(F.col("salt") != 0).count() == 0
+
+
+def test_decode_media_real_path_gated_on_pil(spark):
+    """fake=False decodes real bytes when Pillow is installed, and raises
+    the documented NotImplementedError when it is not — the plumbing is
+    identical either way."""
+    from afspark.operators.multimodal import _pil_available
+    from afspark.sources.pages import generate_pages
+
+    media = multimodal.media_from_pages(generate_pages(spark, 5))
+    if not _pil_available():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(media).count()
+        pytest.skip("Pillow not installed in this container (stub verified)")
+    # real path: encode a tiny PNG payload and round-trip the decode
+    import io
+
+    import pandas as pd
+    from PIL import Image
+
+    img = Image.fromarray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    real = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "payload": [buf.getvalue()],
+                "meta": [{"mime": "image/png", "width": 8, "height": 8, "duration_ms": 0}],
+            }
+        ),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.decode_media(real, out_h=8, out_w=8).first()
+    assert out.pixels == list(range(64))
+
+
+def test_connected_components_chain_and_clumps(spark):
+    """Min-label + pointer-jumping components: a long chain (worst case
+    for pure neighbor propagation) and two clumps resolve to min-id
+    labels in O(log n) rounds."""
+    chain = [(i, i + 1) for i in range(100, 120)]  # 21-node chain
+    clump = [(1, 2), (2, 3), (1, 3), (7, 9)]
+    pairs = spark.createDataFrame(chain + clump, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(got[i] == 100 for i in range(100, 121))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[9] == 7
+    assert len(got) == 21 + 5
