@@ -125,15 +125,21 @@ def run_level(cpus: int, n_pages: int, executors: int | None = None) -> dict:
         env["AFSPARK_MASTER"] = f"local-cluster[{executors},4,4096]"
     code = CHILD.format(repo=REPO, n_pages=n_pages,
                         reps=int(os.environ.get("AFSPARK_SCALING_REPS", "3")))
-    out = subprocess.run(
-        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=2400,
-    )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not lines:
-        sys.stderr.write(out.stderr[-4000:] + "\n")
-        raise RuntimeError(f"scaling child (cpus={cpus}) produced no JSON")
-    return json.loads(lines[-1])
+    last_err = None
+    for attempt in range(2):  # children are occasionally killed by the host
+        out = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+            timeout=2400,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last_err = (
+            f"rc={out.returncode} stdout_tail={out.stdout[-500:]!r} "
+            f"stderr_tail={out.stderr[-2000:]!r}"
+        )
+        sys.stderr.write(f"scaling child (cpus={cpus}) attempt {attempt}: {last_err}\n")
+    raise RuntimeError(f"scaling child (cpus={cpus}) produced no JSON: {last_err}")
 
 
 def main():
@@ -141,13 +147,38 @@ def main():
     exec_mode = "--exec" in sys.argv
     n_pages = int(args[0]) if args else 400_000
     levels = [int(x) for x in args[1:]] or ([1, 4] if exec_mode else [8, 32])
-    if exec_mode:
-        results = {
-            n * 4: run_level(n * 4, n_pages, executors=n) for n in levels
-        }
-        levels = sorted(results)
-    else:
-        results = {c: run_level(c, n_pages) for c in levels}
+    # Host wall-clock drifts up to ~2x between measurement windows
+    # (shared sandbox).  Run the levels INTERLEAVED for several rounds
+    # and min-merge per level, so both levels sample the same windows —
+    # a single pass can hand one level a degraded window and fabricate
+    # (or destroy) a scaling ratio.  The per-level pool calibration is
+    # the drift detector: super-linear pool ratios mean a bad window.
+    rounds = int(os.environ.get("AFSPARK_SCALING_ROUNDS", "2"))
+
+    def merge(a: dict | None, b: dict) -> dict:
+        if a is None or b["sec"] < a["sec"]:
+            best = dict(b)
+        else:
+            best = dict(a)
+        if a is not None:
+            best["all_secs"] = a["all_secs"] + b["all_secs"]
+            best["pool_kernel_sec"] = min(a["pool_kernel_sec"], b["pool_kernel_sec"])
+            best["pool_points_per_sec"] = max(
+                a["pool_points_per_sec"], b["pool_points_per_sec"]
+            )
+        return best
+
+    results: dict[int, dict | None] = {}
+    for _ in range(rounds):
+        for n in levels:
+            if exec_mode:
+                r = run_level(n * 4, n_pages, executors=n)
+                key = n * 4
+            else:
+                r = run_level(n, n_pages)
+                key = n
+            results[key] = merge(results.get(key), r)
+    levels = sorted(results)
     lo, hi = min(levels), max(levels)
     ratio = results[hi]["points_per_sec"] / results[lo]["points_per_sec"]
     eff = ratio / (hi / lo)
