@@ -51,3 +51,42 @@ def test_stream_rollup_matches_batch(spark, sf_dir, tmpdir):
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
         assert got[k][2:] == want[k][2:]
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmpdir):
+    """applyInPandasWithState exact-dedup: one representative per distinct
+    text across micro-batches; re-deliveries and later duplicates emit
+    nothing (state survives between batches via the checkpoint)."""
+    from afspark.streaming.stream_dedup import run_dedup_stream_to_memory
+
+    schema = "doc_id long, text string"
+    src = f"{tmpdir}/in"
+    ckpt = f"{tmpdir}/ckpt"
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "alpha")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = run_dedup_stream_to_memory(
+        spark, src, schema, ckpt, query_name="t_dedup_stream"
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.doc_id, r.text)
+            for r in spark.sql("select * from t_dedup_stream").collect()
+        }
+        # min-id representative per distinct text of batch 1
+        assert got1 == {(10, "alpha"), (11, "beta")}
+        # batch 2: a re-delivery (alpha), a new text, and a dup of beta
+        b2 = spark.createDataFrame(
+            [(20, "alpha"), (21, "gamma"), (22, "beta")], schema
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = {
+            (r.doc_id, r.text)
+            for r in spark.sql("select * from t_dedup_stream").collect()
+        }
+        assert got2 == {(10, "alpha"), (11, "beta"), (21, "gamma")}
+    finally:
+        q.stop()
