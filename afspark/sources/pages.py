@@ -136,7 +136,7 @@ def read_pages_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("day", "bucket")
 
 
-def with_series_offsets(pages: DataFrame) -> DataFrame:
+def with_series_offsets(pages: DataFrame, broadcast_base: bool = True) -> DataFrame:
     """Add series_id + the 0-based sample offset of each page within its
     series ((warc_ts, url)-ordered concatenation of text bytes).
 
@@ -147,6 +147,11 @@ def with_series_offsets(pages: DataFrame) -> DataFrame:
     series x days — and each bucket adds a base offset from a tiny
     per-bucket aggregate (series-partitioned, but only ~days rows per
     series).  Day buckets respect the (warc_ts, url) global order.
+
+    ``broadcast_base``: the per-(series, day) base table has
+    |domains| x |days| rows — broadcastable for realistic crawl snapshots
+    (10^5-10^6 domains); pass False at extreme series cardinality (10^8+)
+    to use a plain shuffle join on the same keys instead.
     """
     p = pages.withColumn("series_id", url_domain(F.col("url"))).withColumn(
         "_day", F.to_date("warc_ts")
@@ -169,8 +174,9 @@ def with_series_offsets(pages: DataFrame) -> DataFrame:
     bucket_base = bucket_sums.withColumn(
         "_base", F.coalesce(F.sum("_blen").over(prev_buckets), F.lit(0)).cast("long")
     ).select("series_id", "_day", "_base")
+    base = F.broadcast(bucket_base) if broadcast_base else bucket_base
     return (
-        p.join(F.broadcast(bucket_base), ["series_id", "_day"])
+        p.join(base, ["series_id", "_day"])
         .withColumn("sample_offset", (F.col("_base") + F.col("_in_off")).cast("long"))
         .drop("_day", "_in_off", "_base")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from afspark.functions import kernels as K  # noqa: E402
 from afspark.operators.gapfill import gapfill  # noqa: E402
-from afspark.operators.rollup import TIERS, rollup_all_tiers, rollup_points  # noqa: E402
+from afspark.operators.rollup import TIERS, rollup_points, score_pages_to_tiers  # noqa: E402
 from afspark.operators.score import score, score_pages  # noqa: E402
 from afspark.operators.windows import energy_agg, spl_agg, tumbling_agg  # noqa: E402
 from afspark.operators import dedup  # noqa: E402
@@ -91,16 +91,7 @@ def main() -> None:
     offs.count()  # offsets setup untimed (one-time layout metadata)
 
     with timed("q_score_rollup_fused"):
-        scored = score_pages(offs, FEATURES, WINLEN, NOVERLAP, fs=1000.0)
-        # window scores become timestamped points: ts = origin + win_start/fs
-        pts = scored.select(
-            F.concat_ws("|", "series_id", "feature").alias("series_id"),
-            F.timestamp_seconds(
-                F.lit(1_700_000_000) + (F.col("win_start") / 1000.0)
-            ).alias("ts"),
-            "value",
-        )
-        tiers = rollup_all_tiers(pts)
+        tiers = score_pages_to_tiers(offs, FEATURES, WINLEN, NOVERLAP, fs=1000.0)
         n_scores = int(tiers["1m"].agg(F.sum("cnt")).first()[0])
         n_rolled = 0
         for name, df in tiers.items():

@@ -95,3 +95,37 @@ def test_gapfill_multiseries_independent(spark):
     assert got[("a", 1)] == 2.0
     assert got[("b", 10)] == 100.0
     assert len([k for k in got if k[0] == "b"]) == 1
+
+
+def test_score_pages_to_tiers_equals_unfused(spark):
+    """The fused north-star operator == score_pages then rollup_all_tiers."""
+    from pyspark.sql import functions as F
+
+    from afspark.functions import kernels as K
+    from afspark.operators.rollup import rollup_all_tiers, score_pages_to_tiers
+    from afspark.operators.score import score_pages
+    from afspark.sources.pages import generate_pages, with_series_offsets
+
+    offs = with_series_offsets(generate_pages(spark, 300)).persist()
+    feats = [K.Energy(), K.ZeroCrossingRate()]
+    fused = score_pages_to_tiers(offs, feats, 512, 256, fs=1000.0)
+    scored = score_pages(offs, feats, 512, 256, fs=1000.0)
+    pts = scored.select(
+        F.concat_ws("|", "series_id", "feature").alias("series_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("win_start") / 1000.0
+        ).alias("ts"),
+        "value",
+    )
+    want = rollup_all_tiers(pts)
+    for name in ["1m", "1h", "1d", "30d"]:
+        got = {
+            (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max)
+            for r in fused[name].collect()
+        }
+        exp = {
+            (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max)
+            for r in want[name].collect()
+        }
+        assert got == exp
+    offs.unpersist()

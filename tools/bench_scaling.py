@@ -48,8 +48,7 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from afspark.functions import kernels as K
-from afspark.operators.rollup import rollup_all_tiers
-from afspark.operators.score import score_pages
+from afspark.operators.rollup import score_pages_to_tiers
 from afspark.session import get_session
 from afspark.sources.pages import generate_pages, with_series_offsets
 
@@ -75,13 +74,7 @@ def one_rep():
     # FUSED: kernels -> 1m tier in ONE shuffle chain (the production
     # dataflow); coarser tiers re-aggregate the persisted 1m output.
     t0 = time.time()
-    scored = score_pages(offs, feats, 1024, 512, fs=1000.0)
-    pts = scored.select(
-        F.concat_ws("|", "series_id", "feature").alias("series_id"),
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("win_start") / 1000.0).alias("ts"),
-        "value",
-    )
-    tiers = rollup_all_tiers(pts)
+    tiers = score_pages_to_tiers(offs, feats, 1024, 512, fs=1000.0)
     n_scores = tiers["1m"].agg(F.sum("cnt")).first()[0]
     n_rolled = sum(df.count() for df in tiers.values())
     sec = time.time() - t0
