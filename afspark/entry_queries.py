@@ -1107,6 +1107,52 @@ SQL_MINHASH_LSH = f"""
 """
 
 
+def q_asof_latest_event(spark, sf_dir):
+    """As-of join: each 1h rollup bucket of the events series picks the
+    most recent raw reading at-or-before the bucket start.  Oracle:
+    DuckDB's NATIVE ASOF LEFT JOIN vs this engine's union+window
+    composition — two independent as-of implementations."""
+    from .operators.asof import asof_join
+    from .operators.rollup import rollup_points
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    # dedupe equal (series, ts): as-of is ambiguous on ties in any engine
+    r = ev.groupBy("series_id", "ts").agg(F.max("value").alias("value"))
+    left = rollup_points(ev, 3600).select(
+        "series_id", F.col("bucket_ts").alias("ts"), "cnt"
+    )
+    out = asof_join(left, r)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("ts").alias("bucket_epoch"),
+        "cnt",
+        _r(F.col("value_asof")).alias("value_asof"),
+        F.unix_timestamp("ts_asof").alias("asof_epoch"),
+    )
+
+
+SQL_ASOF_LATEST = """
+    WITH pts AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, ts, value FROM events
+    ), r AS (
+      SELECT series_id, ts, max(value) AS value FROM pts GROUP BY 1, 2
+    ), l AS (
+      SELECT series_id, to_timestamp((floor(epoch(ts)/3600)*3600)::BIGINT) AS ts,
+             count(*) AS cnt
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT l.series_id,
+           epoch(l.ts)::BIGINT AS bucket_epoch,
+           l.cnt,
+           floor(r.value*1000000.0 + 0.5)/1000000.0 AS value_asof,
+           floor(epoch(r.ts))::BIGINT AS asof_epoch
+    FROM l ASOF LEFT JOIN r
+      ON l.series_id = r.series_id AND l.ts >= r.ts
+"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the deterministic
     n-gram-Jaccard pair set (same edges as ngram_jaccard_pairs), labels =
@@ -1337,6 +1383,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "asof_latest_event": (q_asof_latest_event, SQL_ASOF_LATEST),
     "ivf_recall_check": (q_ivf_recall_check, None),
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
 }

@@ -1,0 +1,91 @@
+"""As-of join: match each left row to the most recent right row at or
+before its timestamp, per series.
+
+Classic timeseries-engine operator (the reference has no joins at all —
+SURVEY.md §2.6 — but every TSDB pairs rollups/events against the latest
+reading).  Implemented as a UNION + single window pass instead of a
+range join: both sides are tagged and interleaved, sorted by
+(ts, side) within each series partition, and ``last(value,
+ignorenulls)`` carries the right side's columns forward onto left rows.
+
+Scale notes: ONE shuffle on series_id (same key both sides), no
+replication, no range-join quadratic blow-up; the window is a running
+carry, so whole-stage codegen handles it.  Skewed series fall back to
+the same salting machinery as every other per-series op.  Right rows at
+exactly the left timestamp match (inclusive), mirroring DuckDB/kdb
+ASOF semantics — the driver oracle runs DuckDB's native ASOF JOIN
+against this composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """left rows + the most recent right ``value_cols`` at-or-before ts.
+
+    ``tolerance_seconds``: when set, matches older than the tolerance
+    are nulled out (standard as-of tolerance).  Right-side duplicates at
+    the same (series, ts) must be resolved by the caller (e.g. max_by) —
+    as-of is otherwise ambiguous, in any engine.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (series_col, ts_col)]
+    lcols = [c for c in left.columns if c not in (series_col, ts_col)]
+    l_tagged = left.select(
+        series_col,
+        ts_col,
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        series_col,
+        ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at equal ts -> inclusive match
+    w = (
+        W.partitionBy(series_col)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        series_col,
+        ts_col,
+        *lcols,
+        "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in value_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+    ).filter(F.col("_side") == 1)
+
+    def _gate(col: Column) -> Column:
+        if tolerance_seconds is None:
+            return col
+        fresh = (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp("_c_ts")
+        ) <= tolerance_seconds
+        return F.when(fresh, col)
+
+    return carried.select(
+        series_col,
+        ts_col,
+        *lcols,
+        *[_gate(F.col(f"_c_{c}")).alias(f"{c}{suffix}") for c in value_cols],
+        _gate(F.col("_c_ts")).alias(f"ts{suffix}"),
+    )

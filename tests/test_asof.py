@@ -1,0 +1,39 @@
+"""asof_join unit semantics: inclusive match, tolerance, per-series."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from afspark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_planted(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:10"), 1),
+            ("a", _ts("2024-01-01 00:00:20"), 2),  # exactly at a right ts
+            ("a", _ts("2024-01-01 00:00:05"), 3),  # before any right row
+            ("b", _ts("2024-01-01 00:00:15"), 4),  # other series
+        ],
+        "series_id string, ts timestamp, tag int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:08"), 80.0),
+            ("a", _ts("2024-01-01 00:00:20"), 200.0),
+            ("b", _ts("2024-01-01 00:00:01"), 10.0),
+        ],
+        "series_id string, ts timestamp, value double",
+    )
+    got = {r.tag: (r.value_asof, r.ts_asof) for r in asof_join(left, right).collect()}
+    assert got[1] == (80.0, _ts("2024-01-01 00:00:08"))
+    assert got[2] == (200.0, _ts("2024-01-01 00:00:20"))  # inclusive
+    assert got[3] == (None, None)  # nothing at-or-before
+    assert got[4] == (10.0, _ts("2024-01-01 00:00:01"))  # series isolation
+    # tolerance: the 14s-old match for tag=4 dies at tolerance 5s
+    tol = {r.tag: r.value_asof for r in asof_join(left, right, tolerance_seconds=5).collect()}
+    assert tol[1] == 80.0 and tol[2] == 200.0 and tol[4] is None
