@@ -1107,6 +1107,102 @@ SQL_MINHASH_LSH = f"""
 """
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-minute gap):
+    per-session count, bounds, duration, and cents-exact value sum."""
+    from .operators.sessions import sessionize
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    s = sessionize(ev, 1800)
+    return s.groupBy("series_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("value_cents"),
+    )
+
+
+SQL_SESSION_STATS = """
+    WITH pts AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, ts, value FROM events
+    ), flagged AS (
+      SELECT series_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS opener
+      FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(opener) OVER (
+        PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS session_id
+      FROM flagged
+    )
+    SELECT series_id, session_id, count(*) AS n,
+           floor(epoch(min(ts)))::BIGINT AS start_epoch,
+           floor(epoch(max(ts)))::BIGINT AS end_epoch,
+           (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_s,
+           sum(floor(value*100 + 0.5))::BIGINT AS value_cents
+    FROM sess GROUP BY 1, 2
+"""
+
+
+def q_range_join_sessions(spark, sf_dir):
+    """Range join: every event matched to the session interval(s)
+    containing it.  The Spark side uses the bucketed equi-join rewrite
+    (operators/rangejoin.py); DuckDB runs the plain inequality join —
+    two independent range-join implementations."""
+    from .operators.rangejoin import range_join
+    from .operators.sessions import sessionize
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    s = sessionize(ev, 1800)
+    intervals = s.groupBy("series_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    out = range_join(ev, intervals, bucket_seconds=3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        _r(F.col("value")).alias("value"),
+        "session_id",
+    )
+
+
+SQL_RANGE_JOIN_SESSIONS = """
+    WITH pts AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, ts, value FROM events
+    ), flagged AS (
+      SELECT series_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS opener
+      FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(opener) OVER (
+        PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS session_id
+      FROM flagged
+    ), intervals AS (
+      SELECT series_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT p.series_id,
+           floor(epoch(p.ts))::BIGINT AS ts_epoch,
+           floor(p.value*1000000.0 + 0.5)/1000000.0 AS value,
+           i.session_id
+    FROM pts p JOIN intervals i
+      ON p.series_id = i.series_id
+     AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+"""
+
+
 def q_asof_latest_event(spark, sf_dir):
     """As-of join: each 1h rollup bucket of the events series picks the
     most recent raw reading at-or-before the bucket start.  Oracle:
@@ -1384,6 +1480,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "asof_latest_event": (q_asof_latest_event, SQL_ASOF_LATEST),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "range_join_sessions": (q_range_join_sessions, SQL_RANGE_JOIN_SESSIONS),
     "ivf_recall_check": (q_ivf_recall_check, None),
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
 }
