@@ -1107,6 +1107,52 @@ SQL_MINHASH_LSH = f"""
 """
 
 
+def _md5_head32_sql(expr: str) -> str:
+    """DuckDB: first 8 hex digits of md5(expr) as a BIGINT (== Spark's
+    conv(substring(md5(..),1,8),16,10))."""
+    digits = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f"*{16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(digits) + ")"
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Stable 20% corpus sample by ID hash (pure function of doc_id —
+    identical row set on every run, engine, and partitioning)."""
+    from .operators.text import deterministic_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 20).select("doc_id", "lang", "source")
+
+
+SQL_DET_SAMPLE = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_md5_head32_sql("'afspark:' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    """Global top-50 vocabulary terms by document frequency."""
+    from .operators.text import top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_terms(docs, k=50)
+
+
+SQL_TOP_TERMS = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS doc_freq
+    FROM toks WHERE length(term) >= 3
+    GROUP BY 1 ORDER BY doc_freq DESC, term LIMIT 50
+"""
+
+
 def q_session_stats(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-minute gap):
     per-session count, bounds, duration, and cents-exact value sum."""
@@ -1482,6 +1528,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_latest_event": (q_asof_latest_event, SQL_ASOF_LATEST),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "range_join_sessions": (q_range_join_sessions, SQL_RANGE_JOIN_SESSIONS),
+    "deterministic_sample": (q_deterministic_sample, SQL_DET_SAMPLE),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "ivf_recall_check": (q_ivf_recall_check, None),
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
 }

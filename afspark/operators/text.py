@@ -159,3 +159,52 @@ def rolling_hash_fingerprints(
         return fps.filter(F.pmod(sel, F.lit(keep_every)) == 0)
     fps = win.select("id", F.col("i").alias("pos"), F.xxhash64(window_str).alias("fp"))
     return fps.filter(F.pmod(F.col("fp"), F.lit(keep_every)) == 0)
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    pct: int,
+    id_col: str = "doc_id",
+    salt: str = "afspark",
+) -> DataFrame:
+    """Keep ~pct% of rows by ID hash — the web-pipeline sampling idiom.
+
+    Unlike ``df.sample`` (RNG per partition, changes under repartition
+    or re-runs), hash-mod sampling is a pure function of the row ID:
+    stable across runs, machines, and engines, and subset-monotone
+    (pct=5 output is a subset of pct=10).  Uses md5 so the DuckDB oracle
+    reproduces the exact row set.
+    """
+    if not 0 <= pct <= 100:
+        raise ValueError("pct must be in [0, 100]")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return docs.filter(F.pmod(h, F.lit(100)) < pct)
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    min_len: int = 3,
+) -> DataFrame:
+    """Global top-k terms by document frequency (corpus vocabulary scan).
+
+    One explode + distinct-per-doc + map-side-combinable count; the
+    top-k is a total order on (df desc, term asc) — deterministic ties.
+    At 100TB the count is the standard word-count shuffle; the final
+    top-k reduces through TakeOrderedAndProject (no full sort).
+    """
+    toks = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+        .distinct()
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return counts.orderBy(F.col("doc_freq").desc(), F.col("term")).limit(k)

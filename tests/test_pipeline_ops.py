@@ -356,3 +356,36 @@ def test_connected_components_chain_and_clumps(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == got[9] == 7
     assert len(got) == 21 + 5
+
+
+def test_deterministic_sample_stable_and_monotone(spark, docs):
+    base = docs.select("doc_id")
+    s10 = {r.doc_id for r in text.deterministic_sample(base, 10).collect()}
+    s20 = {r.doc_id for r in text.deterministic_sample(base, 20).collect()}
+    # stable under repartitioning / re-runs
+    again = {
+        r.doc_id
+        for r in text.deterministic_sample(base.repartition(13), 10).collect()
+    }
+    assert s10 == again
+    # subset-monotone and roughly proportional
+    assert s10 <= s20
+    n = base.count()
+    assert abs(len(s20) / n - 0.2) < 0.08
+    assert text.deterministic_sample(base, 0).count() == 0
+    assert text.deterministic_sample(base, 100).count() == n
+
+
+def test_top_terms_deterministic_ranking(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "banana date cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.term, r.doc_freq) for r in text.top_terms(d, k=3).collect()]
+    # doc frequency (not term frequency): apple appears twice in doc 1
+    # but counts once; ties broken by term ascending
+    assert got == [("banana", 3), ("cherry", 2), ("apple", 1)]
