@@ -1188,7 +1188,7 @@ SQL_SESSION_STATS = """
       ) AS session_id
       FROM flagged
     )
-    SELECT series_id, session_id, count(*) AS n,
+    SELECT series_id, session_id::BIGINT AS session_id, count(*) AS n,
            floor(epoch(min(ts)))::BIGINT AS start_epoch,
            floor(epoch(max(ts)))::BIGINT AS end_epoch,
            (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_s,
@@ -1242,7 +1242,7 @@ SQL_RANGE_JOIN_SESSIONS = """
     SELECT p.series_id,
            floor(epoch(p.ts))::BIGINT AS ts_epoch,
            floor(p.value*1000000.0 + 0.5)/1000000.0 AS value,
-           i.session_id
+           i.session_id::BIGINT AS session_id
     FROM pts p JOIN intervals i
       ON p.series_id = i.series_id
      AND p.ts >= i.start_ts AND p.ts <= i.end_ts

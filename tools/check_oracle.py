@@ -52,9 +52,17 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"rowcount {len(a)} != {len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            av = av.astype("float64")
-            bv = bv.astype("float64")
+        # Dtype-strict: never silently coerce int<->float.  DuckDB returns
+        # HUGEINT (e.g. un-cast window sums) as float64, which the driver's
+        # value-hash treats as a mismatch against Spark's int64 — so must we.
+        ak = "i" if av.dtype.kind in "iu" else av.dtype.kind
+        bk = "i" if bv.dtype.kind in "iu" else bv.dtype.kind
+        if ak != bk:
+            return False, (
+                f"col {c} dtype kind mismatch: spark={av.dtype} duck={bv.dtype}"
+                " (cast the oracle SQL, e.g. ::BIGINT, to match)"
+            )
+        if ak == "f":
             ok = (av == bv) | (np.isnan(av) & np.isnan(bv))
         else:
             ok = av == bv
