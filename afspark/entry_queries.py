@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .entry_goldens import GOLDEN_SQL
 from .functions import kernels as K
 from .operators.gapfill import gapfill
 from .operators.rollup import TIERS, rollup_points, rollup_tier
@@ -820,9 +821,45 @@ SQL_NEARDUP_PAIRS = """
 
 
 # ---------------------------------------------------------------------------
-# kernel-path queries (not SQL-expressible -> rows-only driver check;
-# bit-exactness vs local numpy is covered by tests/test_score_spark.py)
+# kernel-path queries.  DuckDB has no FFT/ordinal kernels, so the oracle is
+# a VALUES-literal golden generated by the LOCAL NUMPY TWIN (functions/
+# kernels.py:score_local) over the same sf0.01 parquet — two independent
+# implementations (distributed Arrow path vs single-process numpy) routed
+# through the driver's hash gate.  Regenerate with tools/gen_goldens.py.
 # ---------------------------------------------------------------------------
+
+
+def _kernel_checksum(out: DataFrame, keys: list) -> DataFrame:
+    """Deterministic order-independent checksum of a score() result.
+
+    All sums are over INTEGER micro-units (floor(v*1e6+0.5) as BIGINT),
+    which makes them exact and summation-order independent — float sums
+    would depend on partition order.  ``pos_check`` binds values to their
+    (win_start) position so a permutation of equal multisets across
+    windows cannot cancel out.  Non-finite values (NaN kernels on
+    degenerate windows, -inf from log(0)) are counted in ``n_bad`` and
+    excluded from the integer aggregates on both sides.
+    """
+    v = F.col("value")
+    # NaN kernels arrive as NULL through the Arrow boundary (pandas uses
+    # NaN as the null sentinel for float64) — coalesce(…, True) folds
+    # NULL, NaN and ±inf into one "bad" bucket, matching np.isfinite.
+    bad = F.coalesce(
+        F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(True)
+    )
+    micros = F.floor(v * 1e6 + F.lit(0.5)).cast("long")
+    good = F.when(~bad, micros)
+    return out.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(bad.cast("long")).alias("n_bad"),
+        F.coalesce(F.sum(good), F.lit(0).cast("long")).alias("sum_micros"),
+        F.coalesce(F.min(good), F.lit(0).cast("long")).alias("min_micros"),
+        F.coalesce(F.max(good), F.lit(0).cast("long")).alias("max_micros"),
+        F.coalesce(
+            F.sum(F.when(~bad, F.col("win_start") * F.pmod(micros, F.lit(1009)))),
+            F.lit(0).cast("long"),
+        ).alias("pos_check"),
+    )
 
 def _doc_samples_for_kernels(spark, sf_dir):
     """documents -> per-source sample series (source ≙ channel)."""
@@ -865,29 +902,30 @@ def q_score_kernels_docs(spark, sf_dir):
         K.ZeroCrossingRate(),
     ]
     out = score(samples, feats, winlen=256, noverlap=128, fs=1000.0)
-    return out.select("series_id", "win_start", "feature", _r(F.col("value")).alias("value"))
+    return _kernel_checksum(out, ["series_id", "feature"])
 
 
 def q_score_psd_docs(spark, sf_dir):
     samples = _doc_samples_for_kernels(spark, sf_dir)
     out = score(samples, K.PSD(64, 32, 1000.0), winlen=512, noverlap=0, fs=1000.0)
-    return out.select("series_id", "win_start", "feature", _r(F.col("value")).alias("value"))
+    return _kernel_checksum(out, ["feature"])
 
 
 def q_score_impulse_sas_events(spark, sf_dir):
     samples = events_samples(spark, sf_dir)
     feats = [K.ImpulseStats(3.0, 0.004), K.SymmetricAlphaStableStats(), K.Myriad()]
     out = score(samples, feats, winlen=32, noverlap=0, fs=1000.0)
-    return out.select(
-        "series_id", "win_start", "feature", _r(F.col("value")).alias("value")
-    ).filter(~F.isnan("value"))
+    out = out.withColumn(
+        "sbucket", F.pmod(F.col("series_id").cast("long"), F.lit(8))
+    )
+    return _kernel_checksum(out, ["feature", "sbucket"])
 
 
 def q_score_freq_contours_docs(spark, sf_dir):
     samples = _doc_samples_for_kernels(spark, sf_dir)
     f = K.FrequencyContours(64, 32, None, 100.0, 95.0, 100.0, 0.01)
     out = score(samples, f, winlen=1024, noverlap=0, fs=1000.0)
-    return out.select("series_id", "win_start", "feature", _r(F.col("value")).alias("value"))
+    return _kernel_checksum(out, ["series_id", "feature"])
 
 
 # ---------------------------------------------------------------------------
@@ -1412,7 +1450,10 @@ def q_ivf_recall_check(spark, sf_dir):
     from .operators.similarity import assign_cells, brute_force_topk, ivf_topk, train_codebook
 
     emb = _read(spark, sf_dir, "embeddings")
-    cb = train_codebook(emb, n_cells=8, sample=500)
+    # orderBy before the bounded sample: limit() on a bare scan follows
+    # partition order, which is not contractual — the golden oracle needs
+    # a fully deterministic codebook.
+    cb = train_codebook(emb.orderBy("vec_id"), n_cells=8, sample=500)
     cells = assign_cells(emb, cb)
     # deterministic query subset — a bare limit() varies with partitioning
     qpdf = emb.orderBy("vec_id").limit(5).toPandas()
@@ -1516,11 +1557,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKENS),
     "quality_filter_dedup": (q_quality_filter_dedup, SQL_QUALITY_FILTER_DEDUP),
     "stopword_langid": (q_stopword_langid, SQL_STOPWORD_LANGID),
-    # kernel path — rows-only driver check, bit-exact vs numpy in pytest
-    "score_kernels_docs": (q_score_kernels_docs, None),
-    "score_psd_docs": (q_score_psd_docs, None),
-    "score_impulse_sas_events": (q_score_impulse_sas_events, None),
-    "score_freq_contours_docs": (q_score_freq_contours_docs, None),
+    # kernel path — VALUES-literal goldens generated by the local numpy
+    # twin at sf0.01 (tools/gen_goldens.py): distributed Arrow chunk
+    # assembly vs single-process stride views through the driver's gate
+    "score_kernels_docs": (q_score_kernels_docs, GOLDEN_SQL["score_kernels_docs"]),
+    "score_psd_docs": (q_score_psd_docs, GOLDEN_SQL["score_psd_docs"]),
+    "score_impulse_sas_events": (
+        q_score_impulse_sas_events,
+        GOLDEN_SQL["score_impulse_sas_events"],
+    ),
+    "score_freq_contours_docs": (
+        q_score_freq_contours_docs,
+        GOLDEN_SQL["score_freq_contours_docs"],
+    ),
     "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FP),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
@@ -1530,7 +1579,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "range_join_sessions": (q_range_join_sessions, SQL_RANGE_JOIN_SESSIONS),
     "deterministic_sample": (q_deterministic_sample, SQL_DET_SAMPLE),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
-    "ivf_recall_check": (q_ivf_recall_check, None),
+    "ivf_recall_check": (q_ivf_recall_check, GOLDEN_SQL["ivf_recall_check"]),
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
 }
 

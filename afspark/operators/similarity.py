@@ -31,6 +31,55 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over (qid, cid, cos_sim) WITHOUT a full-corpus
+    window.
+
+    A plain ``row_number() OVER (PARTITION BY qid)`` shuffles every scored
+    corpus row for a query into ONE task — a straggler/OOM by design at
+    scale.  Instead:
+
+      phase 1 (narrow, no shuffle): one Arrow pass per input partition
+        keeps a running top-k per qid across batches -> at most
+        k * n_partitions survivor rows;
+      phase 2: the usual rank window over ONLY those survivors (tiny).
+
+    Tie order matches the window form: cos_sim DESC, cid ASC.  NaN
+    cos_sim (zero-norm vectors) sorts FIRST to mirror Spark's
+    NaN-greatest double ordering.
+    """
+    fields = scored.schema
+    cid_dtype = fields["cid"].dataType.simpleString()
+    qid_dtype = fields["qid"].dataType.simpleString()
+    out_schema = f"qid {qid_dtype}, cid {cid_dtype}, cos_sim double"
+
+    def _compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["cos_sim"].to_numpy(np.float64)
+        # Spark orders NaN as the greatest double; pandas sorts NaN last.
+        pdf = pdf.assign(_key=np.where(np.isnan(key), np.inf, key))
+        pdf = pdf.sort_values(["qid", "_key", "cid"], ascending=[True, False, True])
+        return pdf.groupby("qid", sort=False).head(k).drop(columns="_key")
+
+    def local_topk(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand = _compact(pdf)
+            best = cand if best is None else _compact(pd.concat([best, cand]))
+        if best is not None:
+            yield best
+
+    survivors = scored.mapInPandas(local_topk, out_schema)
+    ranked = survivors.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,7 +89,10 @@ def brute_force_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
 ) -> DataFrame:
-    """Exact cosine top-k per query.  Queries are broadcast (small side)."""
+    """Exact cosine top-k per query.  Queries are broadcast (small side);
+    the corpus is scanned once, scores stay narrow, and the per-query
+    top-k is the two-phase local-then-merge reduction (_topk_per_query) —
+    no full-corpus shuffle, no single-partition-per-query window."""
     c = corpus.select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     )
@@ -49,13 +101,8 @@ def brute_force_topk(
     )
     pairs = c.crossJoin(F.broadcast(q))
     cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
-    ranked = pairs.select("qid", "cid", cos.alias("cos_sim")).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k)
+    scored = pairs.select("qid", "cid", cos.alias("cos_sim"))
+    return _topk_per_query(scored, k)
 
 
 def train_codebook(
@@ -125,15 +172,27 @@ def ivf_topk(
     n_probe: int = 4,
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: probe only the n_probe nearest cells per query.
 
     corpus_cells: output of assign_cells (persisted/partitioned by cell
     at scale -> the cell filter becomes partition pruning).
+
+    The query set is collected to the driver to compute probe cells
+    against the (tiny) codebook — guarded by ``max_driver_queries`` so a
+    corpus-sized DataFrame passed by mistake fails fast instead of
+    OOMing the driver.
     """
-    qpdf = queries.select(
+    qsel = queries.select(
         F.col(query_id_col).alias("qid"), _as_double(query_vec_col).alias("qv")
-    ).toPandas()
+    )
+    qpdf = qsel.limit(max_driver_queries + 1).toPandas()
+    if len(qpdf) > max_driver_queries:
+        raise ValueError(
+            f"ivf_topk collects queries to the driver; got > {max_driver_queries} "
+            "rows — pass a bounded query set or raise max_driver_queries"
+        )
     cb = codebook.astype(np.float64)
     probes = []
     for r in qpdf.itertuples(index=False):
@@ -145,10 +204,5 @@ def ivf_topk(
     qcells = spark.createDataFrame(probes, "qid long, qv array<double>, cell int")
     joined = corpus_cells.join(F.broadcast(qcells), "cell")
     cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
-    ranked = joined.select("qid", F.col("id").alias("cid"), cos.alias("cos_sim")).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k)
+    scored = joined.select("qid", F.col("id").alias("cid"), cos.alias("cos_sim"))
+    return _topk_per_query(scored, k)

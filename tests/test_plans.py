@@ -50,3 +50,35 @@ def test_kernel_stage_partitions_explicit_not_aqe_coalesced(spark, sf_dir):
 
     mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "8"))
     assert n == spark.sparkContext.defaultParallelism * mult
+
+
+def test_brute_force_topk_no_full_corpus_window(spark, sf_dir):
+    """The per-query rank window must run over the tiny mapInPandas
+    survivor set, never over the full scored corpus — a window keyed
+    only by qid over all scores is a single-task straggler at scale."""
+    import pandas as pd
+
+    from afspark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qpdf = emb.orderBy("vec_id").limit(3).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": qpdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in qpdf["embedding"]],
+            }
+        )
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    plan = _plan(out)
+    # phase-1 local top-k is present...
+    assert "MapInPandas" in plan
+    # ...and the (single) rank window sits ABOVE it in the plan tree:
+    # the window's child chain must contain the MapInPandas node, i.e.
+    # the window consumes survivors, not raw scores.
+    win_at = plan.index("Window")
+    map_at = plan.index("MapInPandas")
+    assert map_at > win_at, "window must be downstream of local top-k"
+    # the raw-score side (below MapInPandas) must contain no Window node
+    assert "Window" not in plan[map_at:]

@@ -1,0 +1,241 @@
+"""Generate VALUES-literal golden oracles for the kernel-path queries.
+
+DuckDB has no FFT/ordinal/stable-fit kernels, so those queries cannot
+have a hand-written SQL twin.  Instead this script computes the SAME
+checksum aggregates with the LOCAL NUMPY TWIN (functions/kernels.py:
+score_local — the single-process golden path the distributed operator is
+bit-exact against) over the sf0.01 parquet, and emits them as VALUES
+literals into afspark/entry_goldens.py.  The driver then runs the Spark
+query and the golden SQL side-by-side: two independent execution paths
+(distributed Arrow chunk assembly vs single-process stride views)
+through the driver's hash gate.
+
+Run:  python tools/gen_goldens.py [sf_dir]     (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from afspark.functions import kernels as K
+from afspark.functions.kernels import score_local
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+SF_NAME = os.path.basename(SF_DIR.rstrip("/"))
+
+
+# ---------------------------------------------------------------------------
+# sample-series twins (mirror entry_queries._doc_samples_for_kernels and
+# entry_queries.events_samples, re-derived in pandas)
+# ---------------------------------------------------------------------------
+
+def doc_series():
+    d = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    for src, g in d.sort_values("doc_id").groupby("source"):
+        s = "".join(g["text"])
+        x = (np.array([ord(c) for c in s], dtype=np.float64) - 127.5) / 127.5
+        yield str(src), x
+
+
+def event_series():
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    for uid, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        yield str(uid), g["value"].to_numpy(np.float64)
+
+
+def score_rows(series_iter, feats, winlen, noverlap, fs):
+    """Long rows (series_id, win_start, feature, value) via the numpy twin."""
+    rows = []
+    for sid, x in series_iter:
+        if len(x) < winlen:
+            continue  # short series emit no windows (reference :876)
+        for f in feats:
+            starts, names, vals = score_local(
+                f, x, fs=fs, winlen=winlen, noverlap=noverlap
+            )
+            for j, name in enumerate(names):
+                for i, st in enumerate(starts):
+                    rows.append((sid, int(st), name, float(vals[i, j])))
+    return pd.DataFrame(rows, columns=["series_id", "win_start", "feature", "value"])
+
+
+# ---------------------------------------------------------------------------
+# checksum twin (mirror entry_queries._kernel_checksum)
+# ---------------------------------------------------------------------------
+
+def checksum(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    v = df["value"].to_numpy(np.float64)
+    bad = ~np.isfinite(v)
+    micros = np.zeros(len(v), dtype=np.int64)
+    micros[~bad] = np.floor(v[~bad] * 1e6 + 0.5).astype(np.int64)
+    ws = df["win_start"].to_numpy(np.int64)
+    work = df[keys].copy()
+    work["_bad"] = bad
+    work["_micros"] = np.where(bad, 0, micros)
+    work["_pos"] = np.where(bad, 0, ws * (micros % 1009))
+    out = []
+    for kv, g in work.groupby(keys, sort=True):
+        if not isinstance(kv, tuple):
+            kv = (kv,)
+        good = g.loc[~g["_bad"], "_micros"]
+        out.append(
+            (*kv,
+             len(g),
+             int(g["_bad"].sum()),
+             int(good.sum()) if len(good) else 0,
+             int(good.min()) if len(good) else 0,
+             int(good.max()) if len(good) else 0,
+             int(g.loc[~g["_bad"], "_pos"].sum()) if len(good) else 0)
+        )
+    cols = keys + ["cnt", "n_bad", "sum_micros", "min_micros", "max_micros", "pos_check"]
+    return pd.DataFrame(out, columns=cols)
+
+
+def values_sql(df: pd.DataFrame, str_cols: set[str]) -> str:
+    """Render a checksum frame as a DuckDB VALUES query with BIGINT casts."""
+    def lit(c, x):
+        if c in str_cols:
+            return "'" + str(x).replace("'", "''") + "'"
+        return str(int(x))
+
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(c, r[c]) for c in df.columns) + ")"
+        for _, r in df.iterrows()
+    )
+    sel = ", ".join(
+        (c if c in str_cols else f"{c}::BIGINT AS {c}") for c in df.columns
+    )
+    cols = ", ".join(df.columns)
+    return f"\n    SELECT {sel}\n    FROM (VALUES\n      {rows}\n    ) t({cols})\n"
+
+
+# ---------------------------------------------------------------------------
+# the four kernel-path queries
+# ---------------------------------------------------------------------------
+
+def golden_kernels_docs():
+    feats = [
+        K.PermutationEntropy(4),
+        K.SpectralCentroid(),
+        K.SpectralFlatness(),
+        K.Entropy(64, 32),
+        K.StatisticalComplexity(3),
+        K.ZeroCrossingRate(),
+    ]
+    df = score_rows(doc_series(), feats, 256, 128, 1000.0)
+    return values_sql(checksum(df, ["series_id", "feature"]), {"series_id", "feature"})
+
+
+def golden_psd_docs():
+    df = score_rows(doc_series(), [K.PSD(64, 32, 1000.0)], 512, 0, 1000.0)
+    return values_sql(checksum(df, ["feature"]), {"feature"})
+
+
+def golden_impulse_sas_events():
+    feats = [K.ImpulseStats(3.0, 0.004), K.SymmetricAlphaStableStats(), K.Myriad()]
+    df = score_rows(event_series(), feats, 32, 0, 1000.0)
+    df["sbucket"] = df["series_id"].astype(np.int64) % 8
+    return values_sql(checksum(df, ["feature", "sbucket"]), {"feature"})
+
+
+def golden_freq_contours_docs():
+    f = K.FrequencyContours(64, 32, None, 100.0, 95.0, 100.0, 0.01)
+    df = score_rows(doc_series(), [f], 1024, 0, 1000.0)
+    return values_sql(checksum(df, ["series_id", "feature"]), {"series_id", "feature"})
+
+
+# ---------------------------------------------------------------------------
+# IVF recall golden: full numpy re-implementation of the exact + IVF paths
+# with LEFT-FOLD dot products (bit-exact with Spark's F.aggregate fold)
+# ---------------------------------------------------------------------------
+
+def lf_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def golden_ivf_recall():
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    ids = e["vec_id"].to_numpy(np.int64)
+    X = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+
+    # codebook: kmeans-lite, seed 42, first 500 vectors by vec_id
+    # (mirrors operators/similarity.py:train_codebook)
+    S = X[:500]
+    rng = np.random.default_rng(42)
+    cents = S[rng.choice(len(S), size=min(8, len(S)), replace=False)]
+    for _ in range(8):
+        d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = S[m].mean(axis=0)
+
+    cell = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    qidx = np.argsort(ids, kind="stable")[:5]
+    rows = []
+    for qi in qidx:
+        qv = X[qi]
+        qn = math.sqrt(lf_dot(qv, qv))
+        cos = np.array(
+            [lf_dot(X[ci], qv) / (math.sqrt(lf_dot(X[ci], X[ci])) * qn)
+             for ci in range(len(X))]
+        )
+        order = sorted(range(len(X)), key=lambda i: (-cos[i], ids[i]))
+        exact5 = {int(ids[i]) for i in order[:5]}
+        d2q = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        probed = set(np.argsort(d2q)[:4])
+        cand = [i for i in range(len(X)) if cell[i] in probed]
+        corder = sorted(cand, key=lambda i: (-cos[i], ids[i]))
+        approx5 = {int(ids[i]) for i in corder[:5]}
+        rows.append((int(ids[qi]), 5, len(exact5 & approx5)))
+
+    df = pd.DataFrame(rows, columns=["qid", "k", "hits"])
+    return values_sql(df, set())
+
+
+def main():
+    goldens = {
+        "score_kernels_docs": golden_kernels_docs(),
+        "score_psd_docs": golden_psd_docs(),
+        "score_impulse_sas_events": golden_impulse_sas_events(),
+        "score_freq_contours_docs": golden_freq_contours_docs(),
+        "ivf_recall_check": golden_ivf_recall(),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "afspark", "entry_goldens.py",
+    )
+    with open(path, "w") as f:
+        f.write('"""GENERATED by tools/gen_goldens.py — do not edit by hand.\n\n')
+        f.write(f"VALUES-literal golden oracles computed by the local numpy twin\n")
+        f.write(f"(functions/kernels.py:score_local) over {SF_DIR}.  Valid ONLY for\n")
+        f.write(f"that scale factor; the driver's correctness gate runs at sf0.01.\n")
+        f.write('"""\n\n')
+        f.write(f'GOLDEN_SF = "{SF_NAME}"\n\n')
+        f.write("GOLDEN_SQL = {\n")
+        for name, sql in goldens.items():
+            f.write(f'    "{name}": """{sql}""",\n')
+        f.write("}\n")
+    for name, sql in goldens.items():
+        print(f"{name}: {sql.count(chr(10)) - 4} golden rows")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
