@@ -40,6 +40,75 @@ def chunk_key(ts_col, chunk_seconds: int):
     )
 
 
+# Above this many touched partition keys the repair falls back to an
+# unpruned scan: the OR-of-equalities predicate would bloat the plan, and
+# a late batch touching that many bucket-days is a backfill, not a repair.
+MAX_PRUNE_KEYS = 10_000
+# Above this many keys the predicate degrades from exact OR-of-ANDs to
+# the isin×isin superset (still pruned, slightly over-selected).
+MAX_EXACT_KEYS = 1_024
+
+
+def pruned_store_scan(
+    spark: SparkSession,
+    store_path: str,
+    affected: DataFrame,
+    n_buckets: int | None,
+) -> DataFrame:
+    """Store scan restricted to the partitions a late batch can touch.
+
+    The locating semi-join keys (series_id, chunk_start) are NOT the
+    store's partition columns, so the join alone reads every chunk row in
+    the store (column-pruned but not partition-pruned).  Deriving the
+    (chunk_date, bucket) predicate from the late batch FIRST turns the
+    locating read into a partition-pruned scan — repair read volume
+    becomes proportional to touched bucket-days, matching the write side.
+    """
+    store = spark.read.parquet(store_path)
+    if n_buckets is not None:
+        keys = (
+            affected.select(
+                F.to_date(F.timestamp_seconds("chunk_start")).alias("chunk_date"),
+                bucket_expr(F.col("series_id"), n_buckets).alias("bucket"),
+            )
+            .distinct()
+            .limit(MAX_PRUNE_KEYS + 1)
+            .collect()
+        )
+        if len(keys) > MAX_PRUNE_KEYS:
+            return store  # backfill-sized batch: pruning predicate not worth it
+        if len(keys) <= MAX_EXACT_KEYS:
+            pred = F.lit(False)
+            for r in keys:
+                pred = pred | (
+                    (F.col("chunk_date") == F.lit(r.chunk_date))
+                    & (F.col("bucket") == F.lit(r.bucket))
+                )
+        else:
+            pred = F.col("chunk_date").isin([r.chunk_date for r in keys]) & F.col(
+                "bucket"
+            ).isin([r.bucket for r in keys])
+        return store.filter(pred)
+    # legacy layout: prune on chunk_date if the store carries it as a
+    # partition column, else push a min/max-stats filter on chunk_start
+    dates = [
+        r.d
+        for r in affected.select(
+            F.to_date(F.timestamp_seconds("chunk_start")).alias("d")
+        )
+        .distinct()
+        .limit(MAX_PRUNE_KEYS + 1)
+        .collect()
+    ]
+    if len(dates) > MAX_PRUNE_KEYS:
+        return store
+    if "chunk_date" in store.columns:
+        return store.filter(F.col("chunk_date").isin(dates))
+    return store.filter(
+        F.to_date(F.timestamp_seconds("chunk_start")).isin(dates)
+    )
+
+
 def merge_out_of_order(
     spark: SparkSession,
     store_path: str,
@@ -64,8 +133,11 @@ def merge_out_of_order(
         )
         .distinct()
     )
-    store = spark.read.parquet(store_path)
-    # decode only affected chunks; broadcast the (small) key set
+    meta = read_store_meta(store_path)
+    n_buckets = meta.get("n_buckets")
+    # partition-pruned locating scan (see pruned_store_scan), then decode
+    # only affected chunks; broadcast the (small) key set
+    store = pruned_store_scan(spark, store_path, affected, n_buckets)
     touched = store.join(
         F.broadcast(affected), on=["series_id", "chunk_start"], how="left_semi"
     )
@@ -73,8 +145,6 @@ def merge_out_of_order(
     merged_points = old_points.unionByName(late).dropDuplicates(
         ["series_id", "ts", "value"]
     )
-    meta = read_store_meta(store_path)
-    n_buckets = meta.get("n_buckets")
     repaired = encode_chunks(merged_points, chunk_seconds).withColumn(
         "chunk_date", F.to_date(F.timestamp_seconds(F.col("chunk_start")))
     )

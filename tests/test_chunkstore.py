@@ -229,3 +229,33 @@ def test_ooo_merge_rewrite_volume_proportional_to_touched_buckets(
     # and the merged data is still correct
     merged = as_set(read_points(spark, store))
     assert (one.series_id, one.ts, one.value + 1.0) in merged
+
+
+def test_ooo_locating_scan_partition_pruned(spark, points, tmpdir):
+    """The repair's locating read must prune (chunk_date, bucket)
+    partitions derived from the late batch — not scan the whole store
+    (VERDICT r2 'What's wrong' #4)."""
+    from afspark.operators.ooo import chunk_key, pruned_store_scan
+
+    store = f"{tmpdir}/store"
+    write_chunk_store(points, store, chunk_seconds=86_400, n_buckets=8)
+    one = points.orderBy("series_id", "ts").limit(1).collect()[0]
+    late = spark.createDataFrame(
+        [(one.series_id, one.ts, one.value + 1.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    affected = late.select(
+        "series_id", chunk_key(F.col("ts"), 86_400).alias("chunk_start")
+    ).distinct()
+    scan = pruned_store_scan(spark, store, affected, n_buckets=8)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate reaches the scan node
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "chunk_date" in seg and "bucket" in seg
+    # and it actually prunes: exactly the one touched bucket-day survives
+    n_parts_total = spark.read.parquet(store).select(
+        "chunk_date", "bucket"
+    ).distinct().count()
+    n_parts_scanned = scan.select("chunk_date", "bucket").distinct().count()
+    assert n_parts_scanned == 1 < n_parts_total
