@@ -164,6 +164,20 @@ def assign_cells(
     return src.mapInPandas(assign, "id long, v array<double>, cell int")
 
 
+def write_ivf_index(corpus_cells: DataFrame, path: str) -> None:
+    """Persist assign_cells output partitioned BY CELL.
+
+    This is the scale contract of IVF: with ``cell=`` directories on
+    disk, ivf_topk's probed-cell predicate prunes at the scan, so a query
+    reads n_probe/n_cells of the corpus instead of all of it.
+    """
+    corpus_cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     corpus_cells: DataFrame,
     codebook: np.ndarray,
@@ -202,7 +216,16 @@ def ivf_topk(
             probes.append((int(r.qid), list(map(float, r.qv)), int(cell)))
     spark = corpus_cells.sparkSession
     qcells = spark.createDataFrame(probes, "qid long, qv array<double>, cell int")
-    joined = corpus_cells.join(F.broadcast(qcells), "cell")
+    # STATIC probed-cell pre-filter: the probe set is already known on the
+    # driver, so push it as a literal isin predicate.  When corpus_cells
+    # is read from a cell-partitioned store (write_ivf_index) this becomes
+    # partition pruning at the scan — only probed cell directories are
+    # read (asserted by tests/test_plans.py) — instead of relying on
+    # runtime DPP through the broadcast join.
+    probed_cells = sorted({c for _, _, c in probes})
+    joined = corpus_cells.filter(F.col("cell").isin(probed_cells)).join(
+        F.broadcast(qcells), "cell"
+    )
     cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     scored = joined.select("qid", F.col("id").alias("cid"), cos.alias("cos_sim"))
     return _topk_per_query(scored, k)

@@ -82,3 +82,47 @@ def test_brute_force_topk_no_full_corpus_window(spark, sf_dir):
     assert map_at > win_at, "window must be downstream of local top-k"
     # the raw-score side (below MapInPandas) must contain no Window node
     assert "Window" not in plan[map_at:]
+
+
+def test_ivf_store_partition_pruning(spark, sf_dir, tmp_path):
+    """IVF's scale claim: with the index written partitioned by cell, an
+    n_probe query scans ONLY the probed cell directories."""
+    import pandas as pd
+
+    from afspark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        read_ivf_index,
+        train_codebook,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = train_codebook(emb.orderBy("vec_id"), n_cells=8, sample=500)
+    store = str(tmp_path / "ivf_index")
+    write_ivf_index(assign_cells(emb, cb), store)
+    cells = read_ivf_index(spark, store)
+    n_cells_on_disk = cells.select("cell").distinct().count()
+
+    qpdf = emb.orderBy("vec_id").limit(2).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": qpdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in qpdf["embedding"]],
+            }
+        )
+    )
+    out = ivf_topk(cells, cb, queries, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probed-cell predicate reaches the scan as a partition filter
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and prunes: the isin literal in the partition filter names at most
+    # 2 queries * 2 probes distinct cells — fewer than live on disk, so
+    # the scan touches only those cell= directories
+    import re
+
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    probed = {int(x) for x in re.findall(r"IN \(([-\d,]+)\)", seg)[0].split(",")}
+    assert 0 < len(probed) <= 4 < n_cells_on_disk
