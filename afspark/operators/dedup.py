@@ -41,12 +41,23 @@ def exact_dedup(
 
 
 def char_shingles(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct k-char shingles per doc: (id, sh) — pure Catalyst.
 
     Texts shorter than k yield no shingles (sequence(lo, hi) would
     DESCEND for hi < lo — guarded).
+
+    ``hashed=True`` replaces the k-char string with its xxhash64 BEFORE
+    the distinct — the scale path: every downstream shuffle (distinct,
+    signature agg, verify joins) moves fixed 8-byte longs instead of
+    k-char strings.  Jaccard over hashed shingles equals Jaccard over
+    shingles up to a ~n²/2⁶⁴ collision probability.  The string form is
+    kept for the DuckDB-portable oracle twin.
 
     The input is explicitly spread over the cluster before the explode:
     shingling amplifies bytes ~k x, so input-split sizing (which sees
@@ -55,6 +66,9 @@ def char_shingles(
     stage on a handful of tasks.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    sh = F.substring("_t", F.col("i"), k)
+    if hashed:
+        sh = F.xxhash64(sh)
     return (
         docs.filter(F.length(text_col) >= k)
         .repartition(n_parts)
@@ -63,7 +77,7 @@ def char_shingles(
             F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("i"),
             F.col(text_col).alias("_t"),
         )
-        .select("id", F.substring("_t", F.col("i"), k).alias("sh"))
+        .select("id", sh.alias("sh"))
         .distinct()
     )
 
@@ -84,19 +98,21 @@ def minhash_signatures(
             for i in range(n_hashes)
         ]
     else:
-        # Kirsch–Mitzenmacher double hashing: hash each shingle TWICE and
-        # derive the n_hashes functions as h1 + i*h2 — 2 xxhash64 + n
-        # integer ops per shingle instead of n xxhash64 (the n-fold hash
-        # evaluation dominated the minhash stage).  31-bit lanes keep
-        # i*h2 + h1 < 2^36, safe under ANSI overflow checking; 31-bit
-        # minhash collision odds (2^-31 per shingle pair) are standard
-        # for LSH (cf. 32-bit universal hashing in Spark MLlib's
-        # MinHashLSH).
-        h1 = F.shiftrightunsigned(F.xxhash64(F.col("sh")), 33)
-        h2 = F.shiftrightunsigned(F.xxhash64(F.col("sh"), F.lit(1)), 33).bitwiseOR(
-            F.lit(1)
-        )
-        aggs = [F.min(h1 + F.lit(i) * h2).alias(f"_h{i}") for i in range(n_hashes)]
+        # One INDEPENDENT xxhash64 per lane: lane_i = xxhash64(sh, i).
+        # NOT Kirsch–Mitzenmacher h1 + i*h2 (lanes share the h2-argmin
+        # shingle for large i, so lane matches are heavily correlated and
+        # the Jaccard estimate's variance does not shrink with n_hashes —
+        # observed: true-0.99 pairs estimating < 0.55 at n=64), and NOT a
+        # linear family (a*x+b) mod p either (without 128-bit multiply
+        # the product cannot wrap p, leaving every lane monotone in x —
+        # ALL lanes then share the min-x argmin, which is worse).  With
+        # shingles pre-hashed to 8-byte longs (char_shingles hashed=True)
+        # each lane is a fixed-width JVM hash in whole-stage codegen —
+        # n_hashes of them stay cheap, unlike n_hashes string hashes.
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     sig = shingles.groupBy("id").agg(*aggs)
     return sig.select(
         "id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("mh")
@@ -109,6 +125,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 200,
     n_hashes: int | None = None,
     hash_mode: str = "xxhash64",
+    band_rows: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b) from minhash signatures.
 
@@ -116,6 +133,13 @@ def lsh_candidate_pairs(
     at 100TB a single degenerate bucket would otherwise emit |bucket|^2
     pairs.  Dropped buckets are a recall/robustness tradeoff, the standard
     production mitigation.
+
+    ``band_rows`` fixes the rows per band independently of the signature
+    length (default n // bands).  This decouples BANDING (recall curve:
+    1-(1-j^r)^b — r must stay small for recall at moderate thresholds)
+    from the signature length, which the ESTIMATE pre-filter wants LARGE
+    for low variance.  Banding then uses only the first bands*band_rows
+    signature entries.
 
     Pass ``n_hashes`` (the signature length) so plan construction stays
     lazy; the ``.first()`` fallback launches a Spark job mid-plan and is
@@ -126,7 +150,9 @@ def lsh_candidate_pairs(
         if n_hashes is not None
         else signatures.select(F.size("mh")).first()[0]
     )
-    rows_per_band = n // bands
+    rows_per_band = band_rows if band_rows is not None else n // bands
+    if bands * rows_per_band > n:
+        raise ValueError("bands * band_rows exceeds signature length")
 
     def _band_hash(b):
         cols = [F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -216,11 +242,13 @@ def minhash_lsh_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
-    n_hashes: int = 16,
+    n_hashes: int = 64,
     bands: int = 4,
+    band_rows: int | None = None,
     threshold: float = 0.7,
     hash_mode: str = "xxhash64",
-    est_margin: float | None = 0.25,
+    est_margin: float | None = 0.125,
+    hashed_shingles: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
 
@@ -230,11 +258,28 @@ def minhash_lsh_dedup_pairs(
     keeping pairs with estimate >= threshold - est_margin.  On
     boilerplate-heavy corpora LSH bands emit many low-similarity
     candidates; the estimate kills them before they hit the expensive
-    exact join.  Recall cost is the binomial tail, e.g. a true-0.7 pair
-    with 16 hashes and margin 0.25 survives with P[Bin(16,0.7) >= 8] ~
-    0.98.  ``None`` disables (pure LSH -> exact verify, the oracle twin).
+    exact join.  ``None`` disables (pure LSH -> exact verify, the
+    oracle twin).
+
+    Defaults are tuned jointly: banding stays 4x4 (recall at j=0.7:
+    1-(1-0.7^4)^4 ~ 0.67 per band curve — the s-curve centered at
+    (1/4)^(1/4)=0.707), while the SIGNATURE is 64 hashes so the estimate
+    has sigma = sqrt(j(1-j)/64) ~ 0.057 at j=0.7; margin 0.125 ~ 2.2
+    sigma keeps P[drop | j=0.7] < 2% yet kills the j<=0.5 candidate bulk
+    (P[pass | j=0.5] ~ 1%) that previously dominated the exact-verify
+    join.  K-M double hashing makes the 64 aggregates integer ops, not
+    64 xxhash evaluations.
     """
     from pyspark import StorageLevel
+
+    if band_rows is None:
+        # cap rows/band at 4 regardless of signature length: the banding
+        # s-curve centers at (1/bands)^(1/rows) ~ 0.71 for 4x4; letting
+        # rows grow with n_hashes would collapse recall at j ~ 0.7
+        band_rows = min(4, n_hashes // bands)
+    # hashed shingles only on the xxhash64 scale path — the md5 oracle
+    # twin must keep string shingles DuckDB can md5 identically
+    hashed = hashed_shingles and hash_mode == "xxhash64"
 
     # The DAG branches heavily: sh feeds the signature agg AND the exact
     # verify; sig feeds the banded self-join (2 branches) plus the
@@ -243,13 +288,15 @@ def minhash_lsh_dedup_pairs(
     # recomputes the shingle explode + distinct from scratch (measured
     # ~4x the total work at sf0.1).  MEMORY_AND_DISK spills instead of
     # OOMing at scale — the standard multi-use intermediate pattern.
-    sh = char_shingles(docs, text_col, id_col, k).persist(
+    sh = char_shingles(docs, text_col, id_col, k, hashed=hashed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cand = lsh_candidate_pairs(sig, bands, n_hashes=n_hashes, hash_mode=hash_mode)
+    cand = lsh_candidate_pairs(
+        sig, bands, n_hashes=n_hashes, hash_mode=hash_mode, band_rows=band_rows
+    )
     if est_margin is not None:
         cutoff = threshold - est_margin
         siga = sig.select(F.col("id").alias("id_a"), F.col("mh").alias("_mha"))
@@ -266,7 +313,14 @@ def minhash_lsh_dedup_pairs(
             .select("id_a", "id_b")
         )
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    return jaccard_verify(cand, sh, threshold)
+    out = jaccard_verify(cand, sh, threshold)
+    # Materialize (the pair set is tiny) so the persisted intermediates
+    # can be released NOW — otherwise sh/sig/cand accumulate in executor
+    # storage across invocations in a long-lived session.
+    out = out.localCheckpoint()
+    for df in (cand, sig, sh):
+        df.unpersist()
+    return out
 
 
 SIMHASH_SCHEMA = "id long, simhash long"
