@@ -468,6 +468,98 @@ def embedding_neardup_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large->small, then each node links
+    its (all-smaller) neighborhood plus itself to the neighborhood min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    linked = oriented.join(mins, "u").select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return linked.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+):
+    """Connected components via alternating large-star/small-star.
+
+    The O(log n)-round algorithm for ADVERSARIAL graphs (long chains,
+    high-diameter components) where plain neighbor propagation needs
+    O(diameter) rounds.  Each round is two groupBy-min aggregates and two
+    equi-joins — the same shuffle shape as the propagation loop in
+    connected_components, which remains the default for near-dup graphs
+    (dense local clumps, diameter 2-4, fewer rounds in practice).
+
+    Convergence is detected by an order-independent edge-set checksum
+    (count + bit_xor of edge hashes — overflow-safe under ANSI).
+    Returns (id, cluster_id = min id in component); with
+    ``return_rounds=True`` returns (labels, rounds) for bound tests.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        # localCheckpoint truncates the doubling iterative lineage
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        chk = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).first()
+        )
+        if chk == prev:
+            break
+        prev = chk
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    labels = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("_lbl")).distinct(),
+        "id",
+        "left",
+    ).select("id", F.coalesce(F.col("_lbl"), F.col("id")).alias("cluster_id"))
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -389,3 +389,47 @@ def test_top_terms_deterministic_ranking(spark):
     # doc frequency (not term frequency): apple appears twice in doc 1
     # but counts once; ties broken by term ascending
     assert got == [("banana", 3), ("cherry", 2), ("apple", 1)]
+
+
+# --- connected components: adversarial chain --------------------------------
+
+def test_star_cc_chain_bounded_rounds(spark):
+    """A 10k-node chain is the adversarial case for neighbor propagation
+    (diameter 10k).  Large-star/small-star must collapse it to one
+    component in O(log n) rounds."""
+    import math
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels, rounds = dedup.connected_components_star(
+        chain, return_rounds=True
+    )
+    got = labels.select("cluster_id").distinct().collect()
+    assert [r.cluster_id for r in got] == [0]
+    assert labels.count() == n
+    # +2: one round to detect the fixed point, one slack round
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    """Star CC and the propagation loop must agree exactly on a random
+    multi-component graph."""
+    edges = (
+        spark.range(500)
+        .select(
+            (F.xxhash64("id") % 300).alias("id_a"),
+            (F.xxhash64("id", F.lit(1)) % 300).alias("id_b"),
+        )
+        .filter((F.col("id_a") >= 0) & (F.col("id_b") >= 0))
+    )
+    a = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    b = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert a == b
