@@ -42,21 +42,30 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (series_col, ts_col)]
     lcols = [c for c in left.columns if c not in (series_col, ts_col)]
+    # The right side is carried as ONE struct with a single
+    # last(ignorenulls) — per-column carries would mix values (and
+    # ts_asof) from DIFFERENT right rows whenever right value columns
+    # contain legitimate NULLs.  A struct is null only when the whole
+    # row is the left-side placeholder, so each left row receives one
+    # coherent right row.
     l_tagged = left.select(
         series_col,
         ts_col,
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(
+            f"struct<_r_ts:timestamp,{','.join(f'`_r_{c}`:{right.schema[c].dataType.simpleString()}' for c in value_cols)}>"
+        ).alias("_r"),
     )
     r_tagged = right.select(
         series_col,
         ts_col,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(ts_col).alias("_r_ts"),
+        F.struct(
+            F.col(ts_col).alias("_r_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        ).alias("_r"),
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal ts -> inclusive match
@@ -65,14 +74,24 @@ def asof_join(
         .orderBy(ts_col, "_side")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = u.select(
-        series_col,
-        ts_col,
-        *lcols,
-        "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
-    ).filter(F.col("_side") == 1)
+    carried = (
+        u.select(
+            series_col,
+            ts_col,
+            *lcols,
+            "_side",
+            F.last("_r", ignorenulls=True).over(w).alias("_c"),
+        )
+        .filter(F.col("_side") == 1)
+        .select(
+            series_col,
+            ts_col,
+            *lcols,
+            "_side",
+            *[F.col(f"_c._r_{c}").alias(f"_c_{c}") for c in value_cols],
+            F.col("_c._r_ts").alias("_c_ts"),
+        )
+    )
 
     def _gate(col: Column) -> Column:
         if tolerance_seconds is None:

@@ -28,9 +28,17 @@ OUT_SCHEMA = "series_id string, ts timestamp, value double"
 
 
 def lttb_numpy(x: np.ndarray, y: np.ndarray, threshold: int) -> np.ndarray:
-    """Indices of the LTTB-selected points (local twin, O(n))."""
+    """Indices of the LTTB-selected points (local twin, O(n)).
+
+    ``threshold < 3`` raises: LTTB is undefined there (it always keeps
+    both endpoints plus triangle-selected interior points), so returning
+    all points would silently violate the 'at most threshold points'
+    contract.
+    """
+    if threshold < 3:
+        raise ValueError("LTTB is undefined for threshold < 3")
     n = len(x)
-    if threshold >= n or threshold < 3:
+    if threshold >= n:
         return np.arange(n)
     keep = np.empty(threshold, dtype=np.int64)
     keep[0] = 0
@@ -59,7 +67,12 @@ def lttb(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """Downsample each series to at most ``threshold`` points with LTTB."""
+    """Downsample each series to at most ``threshold`` points with LTTB.
+
+    ``threshold`` must be >= 3 (validated eagerly, not inside the UDF).
+    """
+    if threshold < 3:
+        raise ValueError("LTTB is undefined for threshold < 3")
     src = points.select(
         F.col(series_col).cast("string").alias("series_id"),
         F.col(ts_col).alias("ts"),

@@ -46,17 +46,29 @@ def streaming_exact_dedup(
 
         if state.exists:
             keeper, n_seen = state.get
+            if keeper is not None and keeper < 0:
+                keeper = None  # legacy -1 sentinel: treat as absent
         else:
             keeper, n_seen = None, 0
-        out = []
+        # A key's batch data may span multiple Arrow chunks (~10k rows
+        # each): scan ALL chunks tracking the running min before emitting,
+        # so the representative is the min doc_id of the whole micro-batch,
+        # not of the first non-empty chunk.
+        best = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             n_seen += len(pdf)
             if keeper is None:
-                first = pdf.loc[[pdf["doc_id"].idxmin()]]
-                keeper = int(first["doc_id"].iloc[0])
-                out.append(first[["doc_id", "text", "text_md5"]])
+                cand = pdf.loc[[pdf["doc_id"].idxmin()]]
+                if best is None or int(cand["doc_id"].iloc[0]) < int(
+                    best["doc_id"].iloc[0]
+                ):
+                    best = cand
+        out = []
+        if keeper is None and best is not None:
+            keeper = int(best["doc_id"].iloc[0])
+            out.append(best[["doc_id", "text", "text_md5"]])
         state.update((keeper if keeper is not None else -1, n_seen))
         return iter(out)
 

@@ -37,3 +37,26 @@ def test_asof_join_planted(spark):
     # tolerance: the 14s-old match for tag=4 dies at tolerance 5s
     tol = {r.tag: r.value_asof for r in asof_join(left, right, tolerance_seconds=5).collect()}
     assert tol[1] == 80.0 and tol[2] == 200.0 and tol[4] is None
+
+
+def test_asof_right_nulls_stay_row_coherent(spark):
+    """Right value columns with legitimate NULLs must not mix values
+    from different right rows: the carried (v1, v2, ts_asof) must all
+    come from THE most recent right row (ADVICE r2)."""
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:30"), 1)],
+        "series_id string, ts timestamp, tag int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:10"), 10.0, 100.0),
+            # most recent row: v2 is NULL — a per-column carry would
+            # backfill v2=100.0 from the older row
+            ("a", _ts("2024-01-01 00:00:20"), 20.0, None),
+        ],
+        "series_id string, ts timestamp, v1 double, v2 double",
+    )
+    r = asof_join(left, right).collect()[0]
+    assert r.v1_asof == 20.0
+    assert r.v2_asof is None
+    assert r.ts_asof == _ts("2024-01-01 00:00:20")

@@ -43,3 +43,17 @@ def test_lttb_spark_equals_local(spark):
     for r in lttb(df, 40).collect():
         got.setdefault(r.series_id, set()).add((pd.Timestamp(r.ts), r.value))
     assert got == want
+
+
+def test_lttb_threshold_below_3_raises(spark):
+    import numpy as np
+    import pytest
+
+    from afspark.operators.lttb import lttb, lttb_numpy
+
+    with pytest.raises(ValueError):
+        lttb_numpy(np.arange(5.0), np.arange(5.0), 2)
+    with pytest.raises(ValueError):
+        lttb(spark.range(1).selectExpr(
+            "'s' as series_id", "current_timestamp() as ts", "1.0 as value"
+        ), 2)
