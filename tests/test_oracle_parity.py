@@ -11,8 +11,13 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
+from afspark.entry_goldens import GOLDEN_SQL  # noqa: E402
 from afspark.entry_queries import QUERIES  # noqa: E402
 from tools.check_oracle import duck_connection, frames_equal, normalize  # noqa: E402
+
+# VALUES-literal goldens are generated (tools/gen_goldens.py) at the
+# driver's gate scale — they are only meaningful against that sf.
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -20,9 +25,16 @@ def duck(sf_dir):
     return duck_connection(sf_dir)
 
 
+@pytest.fixture(scope="module")
+def duck_golden():
+    return duck_connection(GOLDEN_SF_DIR)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, sf_dir, duck, name):
+def test_query_matches_oracle(spark, sf_dir, duck, duck_golden, name):
     fn, sql = QUERIES[name]
+    if name in GOLDEN_SQL:
+        sf_dir, duck = GOLDEN_SF_DIR, duck_golden
     sdf = fn(spark, sf_dir).toPandas()
     if sql is None:
         assert len(sdf) > 0, f"{name}: kernel query returned no rows"
