@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from .entry_goldens import GOLDEN_SQL
 from .functions import kernels as K
 from .operators.gapfill import gapfill
-from .operators.rollup import TIERS, rollup_points, rollup_tier
+from .operators.rollup import (
+    TIERS,
+    refresh_tier_incremental,
+    rollup_points,
+    rollup_tier,
+)
 from .operators.score import score
 from .operators.windows import (
     energy_agg,
@@ -1521,6 +1526,66 @@ SQL_CHUNK_ROUNDTRIP = """
 """
 
 
+def q_rollup_incremental_1h(spark, sf_dir):
+    """Continuous-aggregate INCREMENTAL refresh through the driver gate.
+
+    Deterministic split of the events stream: rows with
+    xxhash64(series_id, ts) % 7 == 0 form the "late batch" (scattered
+    across series AND time — the worst case, not a clean tail); the rest
+    are the committed history.  The committed 1h tier is refreshed with
+    refresh_tier_incremental — only touched buckets recomputed and merged
+    algebraically, committed rows never re-aggregated from raw.  The
+    oracle recomputes the 1h tier from ALL raw events, so a green row
+    proves committed ⊕ partial(batch) == full recompute.
+    """
+    pts = events_samples(spark, sf_dir, cents=True)
+    tagged = pts.withColumn("_h", F.pmod(F.xxhash64("series_id", "ts"), F.lit(7)))
+    old = tagged.filter(F.col("_h") != 0).drop("_h")
+    new = tagged.filter(F.col("_h") == 0).drop("_h")
+    committed = rollup_points(old, TIERS["1h"])
+    return _rollup_out(refresh_tier_incremental(committed, new, TIERS["1h"]))
+
+
+def q_salted_domain_stats(spark, sf_dir):
+    """Hot-key-safe per-source aggregate: two-level salted aggregation.
+
+    Level 1 groups by (source, salt = pmod(doc_id, 16)), spreading a hot
+    source over 16 reducers (north_rule: salted repartitioning for
+    hot-domain skew); level 2 merges the <=16 partials per source.  The
+    statistics are algebraic, so the result is identical to a direct
+    GROUP BY source — which is exactly what the DuckDB oracle runs.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    lvl1 = (
+        docs.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+        .groupBy("source", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+    )
+    return lvl1.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("s").alias("sum_chars"),
+        F.min("mn").alias("min_chars"),
+        F.max("mx").alias("max_chars"),
+        _r(F.sum("s") / F.sum("n"), 6).alias("avg_chars"),
+    )
+
+
+SQL_SALTED_DOMAIN_STATS = """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           floor((sum(n_chars)/count(*))*1000000.0 + 0.5)/1000000.0 AS avg_chars
+    FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1581,6 +1646,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "ivf_recall_check": (q_ivf_recall_check, GOLDEN_SQL["ivf_recall_check"]),
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
+    "rollup_incremental_1h": (q_rollup_incremental_1h, _sql_rollup(3600)),
+    "salted_domain_stats": (q_salted_domain_stats, SQL_SALTED_DOMAIN_STATS),
 }
 
 

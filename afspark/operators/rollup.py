@@ -115,6 +115,74 @@ def rollup_all_tiers(
     return out
 
 
+def refresh_tier_incremental(
+    committed: DataFrame,
+    new_points: DataFrame,
+    tier_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    include_untouched: bool = True,
+) -> DataFrame:
+    """Continuous-aggregate incremental refresh (TimescaleDB-style).
+
+    Given a committed tier table and a batch of NEW raw points, recompute
+    only the buckets the batch touches and merge them algebraically with
+    the committed rows — never re-reading the raw history.  Correct for
+    any batch (late, out-of-order, or in-order tail) because every tier
+    statistic is associative: committed ⊕ partial(new) == full recompute
+    (asserted bit-exact in tests/test_rollup.py).
+
+    Scale shape: ``partial(new)`` is a map-side-combined aggregation of
+    the batch alone; ``touched`` (distinct (keys, bucket_ts) of the batch)
+    is tiny relative to the committed tier, so both the locating semi-join
+    and the anti-join are broadcast — the committed table is scanned once,
+    column-pruned, with NO shuffle of committed rows except the touched
+    subset (bounded by the batch's bucket span).  On a date-partitioned
+    tier store, compose with ``ooo.pruned_store_scan`` so the committed
+    scan is also partition-pruned to the batch's dates.
+
+    ``include_untouched=False`` returns only the refreshed buckets — the
+    delta a production writer feeds to a dynamic-partition overwrite or
+    Iceberg MERGE, instead of rewriting the whole tier.
+    """
+    delta = rollup_points(new_points, tier_seconds, keys, ts_col, value_col)
+    on = [*keys, "bucket_ts"]
+    touched = delta.select(*on).distinct()
+    merged = rollup_tier(
+        committed.join(F.broadcast(touched), on, "left_semi").unionByName(delta),
+        tier_seconds,  # re-floor of an already-floored bucket_ts: identity
+        keys,
+    )
+    if not include_untouched:
+        return merged
+    untouched = committed.join(F.broadcast(touched), on, "left_anti")
+    return untouched.unionByName(merged)
+
+
+def refresh_all_tiers_incremental(
+    committed: dict[str, DataFrame],
+    new_points: DataFrame,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiers: dict[str, int] = TIERS,
+) -> dict[str, DataFrame]:
+    """Refresh every retention tier from one new batch, independently.
+
+    Associativity means each tier merges the SAME batch at its own
+    resolution — no tier needs another tier's refreshed rows, so all four
+    refreshes share one scan of the (persisted) batch and run in parallel.
+    """
+    new_points = new_points.persist()
+    return {
+        name: refresh_tier_incremental(
+            committed[name], new_points, sec, keys, ts_col, value_col
+        )
+        for name, sec in tiers.items()
+    }
+
+
 def score_pages_to_tiers(
     pages_with_offsets: DataFrame,
     features,

@@ -129,3 +129,80 @@ def test_score_pages_to_tiers_equals_unfused(spark):
         }
         assert got == exp
     offs.unpersist()
+
+
+def _tier_map(df):
+    return {
+        (r.series_id, r.bucket_ts): (
+            r.cnt, r.sum, r.min, r.max, r.avg, r.first, r.last, r.first_ts, r.last_ts
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_refresh_equals_full(spark, points):
+    """committed ⊕ partial(new batch) == full recompute, every tier, bit-exact.
+
+    Split is by a deterministic hash of the row so the "new batch" is
+    scattered across series and time (the worst case: late + out-of-order),
+    not a clean tail.
+    """
+    from afspark.operators.rollup import (
+        refresh_all_tiers_incremental,
+        refresh_tier_incremental,
+    )
+
+    tagged = points.withColumn("_h", F.pmod(F.xxhash64("series_id", "ts"), F.lit(7)))
+    old = tagged.filter(F.col("_h") != 0).drop("_h")
+    new = tagged.filter(F.col("_h") == 0).drop("_h")
+    assert new.count() > 0 and old.count() > 0
+
+    committed = rollup_all_tiers(old)
+    refreshed = refresh_all_tiers_incremental(committed, new)
+    full = rollup_all_tiers(points)
+    for name in TIERS:
+        a, b = _tier_map(refreshed[name]), _tier_map(full[name])
+        assert set(a) == set(b), name
+        for k in a:
+            assert a[k][0] == b[k][0], (name, k)          # cnt exact
+            assert a[k][1] == pytest.approx(b[k][1], rel=1e-12)
+            assert a[k][2] == b[k][2] and a[k][3] == b[k][3]  # min/max exact
+            assert a[k][4] == pytest.approx(b[k][4], rel=1e-12)
+            assert a[k][7] == b[k][7] and a[k][8] == b[k][8]  # first/last_ts exact
+
+    # delta-only mode returns exactly the touched buckets
+    sec = TIERS["1h"]
+    delta = refresh_tier_incremental(
+        committed["1h"], new, sec, include_untouched=False
+    )
+    touched = {
+        (r.series_id, r.bucket_ts)
+        for r in rollup_points(new, sec).select("series_id", "bucket_ts").collect()
+    }
+    got = {(r.series_id, r.bucket_ts) for r in delta.collect()}
+    assert got == touched
+
+
+def test_incremental_refresh_first_last_bit_exact(spark):
+    """With unique timestamps the carried first/last values merge exactly,
+    including a new point that PREDATES the committed first (late data)."""
+    import datetime as dtm
+
+    from afspark.operators.rollup import refresh_tier_incremental
+
+    t = lambda s: dtm.datetime(2024, 1, 1, 0, 0, s)
+    old = spark.createDataFrame(
+        [("s", t(10), 5.0), ("s", t(30), 7.0), ("s", t(50), 1.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    new = spark.createDataFrame(
+        [("s", t(2), 9.0), ("s", t(55), 4.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    committed = rollup_points(old, 60)
+    out = refresh_tier_incremental(committed, new, 60).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.cnt, r.min, r.max) == (5, 1.0, 9.0)
+    assert (r.first, r.last) == (9.0, 4.0)  # late point becomes the first
+    assert r.sum == pytest.approx(26.0)
