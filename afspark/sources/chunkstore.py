@@ -208,6 +208,59 @@ def read_points_range(
     return decode_chunks(chunks)
 
 
+def compact_chunks(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Small-file compaction: rewrite (chunk_date, bucket) partitions that
+    hold more than ``target_files`` parquet files into ``target_files``.
+
+    Streaming 1m-tier commits and OoO repairs append small files; at scale
+    a store partition accumulating hundreds of them collapses scan
+    throughput (task-per-file scheduling + parquet footer overhead).
+    Compaction is pure file-level maintenance — rows are preserved
+    exactly; merging PARTIAL chunks for the same (series_id, chunk_start)
+    is the OoO merge's job (ooo.merge_out_of_order re-encodes), not ours.
+
+    Scale shape: the partition listing comes from store metadata (here the
+    directory tree; Iceberg's manifests on a real deployment), the rewrite
+    reads ONLY the touched partitions (predicate on partition columns ->
+    pruned listing), repartitions by the partition key so each task owns
+    whole output partitions, and commits via dynamic-partition overwrite —
+    untouched partitions stay byte-identical (tested).
+
+    Returns the number of partition directories rewritten.
+    """
+    from pathlib import Path
+
+    root = Path(path)
+    touched: list[tuple[str, str]] = []
+    for datedir in sorted(root.glob("chunk_date=*")):
+        for bdir in sorted(datedir.glob("bucket=*")):
+            if len(list(bdir.glob("*.parquet"))) > target_files:
+                touched.append(
+                    (datedir.name.split("=", 1)[1], bdir.name.split("=", 1)[1])
+                )
+    if not touched:
+        return 0
+    keys = [f"{d}/{b}" for d, b in touched]
+    key_col = F.concat_ws(
+        "/", F.col("chunk_date").cast("string"), F.col("bucket").cast("string")
+    )
+    df = read_chunk_store(spark, path).filter(key_col.isin(keys))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(max(1, len(touched) * target_files), "chunk_date", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("chunk_date", "bucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(touched)
+
+
 def expire_chunks(spark: SparkSession, path: str, older_than_date: str) -> int:
     """Retention enforcement: drop chunk partitions older than the cutoff.
 

@@ -259,3 +259,62 @@ def test_ooo_locating_scan_partition_pruned(spark, points, tmpdir):
     ).distinct().count()
     n_parts_scanned = scan.select("chunk_date", "bucket").distinct().count()
     assert n_parts_scanned == 1 < n_parts_total
+
+
+def test_compaction_merges_small_files_preserving_points(spark, tmpdir):
+    """compact_chunks: touched partitions end at <=1 file, decoded points
+    are multiset-identical, and a partition already at 1 file is left
+    byte-identical (never rewritten)."""
+    import datetime as dtm
+    from pathlib import Path
+
+    from afspark.sources.chunkstore import compact_chunks, write_chunk_store
+
+    def mk(day, h0, h1):
+        rows = [
+            ("s", dtm.datetime(2024, 1, day, h, m, 0), float(day * 10_000 + h * 60 + m))
+            for h in range(h0, h1)
+            for m in range(0, 60, 15)
+        ]
+        return spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+
+    store = f"{tmpdir}/store"
+    write_chunk_store(mk(1, 0, 12).union(mk(2, 0, 12)), store, mode="overwrite")
+
+    def files_per_dir():
+        return {
+            f"{d.name}/{b.name}": sorted(p.name for p in b.glob("*.parquet"))
+            for d in Path(store).glob("chunk_date=*")
+            for b in d.glob("bucket=*")
+        }
+
+    def point_multiset():
+        return sorted(
+            (r.series_id, r.ts, r.value) for r in read_points(spark, store).collect()
+        )
+
+    # first pass normalizes the fresh write's fan-out to 1 file/partition
+    assert any(len(v) > 1 for v in files_per_dir().values())
+    pts0 = point_multiset()
+    assert compact_chunks(spark, store) >= 1
+    assert all(len(v) <= 1 for v in files_per_dir().values())
+    assert point_multiset() == pts0
+
+    # append to day 1 only; day 2 must then survive compaction byte-identical
+    write_chunk_store(mk(1, 12, 24), store, mode="append")
+    before_files = files_per_dir()
+    day2_key = next(k for k in before_files if "2024-01-02" in k)
+    assert len(before_files[day2_key]) == 1
+    day2_path = Path(store) / day2_key.split("/")[0] / day2_key.split("/")[1]
+    day2_bytes = (day2_path / before_files[day2_key][0]).read_bytes()
+    before_pts = point_multiset()
+
+    n = compact_chunks(spark, store)
+    assert n >= 1
+    after_files = files_per_dir()
+    assert all(len(v) <= 1 for v in after_files.values())
+    assert after_files[day2_key] == before_files[day2_key]
+    assert (day2_path / after_files[day2_key][0]).read_bytes() == day2_bytes
+    assert point_multiset() == before_pts
+    # idempotent: another pass is a no-op
+    assert compact_chunks(spark, store) == 0
