@@ -1575,6 +1575,48 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (word + bigram level)."""
+    from .operators.text import repetition_stats
+
+    r = repetition_stats(_read(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        _r(F.col("top_word_frac"), 6).alias("top_word_frac"),
+        _r(F.col("dup_word_frac"), 6).alias("dup_word_frac"),
+        "n_bigrams",
+        _r(F.col("top_bigram_frac"), 6).alias("top_bigram_frac"),
+        _r(F.col("dup_bigram_frac"), 6).alias("dup_bigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    wc AS (SELECT doc_id, tok, count(*) AS c FROM w WHERE tok <> '' GROUP BY 1, 2),
+    ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                  count(*) AS n_distinct_words,
+                  CAST(max(c) AS BIGINT) AS top_w FROM wc GROUP BY 1),
+    b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS big
+          FROM t, unnest(generate_series(1, len(toks)-1)) AS g(i)),
+    bc AS (SELECT doc_id, big, count(*) AS c FROM b GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  count(*) AS nd_big,
+                  CAST(max(c) AS BIGINT) AS top_b FROM bc GROUP BY 1)
+    SELECT ws.doc_id, n_words, n_distinct_words,
+           floor((top_w/n_words)*1000000.0 + 0.5)/1000000.0 AS top_word_frac,
+           floor(((n_words - n_distinct_words)/n_words)*1000000.0 + 0.5)/1000000.0
+             AS dup_word_frac,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           floor((top_b/n_bigrams)*1000000.0 + 0.5)/1000000.0 AS top_bigram_frac,
+           floor(((n_bigrams - nd_big)/n_bigrams)*1000000.0 + 0.5)/1000000.0
+             AS dup_bigram_frac
+    FROM ws LEFT JOIN bs USING (doc_id)
+"""
+
+
 SQL_SALTED_DOMAIN_STATS = """
     SELECT source,
            count(*) AS n_docs,
@@ -1648,6 +1690,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chunk_roundtrip_check": (q_chunk_roundtrip_check, SQL_CHUNK_ROUNDTRIP),
     "rollup_incremental_1h": (q_rollup_incremental_1h, _sql_rollup(3600)),
     "salted_domain_stats": (q_salted_domain_stats, SQL_SALTED_DOMAIN_STATS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
 }
 
 

@@ -208,3 +208,68 @@ def top_terms(
     )
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     return counts.orderBy(F.col("doc_freq").desc(), F.col("term")).limit(k)
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document.
+
+    Emits (per doc): n_words, n_distinct_words, top_word_frac (count of
+    the most frequent word / n_words), dup_word_frac ((n_words -
+    n_distinct)/n_words), n_bigrams, top_bigram_frac, dup_bigram_frac —
+    the word/n-gram repetition filters of Rae et al. 2021 (Gopher,
+    arXiv:2112.11446 §A1.1), the standard crawl-quality gate for LLM
+    training corpora.
+
+    Pure Catalyst: one explode + hash-agg per level; grouping key is
+    (doc_id, term) so partial aggregation happens map-side and the only
+    skew bound is the largest single document.
+    """
+    toks = F.split(F.col(text_col), " ")
+    src = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+    words = src.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).filter(F.col("tok") != "")
+    wc = words.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("_top_w"),
+    )
+
+    bigrams = src.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("big"),
+    )
+    bc = bigrams.groupBy("doc_id", "big").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("_nd_big"),
+        F.max("c").alias("_top_b"),
+    )
+
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            (F.col("_top_w") / F.col("n_words")).alias("top_word_frac"),
+            (
+                (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words")
+            ).alias("dup_word_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (F.col("_top_b") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            (
+                (F.col("n_bigrams") - F.col("_nd_big")) / F.col("n_bigrams")
+            ).alias("dup_bigram_frac"),
+        )
+    )

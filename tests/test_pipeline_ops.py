@@ -433,3 +433,32 @@ def test_star_cc_matches_propagation_on_random_graph(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert a == b
+
+
+def test_repetition_stats_goldens(spark):
+    """Hand-computed Gopher repetition signals on tiny docs."""
+    from afspark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y x y x"), (3, "unique words only here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+
+    r = out[1]  # words a,a,b; bigrams "a a","a b"
+    assert (r.n_words, r.n_distinct_words, r.n_bigrams) == (3, 2, 2)
+    assert r.top_word_frac == pytest.approx(2 / 3)
+    assert r.dup_word_frac == pytest.approx(1 / 3)
+    assert r.top_bigram_frac == pytest.approx(1 / 2)
+    assert r.dup_bigram_frac == 0.0
+
+    r = out[2]  # bigrams: "x y" x2, "y x" x2
+    assert (r.n_words, r.n_distinct_words, r.n_bigrams) == (5, 2, 4)
+    assert r.top_word_frac == pytest.approx(3 / 5)
+    assert r.dup_word_frac == pytest.approx(3 / 5)
+    assert r.top_bigram_frac == pytest.approx(1 / 2)
+    assert r.dup_bigram_frac == pytest.approx(1 / 2)
+
+    r = out[3]
+    assert r.dup_word_frac == 0.0 and r.dup_bigram_frac == 0.0
+    assert r.top_word_frac == pytest.approx(1 / 4)
