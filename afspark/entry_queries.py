@@ -1575,6 +1575,36 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_stratified_split_stats(spark, sf_dir):
+    """80/10/10 deterministic split, summarized per (split, lang)."""
+    from .operators.text import stratified_split
+
+    docs = stratified_split(_read(spark, sf_dir, "documents"))
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_STRATIFIED_SPLIT = f"""
+    WITH s AS (
+      SELECT *, {_md5_head32_sql("'afspark-split:' || CAST(doc_id AS VARCHAR)")} % 1000
+             AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY 1, 2
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals (word + bigram level)."""
     from .operators.text import repetition_stats
@@ -1691,6 +1721,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_incremental_1h": (q_rollup_incremental_1h, _sql_rollup(3600)),
     "salted_domain_stats": (q_salted_domain_stats, SQL_SALTED_DOMAIN_STATS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
 }
 
 

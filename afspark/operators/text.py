@@ -273,3 +273,43 @@ def repetition_stats(
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    weights: list[tuple[str, int]] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "afspark-split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by ID hash (permille
+    weights).
+
+    Adds a ``split`` column as a pure function of (salt, id): stable
+    across runs, engines, and partitionings; a document never migrates
+    between splits when the corpus grows (hash-threshold, not rank); and
+    because assignment is independent of every attribute, the split
+    proportions hold within any stratum (language, domain, quality band)
+    in expectation — the web-pipeline counterpart of sklearn's stratified
+    splitters, without a per-stratum global sort (which at 100 TB would
+    be a single-task window per stratum).
+    """
+    weights = weights or [("train", 800), ("val", 100), ("test", 100)]
+    total = sum(w for _, w in weights)
+    if total != 1000:
+        raise ValueError(f"weights must sum to 1000 permille, got {total}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(1000))
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        expr = F.when(bucket < cum, F.lit(name)) if expr is None else expr.when(
+            bucket < cum, F.lit(name)
+        )
+    return docs.withColumn("split", expr)

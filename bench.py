@@ -53,6 +53,32 @@ FEATURES = [
 ]
 
 
+def host_memory_health() -> dict:
+    """Measure the sandbox's cold-page fault vs warm-page bandwidth.
+
+    This VM is snapshot-restored with lazily-faulted memory AND balloon
+    free-page reclaim: first-touch of new pages has been observed anywhere
+    from ~13 MB/s (incident) to >1 GB/s (healthy), while already-resident
+    pages always run at ~3 GB/s.  Shuffle/Arrow-heavy phases allocate GBs
+    of fresh buffers, so their wall-clock scales with THIS number, not
+    with the engine.  Embedding the probe in the bench output makes every
+    BENCH_r{N}.json self-describing: compare cold_fault_mbps before
+    comparing query seconds across rounds.
+    """
+    import numpy as np
+
+    n = 256 * 1024 * 1024
+    a = np.empty(n, dtype=np.uint8)
+    t0 = time.time()
+    a[::4096] = 1  # one write per page: pure fault cost
+    cold = n / (time.time() - t0) / 1e6
+    t0 = time.time()
+    a[:] = 2  # full write of now-resident pages
+    warm = n / (time.time() - t0) / 1e6
+    del a
+    return {"cold_fault_mbps": round(cold, 1), "warm_write_mbps": round(warm, 1)}
+
+
 def sf_of(sf_dir: str) -> float:
     try:
         return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
@@ -65,6 +91,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
     n_pages = int(os.environ.get("AFSPARK_BENCH_PAGES", max(2000, int(200_000 * sf))))
+    host = host_memory_health()
     spark = get_session(app_name="afspark-bench")
     timings: dict[str, float] = {}
 
@@ -145,6 +172,7 @@ def main() -> None:
         "score_rows": n_scores,
         "rolled_rows": n_rolled,
         "headline_sec": round(headline_sec, 3),
+        "host": host,
     }
     print(json.dumps(out))
 

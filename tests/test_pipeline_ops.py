@@ -462,3 +462,25 @@ def test_repetition_stats_goldens(spark):
     r = out[3]
     assert r.dup_word_frac == 0.0 and r.dup_bigram_frac == 0.0
     assert r.top_word_frac == pytest.approx(1 / 4)
+
+
+def test_stratified_split_properties(spark, sf_dir):
+    """Split is exhaustive, deterministic, and proportional per stratum."""
+    from afspark.operators.text import stratified_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_split(docs)
+    n = docs.count()
+    # exhaustive: every row assigned, no nulls
+    assert out.filter(F.col("split").isNull()).count() == 0
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == n
+    # roughly proportional overall (hash-threshold: binomial tolerance)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1
+    # deterministic: same assignment on recompute
+    a = sorted((r.doc_id, r.split) for r in out.select("doc_id", "split").collect())
+    b = sorted((r.doc_id, r.split) for r in stratified_split(docs).select("doc_id", "split").collect())
+    assert a == b
+    # weights must sum to 1000
+    with pytest.raises(ValueError):
+        stratified_split(docs, weights=[("a", 500), ("b", 400)])
