@@ -1575,6 +1575,88 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_counter_rate_1h(spark, sf_dir):
+    """PromQL-style counter rate per (series, 1h bucket) with resets.
+
+    Cents-integer values keep the increase sums exact; the lag ordering
+    tiebreaks on value so duplicate timestamps are engine-independent.
+    """
+    from .operators.tsanalytics import rate_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = rate_per_bucket(pts, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n_samples",
+        F.col("increase_sum").cast("long").alias("inc_c"),
+        _r(F.col("rate_per_sec") / 100.0, 6).alias("rate"),
+    )
+
+
+SQL_COUNTER_RATE = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    l AS (SELECT user_id, ts, v,
+                 lag(v) OVER (PARTITION BY user_id ORDER BY ts, v) AS pv FROM c),
+    i AS (SELECT user_id, ts,
+                 CASE WHEN pv IS NULL THEN NULL
+                      WHEN v - pv < 0 THEN v ELSE v - pv END AS inc FROM l)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+           count(*) AS n_samples,
+           CAST(sum(inc) AS BIGINT) AS inc_c,
+           floor((sum(inc)/3600.0/100.0)*1000000.0 + 0.5)/1000000.0 AS rate
+    FROM i GROUP BY 1, 2
+"""
+
+
+def q_anomaly_zscore_1h(spark, sf_dir):
+    """Rolling z-score anomalies over the 1h tier (24-bucket baseline).
+
+    The tier value is the integer-exact cents SUM per bucket, and the
+    variance uses the explicit (ss - s^2/n)/(n-1) formula, so every
+    intermediate double is identical in Spark and DuckDB — no aggregate-
+    internal algorithm divergence.
+    """
+    from .operators.tsanalytics import rolling_zscore
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = rolling_zscore(tier, n_window=24, value_col="sum")
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("sum").cast("long").alias("sum_c"),
+        F.col("baseline_n").alias("n_base"),
+        _r(F.col("zscore"), 6).alias("z"),
+        F.col("is_anomaly").cast("int").alias("anom"),
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+                 sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    wn AS (SELECT series_id, bucket_epoch, s,
+                  count(s) OVER w AS n,
+                  sum(s) OVER w AS bs,
+                  sum(s*s) OVER w AS bss
+           FROM t
+           WINDOW w AS (PARTITION BY series_id ORDER BY bucket_epoch
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT series_id, bucket_epoch, CAST(s AS BIGINT) AS sum_c, n AS n_base,
+           CASE WHEN n >= 2 AND (bss - bs*bs/n)/(n-1) > 0
+                THEN floor(((s - bs/n)/sqrt((bss - bs*bs/n)/(n-1)))*1000000.0
+                           + 0.5)/1000000.0 END AS z,
+           CASE WHEN n >= 2 AND (bss - bs*bs/n)/(n-1) > 0
+                     AND abs((s - bs/n)/sqrt((bss - bs*bs/n)/(n-1))) > 3.0
+                THEN 1 ELSE 0 END AS anom
+    FROM wn
+"""
+
+
 def q_stratified_split_stats(spark, sf_dir):
     """80/10/10 deterministic split, summarized per (split, lang)."""
     from .operators.text import stratified_split
@@ -1722,6 +1804,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "salted_domain_stats": (q_salted_domain_stats, SQL_SALTED_DOMAIN_STATS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
+    "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
+    "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
 }
 
 

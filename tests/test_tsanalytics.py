@@ -1,0 +1,70 @@
+"""Counter rate (reset handling) + rolling z-score goldens."""
+
+import datetime as dtm
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from afspark.operators.tsanalytics import (
+    counter_increase,
+    rate_per_bucket,
+    rolling_zscore,
+)
+
+
+def t(s):
+    return dtm.datetime(2024, 1, 1, 0, 0, 0) + dtm.timedelta(seconds=s)
+
+
+def test_counter_increase_reset_semantics(spark):
+    """[5, 7, 3, 10]: inc = [null, 2, 3 (reset -> raw value), 7]."""
+    pts = spark.createDataFrame(
+        [("s", t(0), 5.0), ("s", t(10), 7.0), ("s", t(20), 3.0), ("s", t(30), 10.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    rows = sorted(counter_increase(pts).collect(), key=lambda r: r.ts)
+    assert [r.increase for r in rows] == [None, 2.0, 3.0, 7.0]
+
+
+def test_rate_per_bucket_sums_and_rate(spark):
+    pts = spark.createDataFrame(
+        [("s", t(0), 5.0), ("s", t(10), 7.0), ("s", t(3600), 9.0), ("s", t(3610), 1.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    out = {r.bucket_ts.minute * 60 + r.bucket_ts.hour * 3600: r
+           for r in rate_per_bucket(pts, 3600).collect()}
+    b0, b1 = out[0], out[3600]
+    assert (b0.n_samples, b0.increase_sum) == (2, 2.0)       # null + 2
+    assert (b1.n_samples, b1.increase_sum) == (2, 3.0)       # 2 (7->9) + reset 1
+    assert b1.rate_per_sec == pytest.approx(3.0 / 3600)
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """Alternating 10/12 baseline, then a 100 spike: only the spike is
+    anomalous, and z matches the numpy formula exactly."""
+    vals = [10.0, 12.0] * 12 + [100.0]
+    rows = [("s", t(60 * i), v) for i, v in enumerate(vals)]
+    tier = spark.createDataFrame(rows, "series_id string, bucket_ts timestamp, avg double")
+    out = sorted(
+        rolling_zscore(tier, n_window=24, value_col="avg").collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    flags = [r.is_anomaly for r in out]
+    assert flags[-1] is True and not any(flags[:-1])
+    base = np.array(vals[-25:-1])
+    n = len(base)
+    s, ss = base.sum(), (base * base).sum()
+    var = (ss - s * s / n) / (n - 1)
+    expected = (100.0 - s / n) / np.sqrt(var)
+    assert out[-1].zscore == expected  # bit-exact: same formula, same operands
+    # first two rows: baseline of 0/1 points -> null z, not anomalous
+    assert out[0].zscore is None and out[1].zscore is None
+
+
+def test_rolling_zscore_zero_variance_guard(spark):
+    rows = [("s", t(60 * i), 5.0) for i in range(10)]
+    tier = spark.createDataFrame(rows, "series_id string, bucket_ts timestamp, avg double")
+    out = rolling_zscore(tier, n_window=24, value_col="avg").collect()
+    assert all(r.zscore is None for r in out)
+    assert not any(r.is_anomaly for r in out)
