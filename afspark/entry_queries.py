@@ -1575,6 +1575,39 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_percentile_1h(spark, sf_dir):
+    """Exact latency-percentile tier (p50/p90/p99 per series-hour).
+
+    Spark's exact interpolated percentile == DuckDB's quantile_cont on
+    integer-cents inputs (probed bit-exact; same linear-interpolation
+    definition), so the hash matches with no tolerance."""
+    from .operators.rollup import percentile_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = percentile_rollup(pts, TIERS["1h"])
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "cnt",
+        _r(F.col("p50") / 100.0, 6).alias("p50"),
+        _r(F.col("p90") / 100.0, 6).alias("p90"),
+        _r(F.col("p99") / 100.0, 6).alias("p99"),
+    )
+
+
+SQL_PERCENTILE_1H = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch
+               FROM events)
+    SELECT series_id, bucket_epoch, count(*) AS cnt,
+           floor((quantile_cont(v, 0.5)/100.0)*1000000.0 + 0.5)/1000000.0 AS p50,
+           floor((quantile_cont(v, 0.9)/100.0)*1000000.0 + 0.5)/1000000.0 AS p90,
+           floor((quantile_cont(v, 0.99)/100.0)*1000000.0 + 0.5)/1000000.0 AS p99
+    FROM c GROUP BY 1, 2
+"""
+
+
 def q_counter_rate_1h(spark, sf_dir):
     """PromQL-style counter rate per (series, 1h bucket) with resets.
 
@@ -1805,6 +1838,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
     "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
+    "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
 }
 

@@ -115,6 +115,38 @@ def rollup_all_tiers(
     return out
 
 
+def percentile_rollup(
+    points: DataFrame,
+    tier_seconds: int,
+    quantiles: list[float] = [0.5, 0.9, 0.99],
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-(series, bucket) quantiles — the latency-percentile tier.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` (linear
+    interpolation, identical to DuckDB's quantile_cont — verified
+    bit-exact on integer-cents inputs), which buffers each group's values:
+    fine for tier buckets (bounded by the bucket span), wrong for
+    unbounded groups.  ``exact=False`` switches to ``approx_percentile``
+    (t-digest-style sketch, constant memory) — the 100 TB default when a
+    bucket can hold millions of samples; sketches merge map-side like any
+    algebraic aggregate.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = [
+        F.expr(f"{fn}({value_col}, {q})").alias(f"p{int(q * 100):02d}")
+        for q in quantiles
+    ]
+    return (
+        points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), tier_seconds))
+        .groupBy(*keys, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"), *aggs)
+    )
+
+
 def refresh_tier_incremental(
     committed: DataFrame,
     new_points: DataFrame,

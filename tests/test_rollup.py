@@ -206,3 +206,24 @@ def test_incremental_refresh_first_last_bit_exact(spark):
     assert (r.cnt, r.min, r.max) == (5, 1.0, 9.0)
     assert (r.first, r.last) == (9.0, 4.0)  # late point becomes the first
     assert r.sum == pytest.approx(26.0)
+
+
+def test_percentile_rollup_exact_and_approx(spark):
+    """Exact percentiles golden; approx path returns same schema and
+    sketch-close values."""
+    import datetime as dtm
+
+    from afspark.operators.rollup import percentile_rollup
+
+    rows = [
+        ("s", dtm.datetime(2024, 1, 1, 0, 0, i), float(v))
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    r = percentile_rollup(pts, 3600).collect()[0]
+    assert r.cnt == 10
+    assert r.p50 == pytest.approx(5.5)   # interpolated median of 1..10
+    assert r.p90 == pytest.approx(9.1)
+    a = percentile_rollup(pts, 3600, exact=False).collect()[0]
+    assert set(a.asDict()) == set(r.asDict())
+    assert a.p50 == pytest.approx(r.p50, abs=1.0)
