@@ -9,8 +9,10 @@ Catalyst); nothing is a line-by-line port — see SURVEY.md.
 Layout
 ------
 functions/   pure numpy kernels (reference semantics, no Spark), codecs
-operators/   DataFrame operators: windows, score, rollup, gapfill, ooo,
-             dedup, similarity, text, multimodal
+operators/   DataFrame operators: windows, score, rollup (incl. incremental
+             refresh + percentile tiers), gapfill, ooo, tsanalytics
+             (counter rate, z-score anomalies), asof, sessions, rangejoin,
+             lttb, dedup, similarity, text, multimodal
 sources/     deterministic pages/samples generators, chunk store
 plans/       planner heuristics (assembly strategy, salting)
 streaming/   checkpoint/lineage + resume
