@@ -126,3 +126,43 @@ def test_ivf_store_partition_pruning(spark, sf_dir, tmp_path):
     seg = plan.split("PartitionFilters:")[1].split("]")[0]
     probed = {int(x) for x in re.findall(r"IN \(([-\d,]+)\)", seg)[0].split(",")}
     assert 0 < len(probed) <= 4 < n_cells_on_disk
+
+
+def test_incremental_refresh_broadcasts_touched_set(spark, sf_dir):
+    """Both the locating semi-join and the untouched anti-join must
+    broadcast the (tiny) touched-bucket set — the committed tier is never
+    shuffled wholesale for a refresh."""
+    from afspark.operators.rollup import TIERS, refresh_tier_incremental, rollup_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    tagged = ev.withColumn("_h", F.pmod(F.xxhash64("series_id", "ts"), F.lit(7)))
+    committed = rollup_points(tagged.filter(F.col("_h") != 0).drop("_h"), TIERS["1h"])
+    out = refresh_tier_incremental(
+        committed, tagged.filter(F.col("_h") == 0).drop("_h"), TIERS["1h"]
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # no sort-merge join anywhere in the refresh
+    assert "SortMergeJoin" not in plan
+
+
+def test_counter_rate_single_series_shuffle(spark, sf_dir):
+    """The lag window and the bucket aggregation must reuse ONE series
+    shuffle: exactly one exchange below the final (partial-agg'd)
+    aggregation."""
+    from afspark.operators.tsanalytics import rate_per_bucket
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    out = rate_per_bucket(ev, 3600)
+    plan = _plan(out)
+    # ONE exchange total: hashpartitioning(series_id) feeds the lag
+    # window, and Catalyst recognizes that series-partitioning satisfies
+    # the (series, bucket) grouping requirement, so both HashAggregates
+    # run in the same stage with no second shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # map-side combine still present
