@@ -1575,6 +1575,45 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_ewma_events(spark, sf_dir):
+    """Chunk-parallel EWMA (alpha=0.05) vs a truncated-convolution oracle.
+
+    The engine runs the two-level linear-recurrence decomposition; DuckDB
+    evaluates the closed form ewma_i = a * sum_k (1-a)^k x_{i-k} truncated
+    at k=700 (0.95^700 ~ 2.5e-16, below double resolution), rounded to
+    4 dp so the 1e-13-scale algorithmic difference cannot reach the hash.
+    """
+    from .operators.tsanalytics import ewma
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = ewma(pts, 0.05, chunk_seconds=86_400)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("value").cast("long").alias("v_c"),
+        # +1e-9 nudge: alpha=1/20 makes many EWMA values EXACT decimal
+        # .XXXX5 boundaries; the nudge (>> engine float diff ~1e-13,
+        # << quantum 1e-4) pushes both engines to the same side
+        _r(F.col("ewma") / 100.0 + 1e-9, 4).alias("ew"),
+    )
+
+
+SQL_EWMA = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id, ts,
+                      floor(value*100 + 0.5) AS v FROM events),
+    r AS (SELECT series_id, ts, v,
+                 row_number() OVER (PARTITION BY series_id ORDER BY ts, v) AS rn
+          FROM c)
+    SELECT a.series_id, floor(epoch(a.ts))::BIGINT AS ts_epoch,
+           CAST(a.v AS BIGINT) AS v_c,
+           floor((sum(0.05 * power(0.95, a.rn - b.rn) * b.v) / 100.0
+                  + 0.000000001) * 10000.0 + 0.5)/10000.0 AS ew
+    FROM r a JOIN r b
+      ON a.series_id = b.series_id AND b.rn <= a.rn AND b.rn > a.rn - 700
+    GROUP BY a.series_id, a.ts, a.v, a.rn
+"""
+
+
 def q_percentile_1h(spark, sf_dir):
     """Exact latency-percentile tier (p50/p90/p99 per series-hour).
 
@@ -1839,6 +1878,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
     "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
     "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
+    "ewma_events": (q_ewma_events, SQL_EWMA),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
 }
 

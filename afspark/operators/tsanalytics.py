@@ -119,3 +119,87 @@ def rolling_zscore(
             .otherwise(F.lit(False)),
         )
     )
+
+
+def ewma(
+    points: DataFrame,
+    alpha: float,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Sample-order EWMA per series: y_i = (1-a)*y_{i-1} + a*x_i, y_{-1}=0.
+
+    EWMA looks inherently sequential, but it is a LINEAR recurrence, so it
+    parallelizes with the same two-level trick as the series offsets
+    (sources/pages.py): rows are chunked by time; each (series, chunk)
+    computes a zero-initialized local pass independently (one Arrow task
+    per chunk — parallel across series AND time); the cross-chunk state
+    obeys state_k = local_last_k + (1-a)^{n_k} * state_{k-1}, a recurrence
+    over ONE ROW PER CHUNK, evaluated in a tiny per-series pass; the carry
+    re-enters each row as (1-a)^{p+1} * carry_in (p = row position in its
+    chunk), which underflows to exactly the same negligible contribution
+    the sequential pass would have.  No single-task-per-series window
+    anywhere; skew bound is one chunk, not one series.
+
+    Matches the sequential recurrence to float round-off (tested at
+    rtol 1e-12 against a numpy loop).  Sample-order semantics: gaps in
+    time do not extra-decay (index EWMA, not time-decay EWMA).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .rollup import bucket_ts
+
+    one_minus = 1.0 - alpha
+    src = points.withColumn("_chunk", bucket_ts(F.col(ts_col), chunk_seconds))
+    key_cols = [*keys, "_chunk"]
+
+    fields = src.schema
+    ts_t = fields[ts_col].dataType.simpleString()
+    key_schema = ", ".join(f"{k} {fields[k].dataType.simpleString()}" for k in keys)
+    local_schema = (
+        f"{key_schema}, _chunk timestamp, {ts_col} {ts_t}, "
+        f"{value_col} double, _p long, _local double"
+    )
+
+    def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].to_numpy(np.float64)
+        # prepend-zero trick: pandas ewm(adjust=False) sets y_0 = x_0, so
+        # seed with 0 to realize the y_{-1}=0 convention, then drop it
+        z = pd.Series(np.concatenate([[0.0], x]))
+        local = z.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+        pdf["_p"] = np.arange(len(pdf), dtype=np.int64)
+        pdf["_local"] = local
+        return pdf[[*keys, "_chunk", ts_col, value_col, "_p", "_local"]]
+
+    local = src.select(*key_cols, ts_col, value_col).groupBy(*key_cols).applyInPandas(
+        lambda pdf: local_pass(pdf), local_schema
+    )
+
+    agg = local.groupBy(*key_cols).agg(
+        F.max_by("_local", "_p").alias("_a"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+    carry_schema = f"{key_schema}, _chunk timestamp, _carry double"
+
+    def chunk_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_chunk").reset_index(drop=True)
+        state = 0.0
+        carries = []
+        for a, n in zip(pdf["_a"].to_numpy(), pdf["_n"].to_numpy()):
+            carries.append(state)  # carry INTO this chunk
+            state = a + (one_minus ** int(n)) * state
+        pdf["_carry"] = carries
+        return pdf[[*keys, "_chunk", "_carry"]]
+
+    carries = agg.groupBy(*keys).applyInPandas(lambda pdf: chunk_scan(pdf), carry_schema)
+
+    out = local.join(carries, key_cols)
+    y = F.col("_local") + F.pow(F.lit(one_minus), F.col("_p") + 1) * F.col("_carry")
+    return out.withColumn("ewma", y).drop("_chunk", "_p", "_local", "_carry")

@@ -68,3 +68,43 @@ def test_rolling_zscore_zero_variance_guard(spark):
     out = rolling_zscore(tier, n_window=24, value_col="avg").collect()
     assert all(r.zscore is None for r in out)
     assert not any(r.is_anomaly for r in out)
+
+
+def test_ewma_parallel_equals_sequential(spark):
+    """Two-level chunked EWMA == the sequential recurrence, across several
+    chunk sizes (so real cross-chunk carries are exercised)."""
+    from afspark.operators.tsanalytics import ewma
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    rows = [
+        (s, t(7 * i), float(v))
+        for s in ("a", "b")
+        for i, v in enumerate(rng.normal(size=n))
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    alpha = 0.05
+
+    def seq_twin(vals):
+        y, out = 0.0, []
+        for x in vals:
+            y = (1 - alpha) * y + alpha * x
+            out.append(y)
+        return np.array(out)
+
+    expect = {}
+    by_series = {"a": [], "b": []}
+    for s, tt, v in rows:
+        by_series[s].append((tt, v))
+    for s, sv in by_series.items():
+        sv.sort()
+        expect[s] = seq_twin([v for _, v in sv])
+
+    for chunk_seconds in (3600, 86_400, 10 * 86_400):
+        out = ewma(pts, alpha, chunk_seconds=chunk_seconds)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.series_id, []).append((r.ts, r.ewma))
+        for s in ("a", "b"):
+            got_vals = np.array([v for _, v in sorted(got[s])])
+            np.testing.assert_allclose(got_vals, expect[s], rtol=1e-12, atol=1e-13)
