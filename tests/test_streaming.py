@@ -90,3 +90,39 @@ def test_streaming_stateful_dedup_across_batches(spark, tmpdir):
         assert got2 == {(10, "alpha"), (11, "beta"), (21, "gamma")}
     finally:
         q.stop()
+
+
+def test_stream_maintained_tier_equals_batch_and_redelivery_safe(spark, sf_dir, tmpdir):
+    """Three micro-batches through apply_batch_once == one batch rollup,
+    bit-exact INCLUDING first/last; redelivering a batch id is a no-op."""
+    from afspark.operators.rollup import TIERS, rollup_points
+    from afspark.streaming.stream_tier import apply_batch_once, read_tier_store
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    store = f"{tmpdir}/tier1h"
+    parts = [ev.filter(F.pmod(F.xxhash64("series_id", "ts"), F.lit(3)) == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        assert apply_batch_once(spark, store, p, i, TIERS["1h"]) is True
+    # redelivery of batch 1 must be skipped
+    assert apply_batch_once(spark, store, parts[1], 1, TIERS["1h"]) is False
+
+    got = {
+        (r.series_id, r.bucket_ts): (
+            r.cnt, r.sum, r.min, r.max, r.avg, r.first, r.last, r.first_ts, r.last_ts
+        )
+        for r in read_tier_store(spark, store).drop("bucket_date").collect()
+    }
+    want = {
+        (r.series_id, r.bucket_ts): (
+            r.cnt, r.sum, r.min, r.max, r.avg, r.first, r.last, r.first_ts, r.last_ts
+        )
+        for r in rollup_points(ev, TIERS["1h"]).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        g, w = got[k], want[k]
+        assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3], k   # cnt/min/max
+        assert g[1] == pytest.approx(w[1], rel=1e-12)
+        assert g[7] == w[7] and g[8] == w[8], k                    # first/last_ts
