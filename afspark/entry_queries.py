@@ -1575,6 +1575,68 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_histogram_1h(spark, sf_dir):
+    """Fixed-width histogram tier (bin width 5 units = 500 cents)."""
+    from .operators.rollup import histogram_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = histogram_rollup(pts, TIERS["1h"], bin_width=500.0)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+    )
+
+
+SQL_HISTOGRAM_1H = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch
+               FROM events)
+    SELECT series_id, bucket_epoch,
+           CAST(floor(v/500.0) AS BIGINT) AS bin, count(*) AS n
+    FROM c GROUP BY 1, 2, 3
+"""
+
+
+def q_trimmed_mean_1h(spark, sf_dir):
+    """5-95% trimmed mean per (series, 1h): thresholds are exact
+    percentiles on integer cents, so the filtered set is engine-exact."""
+    from .operators.rollup import trimmed_mean_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = trimmed_mean_rollup(pts, TIERS["1h"])
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "cnt_all",
+        "cnt_kept",
+        F.col("sum_kept").cast("long").alias("sum_kept_c"),
+        _r(F.col("trimmed_mean") / 100.0, 6).alias("tmean"),
+    )
+
+
+SQL_TRIMMED_MEAN_1H = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch
+               FROM events),
+    t AS (SELECT series_id, bucket_epoch,
+                 quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi,
+                 count(*) AS cnt_all
+          FROM c GROUP BY 1, 2)
+    SELECT c.series_id, c.bucket_epoch,
+           any_value(t.cnt_all) AS cnt_all,
+           count(*) AS cnt_kept,
+           CAST(sum(c.v) AS BIGINT) AS sum_kept_c,
+           floor((sum(c.v)/count(*)/100.0)*1000000.0 + 0.5)/1000000.0 AS tmean
+    FROM c JOIN t USING (series_id, bucket_epoch)
+    WHERE c.v >= t.lo AND c.v <= t.hi
+    GROUP BY 1, 2
+"""
+
+
 def q_ewma_events(spark, sf_dir):
     """Chunk-parallel EWMA (alpha=0.05) vs a truncated-convolution oracle.
 
@@ -1879,6 +1941,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
     "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
     "ewma_events": (q_ewma_events, SQL_EWMA),
+    "histogram_1h": (q_histogram_1h, SQL_HISTOGRAM_1H),
+    "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
 }
 

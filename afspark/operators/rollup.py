@@ -147,6 +147,71 @@ def percentile_rollup(
     )
 
 
+def histogram_rollup(
+    points: DataFrame,
+    tier_seconds: int,
+    bin_width: float,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus-style fixed-width histogram tier: per (series, bucket,
+    bin = floor(value/bin_width)) sample counts.
+
+    Long format (one row per non-empty bin) so sparse distributions cost
+    only their support; purely algebraic (map-side combined counts), and
+    histograms re-aggregate to coarser tiers by summing counts — the same
+    chaining as every other tier.
+    """
+    return (
+        points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), tier_seconds))
+        .withColumn("bin", F.floor(F.col(value_col) / F.lit(float(bin_width))))
+        .groupBy(*keys, "bucket_ts", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def trimmed_mean_rollup(
+    points: DataFrame,
+    tier_seconds: int,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust tier statistic: mean of values inside the [lo, hi] quantile
+    band per (series, bucket) — outlier-resistant where plain avg is not.
+
+    Two passes sharing one shuffle key: bucket quantile thresholds
+    (exact interpolated percentile), then a co-partitioned join back and
+    a filtered algebraic mean.  On integer-valued inputs the thresholds
+    are bit-identical across engines, so the filtered row set — and hence
+    the trimmed mean — is engine-exact (driver oracle hash-matches).
+    """
+    v = F.col(value_col)
+    bucketed = points.withColumn(
+        "bucket_ts", bucket_ts(F.col(ts_col), tier_seconds)
+    )
+    thresholds = bucketed.groupBy(*keys, "bucket_ts").agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+        F.count(F.lit(1)).alias("cnt_all"),
+    )
+    on = [*keys, "bucket_ts"]
+    return (
+        bucketed.join(thresholds, on)
+        .filter((v >= F.col("_lo")) & (v <= F.col("_hi")))
+        .groupBy(*on)
+        .agg(
+            F.first("cnt_all").alias("cnt_all"),
+            F.count(v).alias("cnt_kept"),
+            F.sum(v).alias("sum_kept"),
+            (F.sum(v) / F.count(v)).alias("trimmed_mean"),
+        )
+    )
+
+
 def refresh_tier_incremental(
     committed: DataFrame,
     new_points: DataFrame,

@@ -227,3 +227,34 @@ def test_percentile_rollup_exact_and_approx(spark):
     a = percentile_rollup(pts, 3600, exact=False).collect()[0]
     assert set(a.asDict()) == set(r.asDict())
     assert a.p50 == pytest.approx(r.p50, abs=1.0)
+
+
+def test_histogram_rollup_bins(spark):
+    import datetime as dtm
+
+    from afspark.operators.rollup import histogram_rollup
+
+    rows = [("s", dtm.datetime(2024, 1, 1, 0, 0, i), v)
+            for i, v in enumerate([1.0, 4.0, 6.0, 11.0, -1.0])]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    out = {r.bin: r.n for r in histogram_rollup(pts, 3600, 5.0).collect()}
+    assert out == {0: 2, 1: 1, 2: 1, -1: 1}  # floor toward -inf for negatives
+
+
+def test_trimmed_mean_excludes_outliers(spark):
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.rollup import trimmed_mean_rollup
+
+    vals = [float(v) for v in range(1, 20)] + [1000.0]
+    rows = [("s", dtm.datetime(2024, 1, 1, 0, 0, i), v) for i, v in enumerate(vals)]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    r = trimmed_mean_rollup(pts, 3600).collect()[0]
+    lo = np.percentile(vals, 5)   # linear interpolation == Spark percentile
+    hi = np.percentile(vals, 95)
+    kept = [v for v in vals if lo <= v <= hi]
+    assert 1000.0 not in kept
+    assert (r.cnt_all, r.cnt_kept) == (20, len(kept))
+    assert r.trimmed_mean == pytest.approx(sum(kept) / len(kept))
