@@ -1575,6 +1575,31 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_topk_event_types_1d(spark, sf_dir):
+    """Trending event types: top-3 per day by count (ties on name)."""
+    from .operators.tsanalytics import topk_per_bucket
+
+    ev = _read(spark, sf_dir, "events")
+    out = topk_per_bucket(ev, TIERS["1d"], k=3)
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "event_type",
+        "n",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SQL_TOPK_EVENT_TYPES = """
+    WITH c AS (SELECT (floor(epoch(ts)/86400)*86400)::BIGINT AS bucket_epoch,
+                      event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY bucket_epoch
+                                       ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT bucket_epoch, event_type, n, rk FROM r WHERE rk <= 3
+"""
+
+
 def q_histogram_1h(spark, sf_dir):
     """Fixed-width histogram tier (bin width 5 units = 500 cents)."""
     from .operators.rollup import histogram_rollup
@@ -1942,6 +1967,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
     "ewma_events": (q_ewma_events, SQL_EWMA),
     "histogram_1h": (q_histogram_1h, SQL_HISTOGRAM_1H),
+    "topk_event_types_1d": (q_topk_event_types_1d, SQL_TOPK_EVENT_TYPES),
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
 }

@@ -121,6 +121,37 @@ def rolling_zscore(
     )
 
 
+def topk_per_bucket(
+    points: DataFrame,
+    tier_seconds: int,
+    k: int = 3,
+    term_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Heavy hitters per time bucket: top-k terms by count in each bucket.
+
+    Group-wise top-k, the trending-terms query.  One algebraic count
+    aggregation, then a rank window PARTITIONED BY BUCKET — parallel
+    across buckets (the window's partition count grows with time, never a
+    global sort).  Ties break on the term for deterministic,
+    engine-independent output.  At 100 TB the count shuffle dominates and
+    is map-side combined; the ranked input is already one row per
+    (bucket, term).
+    """
+    from .rollup import bucket_ts
+
+    counts = (
+        points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), tier_seconds))
+        .groupBy("bucket_ts", term_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("bucket_ts").orderBy(F.col("n").desc(), F.col(term_col))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def ewma(
     points: DataFrame,
     alpha: float,

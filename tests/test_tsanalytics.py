@@ -108,3 +108,17 @@ def test_ewma_parallel_equals_sequential(spark):
         for s in ("a", "b"):
             got_vals = np.array([v for _, v in sorted(got[s])])
             np.testing.assert_allclose(got_vals, expect[s], rtol=1e-12, atol=1e-13)
+
+
+def test_topk_per_bucket_deterministic_ties(spark):
+    """Counts and deterministic tie-break (alphabetical at equal n)."""
+    from afspark.operators.tsanalytics import topk_per_bucket
+
+    rows = (
+        [("x",)] * 3 + [("b",)] * 2 + [("a",)] * 2 + [("z",)] * 1
+    )
+    pts = spark.createDataFrame(
+        [(t(i), r[0]) for i, r in enumerate(rows)], "ts timestamp, event_type string"
+    )
+    out = sorted((r.rk, r.event_type, r.n) for r in topk_per_bucket(pts, 3600, k=3).collect())
+    assert out == [(1, "x", 3), (2, "a", 2), (3, "b", 2)]
