@@ -1575,6 +1575,60 @@ def q_salted_domain_stats(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Fingerprint-overlap containment pairs (md5 portable twin).
+
+    min_shared=1 at this corpus scale so coincidental single-window
+    collisions still flow through the gate deterministically."""
+    from .operators.text import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = containment_pairs(
+        docs.select("doc_id", "text"), min_shared=1, hash_mode="md5"
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "shared",
+        "n_a",
+        "n_b",
+        _r(F.col("containment"), 6).alias("containment"),
+    )
+
+
+SQL_CONTAINMENT_PAIRS = """
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS ts
+      FROM documents
+    ), w AS (
+      SELECT doc_id AS id,
+             md5(array_to_string(ts[i:i+7], ' ')) AS fp
+      FROM toks, unnest(generate_series(1, len(ts) - 7)) AS t(i)
+      WHERE len(ts) >= 8
+    ), kept AS (
+      SELECT DISTINCT id, fp FROM w
+      WHERE (strpos('0123456789abcdef', substr(fp, 32, 1)) - 1) % 4 = 0
+    ), rare AS (
+      SELECT fp FROM kept GROUP BY fp HAVING count(*) <= 50
+    ), capped AS (
+      SELECT kept.id, kept.fp FROM kept JOIN rare USING (fp)
+    ), sizes AS (
+      SELECT id, count(*) AS n_fp FROM capped GROUP BY id
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 1
+    )
+    SELECT s.id_a, s.id_b, s.shared,
+           sa.n_fp AS n_a, sb.n_fp AS n_b,
+           floor((s.shared / least(sa.n_fp, sb.n_fp))*1000000.0 + 0.5)/1000000.0
+             AS containment
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.id
+    JOIN sizes sb ON s.id_b = sb.id
+"""
+
+
 def q_topk_event_types_1d(spark, sf_dir):
     """Trending event types: top-3 per day by count (ties on name)."""
     from .operators.tsanalytics import topk_per_bucket
@@ -1968,6 +2022,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma_events": (q_ewma_events, SQL_EWMA),
     "histogram_1h": (q_histogram_1h, SQL_HISTOGRAM_1H),
     "topk_event_types_1d": (q_topk_event_types_1d, SQL_TOPK_EVENT_TYPES),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
 }

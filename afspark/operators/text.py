@@ -313,3 +313,64 @@ def stratified_split(
             bucket < cum, F.lit(name)
         )
     return docs.withColumn("split", expr)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    keep_every: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Containment/quotation detection via 0-mod-p fingerprint overlap.
+
+    A passage of one document quoted inside another yields the SAME kept
+    fingerprints at any offset (content-defined selection), so
+    containment(a, b) = |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|) ≈ 1 when
+    the smaller document is contained in the larger — the asymmetric
+    relation MinHash/Jaccard misses (Jaccard of a small quote inside a
+    big page is tiny).
+
+    Scale shape: fingerprints appearing in more than ``max_df`` documents
+    are dropped BEFORE the self-join (boilerplate windows — navigation
+    chrome, license boilerplate — carry no containment signal and would
+    fan out quadratically); set sizes are measured after the cap so the
+    ratio stays consistent.  The join is a fingerprint equi-join, counts
+    are map-side combined.
+    """
+    fps = (
+        rolling_hash_fingerprints(
+            docs, text_col, id_col, window_tokens, keep_every, hash_mode
+        )
+        .select("id", "fp")
+        .distinct()
+    )
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    fps = fps.join(rare.select("fp"), "fp", "left_semi")
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (F.col("shared") / F.least("n_a", "n_b")).alias("containment"),
+        )
+    )

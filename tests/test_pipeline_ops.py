@@ -484,3 +484,25 @@ def test_stratified_split_properties(spark, sf_dir):
     # weights must sum to 1000
     with pytest.raises(ValueError):
         stratified_split(docs, weights=[("a", 500), ("b", 400)])
+
+
+def test_containment_pairs_planted_quote(spark):
+    """Doc A fully quoted inside doc B at an arbitrary token offset ->
+    containment ~= 1 for (A,B); unrelated doc stays below threshold."""
+    from afspark.operators.text import containment_pairs
+
+    import random
+
+    rng = random.Random(3)
+    words = lambda n: " ".join(f"w{rng.randrange(10_000)}" for _ in range(n))
+    a_text = words(40)
+    b_text = words(13) + " " + a_text + " " + words(9)   # quote at offset 13
+    c_text = words(60)
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r for r in containment_pairs(docs, min_shared=1).collect()}
+    ab = out.get((1, 2))
+    assert ab is not None, "quoted pair must be detected"
+    assert ab.containment == 1.0          # every kept fp of A appears in B
+    assert (1, 3) not in out and (2, 3) not in out
