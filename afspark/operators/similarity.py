@@ -229,3 +229,104 @@ def ivf_topk(
     cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     scored = joined.select("qid", F.col("id").alias("cid"), cos.alias("cos_sim"))
     return _topk_per_query(scored, k)
+
+
+def train_codebook_distributed(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus.
+
+    Upgrades train_codebook (bounded driver sample) for corpora whose
+    distribution a sample cannot represent.  Scale shape per iteration:
+    one narrow Arrow pass assigns vectors and emits PER-ARROW-BATCH
+    partial (cell, sum_vector, count) rows — O(batches * n_cells) tiny
+    rows, never the vectors themselves — which a driver-side combine
+    reduces to the new centroids (n_cells * dim doubles).  No shuffle of
+    corpus rows at any point; total network traffic per iteration is
+    centroids out (broadcast via closure) + partials back.
+
+    Deterministic farthest-point init (maximin): seed 1 is the vector
+    with the smallest md5(seed || id) (position-independent); each next
+    seed is the corpus point farthest from the chosen set (ties broken by
+    id) — one narrow pass per seed, partial max per Arrow batch, so
+    well-separated clusters always receive a seed (random init can put
+    every seed in one blob and Lloyd's cannot recover).  Empty cells keep
+    their previous centroid.
+    """
+    ids_v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    first = (
+        ids_v.withColumn(
+            "_h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(1)
+        .toPandas()
+    )
+    seeds = [np.asarray(first["v"].iloc[0], dtype=np.float64)]
+    while len(seeds) < n_cells:
+        chosen = np.stack(seeds)
+
+        def far_partial(batches):
+            best = None  # (dist, -id, vec) — max dist, tie -> smallest id
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["v"].to_numpy())
+                d2 = ((X[:, None, :] - chosen[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+                ids = pdf["id"].to_numpy()
+                order = np.lexsort((ids, -d2))  # max d2, then min id
+                i = order[0]
+                cand = (float(d2[i]), int(ids[i]), list(map(float, X[i])))
+                if best is None or (cand[0], -cand[1]) > (best[0], -best[1]):
+                    best = cand
+            if best is not None:
+                yield pd.DataFrame(
+                    {"d2": [best[0]], "id": [best[1]], "v": [best[2]]}
+                )
+
+        cand = ids_v.mapInPandas(
+            far_partial, "d2 double, id long, v array<double>"
+        ).toPandas()
+        cand = cand.sort_values(["d2", "id"], ascending=[False, True]).iloc[0]
+        seeds.append(np.asarray(cand["v"], dtype=np.float64))
+    cents = np.stack(seeds)
+    src = corpus.select(_as_double(vec_col).alias("v"))
+
+    for _ in range(iters):
+        cb = cents.copy()
+
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["v"].to_numpy())
+                d2 = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                cells, counts = np.unique(assign, return_counts=True)
+                sums = np.zeros((len(cells), X.shape[1]))
+                for j, c in enumerate(cells):
+                    sums[j] = X[assign == c].sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype(np.int32),
+                        "s": list(sums),
+                        "n": counts.astype(np.int64),
+                    }
+                )
+
+        agg = src.mapInPandas(
+            partials, f"cell int, s array<double>, n long"
+        ).toPandas()
+        new = cents.copy()
+        for c in range(n_cells):
+            rows = agg[agg["cell"] == c]
+            if len(rows):
+                total = np.sum(np.stack(rows["s"].to_numpy()), axis=0)
+                new[c] = total / rows["n"].sum()
+        cents = new
+    return cents

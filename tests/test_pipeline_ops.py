@@ -506,3 +506,38 @@ def test_containment_pairs_planted_quote(spark):
     assert ab is not None, "quoted pair must be detected"
     assert ab.containment == 1.0          # every kept fp of A appears in B
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_distributed_kmeans_recovers_blobs(spark):
+    """3 well-separated 8-dim blobs: distributed Lloyd's recovers one
+    centroid per blob (within noise), invariant to partitioning."""
+    import numpy as np
+
+    from afspark.operators.similarity import (
+        assign_cells,
+        train_codebook_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0, -10.0] * 4])
+    X = np.concatenate([c + rng.normal(0, 0.5, size=(50, 8)) for c in centers])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb = train_codebook_distributed(emb, n_cells=3, iters=6)
+    # each learned centroid sits within 0.5 of exactly one true center
+    d = ((cb[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) ** 0.5
+    matched = d.min(axis=1)
+    assert (matched < 0.5).all(), matched
+    assert set(d.argmin(axis=1)) == {0, 1, 2}
+
+    # assignment purity: every vector lands with its blob's centroid
+    cells = assign_cells(emb, cb).toPandas()
+    blob = cells["id"].to_numpy() // 50
+    by_blob = {b: set(cells["cell"][blob == b]) for b in (0, 1, 2)}
+    assert all(len(s) == 1 for s in by_blob.values())
+
+    # partitioning invariance of the deterministic init + result
+    cb2 = train_codebook_distributed(emb.repartition(13), n_cells=3, iters=6)
+    d2 = ((cb2[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) ** 0.5
+    assert (d2.min(axis=1) < 0.5).all()
