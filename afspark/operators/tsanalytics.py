@@ -211,6 +211,10 @@ def ewma(
     local = src.select(*key_cols, ts_col, value_col).groupBy(*key_cols).applyInPandas(
         lambda pdf: local_pass(pdf), local_schema
     )
+    # consumed twice (chunk aggregates + final join): persist so the Arrow
+    # pass runs once; the block is reclaimed by the ContextCleaner when the
+    # returned DataFrame is garbage collected
+    local = local.persist()
 
     agg = local.groupBy(*key_cols).agg(
         F.max_by("_local", "_p").alias("_a"),
