@@ -208,6 +208,35 @@ def read_points_range(
     return decode_chunks(chunks)
 
 
+def apply_retention(
+    spark: SparkSession,
+    policies: dict[str, tuple[str, int]],
+    today: str,
+) -> dict[str, int]:
+    """Enforce a per-tier retention policy across a set of tier/chunk
+    stores: ``policies`` maps a label to (store_path, keep_days).
+
+    The TimescaleDB-style policy table made explicit: raw points keep
+    e.g. 7 days, the 1m tier 90, the 1h tier 365, coarser tiers forever
+    (keep_days < 0 disables expiry).  Each store drops whole
+    ``chunk_date=`` partitions older than today - keep_days — directory
+    deletes, no data rewrite (expire_chunks).  Returns partitions removed
+    per label.  ``today`` is explicit (no wall-clock read) so runs are
+    deterministic and replayable.
+    """
+    import datetime as _dt
+
+    t = _dt.date.fromisoformat(today)
+    removed: dict[str, int] = {}
+    for label, (path, keep_days) in policies.items():
+        if keep_days < 0:
+            removed[label] = 0
+            continue
+        cutoff = (t - _dt.timedelta(days=keep_days)).isoformat()
+        removed[label] = expire_chunks(spark, path, cutoff)
+    return removed
+
+
 def compact_chunks(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> int:

@@ -318,3 +318,34 @@ def test_compaction_merges_small_files_preserving_points(spark, tmpdir):
     assert point_multiset() == before_pts
     # idempotent: another pass is a no-op
     assert compact_chunks(spark, store) == 0
+
+
+def test_retention_policy_per_store(spark, tmpdir):
+    """Policy map drops only partitions older than each store's horizon;
+    keep_days < 0 disables expiry; surviving points intact."""
+    import datetime as dtm
+
+    from afspark.sources.chunkstore import apply_retention, write_chunk_store
+
+    def mk(days):
+        rows = [
+            ("s", dtm.datetime(2024, 1, d, h, 0, 0), float(d * 100 + h))
+            for d in days
+            for h in range(4)
+        ]
+        return spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+
+    raw, tier = f"{tmpdir}/raw", f"{tmpdir}/tier"
+    write_chunk_store(mk([1, 2, 3, 4, 5]), raw, mode="overwrite")
+    write_chunk_store(mk([1, 2, 3, 4, 5]), tier, mode="overwrite")
+
+    removed = apply_retention(
+        spark, {"raw": (raw, 2), "tier": (tier, -1)}, today="2024-01-05"
+    )
+    assert removed == {"raw": 2, "tier": 0}  # Jan 1-2 dropped (cutoff Jan 3)
+    days_left = sorted(
+        r.d for r in read_points(spark, raw).select(F.dayofmonth("ts").alias("d")).distinct().collect()
+    )
+    assert days_left == [3, 4, 5]
+    tier_days = read_points(spark, tier).select(F.dayofmonth("ts").alias("d")).distinct().count()
+    assert tier_days == 5
