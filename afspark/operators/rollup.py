@@ -136,9 +136,19 @@ def percentile_rollup(
     algebraic aggregate.
     """
     fn = "percentile" if exact else "approx_percentile"
+
+    def _label(q: float) -> str:
+        # p50, p99, p99_9 — round (0.29*100 == 28.999...), never truncate,
+        # and keep sub-percent quantiles distinct instead of colliding
+        pct = round(q * 1000) / 10
+        return f"p{pct:g}".replace(".", "_")
+
+    labels = [_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantiles collide after labeling: {labels}")
     aggs = [
-        F.expr(f"{fn}({value_col}, {q})").alias(f"p{int(q * 100):02d}")
-        for q in quantiles
+        F.expr(f"{fn}({value_col}, {q})").alias(lab)
+        for q, lab in zip(quantiles, labels)
     ]
     return (
         points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), tier_seconds))

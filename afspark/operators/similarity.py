@@ -31,6 +31,16 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances via the GEMM expansion
+    ||x||^2 + ||c||^2 - 2 x.c — O(rows x cells) memory instead of the
+    O(rows x cells x dim) broadcast tensor (0.9 GB per 10k-row batch at
+    dim=768, an executor OOM at realistic embedding widths)."""
+    xx = (X * X).sum(axis=1)[:, None]
+    cc = (C * C).sum(axis=1)[None, :]
+    return np.maximum(xx + cc - 2.0 * (X @ C.T), 0.0)
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Exact per-query top-k over (qid, cid, cos_sim) WITHOUT a full-corpus
     window.
@@ -151,7 +161,7 @@ def assign_cells(
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["v"].to_numpy())
-            d2 = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sq_dists(X, cb)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
@@ -277,7 +287,7 @@ def train_codebook_distributed(
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf["v"].to_numpy())
-                d2 = ((X[:, None, :] - chosen[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+                d2 = _sq_dists(X, chosen).min(axis=1)
                 ids = pdf["id"].to_numpy()
                 order = np.lexsort((ids, -d2))  # max d2, then min id
                 i = order[0]
@@ -305,8 +315,7 @@ def train_codebook_distributed(
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf["v"].to_numpy())
-                d2 = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
+                assign = _sq_dists(X, cb).argmin(axis=1)
                 cells, counts = np.unique(assign, return_counts=True)
                 sums = np.zeros((len(cells), X.shape[1]))
                 for j, c in enumerate(cells):

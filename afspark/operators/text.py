@@ -161,6 +161,20 @@ def rolling_hash_fingerprints(
     return fps.filter(F.pmod(F.col("fp"), F.lit(keep_every)) == 0)
 
 
+def _id_hash_head32(id_col: str, salt: str):
+    """First 32 bits of md5(salt:id) as a long — the engine's portable
+    ID-hash (DuckDB twin: entry_queries._md5_head32_sql).  Shared by
+    deterministic_sample and stratified_split so the two can never
+    silently diverge."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def deterministic_sample(
     docs: DataFrame,
     pct: int,
@@ -177,12 +191,7 @@ def deterministic_sample(
     """
     if not 0 <= pct <= 100:
         raise ValueError("pct must be in [0, 100]")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return docs.filter(F.pmod(h, F.lit(100)) < pct)
+    return docs.filter(F.pmod(_id_hash_head32(id_col, salt), F.lit(100)) < pct)
 
 
 def top_terms(
@@ -297,14 +306,7 @@ def stratified_split(
     total = sum(w for _, w in weights)
     if total != 1000:
         raise ValueError(f"weights must sum to 1000 permille, got {total}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    bucket = F.pmod(h, F.lit(1000))
+    bucket = F.pmod(_id_hash_head32(id_col, salt), F.lit(1000))
     expr = None
     cum = 0
     for name, w in weights:

@@ -276,11 +276,20 @@ def compact_chunks(
         "/", F.col("chunk_date").cast("string"), F.col("bucket").cast("string")
     )
     df = read_chunk_store(spark, path).filter(key_col.isin(keys))
+    # repartitioning on the partition key alone would put each
+    # (chunk_date, bucket) wholly in ONE task => always one output file;
+    # a series-hash salt splits a partition's rows across target_files
+    # tasks so the parameter actually bounds file size
+    salt = F.pmod(F.xxhash64("series_id"), F.lit(target_files))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.repartition(max(1, len(touched) * target_files), "chunk_date", "bucket")
+            df.withColumn("_salt", salt)
+            .repartition(
+                max(1, len(touched) * target_files), "chunk_date", "bucket", "_salt"
+            )
+            .drop("_salt")
             .write.mode("overwrite")
             .partitionBy("chunk_date", "bucket")
             .parquet(path)
@@ -291,21 +300,24 @@ def compact_chunks(
 
 
 def expire_chunks(spark: SparkSession, path: str, older_than_date: str) -> int:
-    """Retention enforcement: drop chunk partitions older than the cutoff.
+    """Retention enforcement: drop date partitions older than the cutoff.
 
     Returns the number of partition directories removed.  Implemented as
-    directory-level deletes of expired ``chunk_date=`` partitions — the
-    parquet analog of Iceberg's expire-snapshots/delete-partition; no
-    data rewrite, surviving chunks untouched.
+    directory-level deletes of expired date partitions — the parquet
+    analog of Iceberg's expire-snapshots/delete-partition; no data
+    rewrite, surviving partitions untouched.  Handles both store layouts:
+    chunk stores (``chunk_date=``) and streaming tier stores
+    (``bucket_date=``, stream_tier.py).
     """
     import shutil
     from pathlib import Path
 
     root = Path(path)
     removed = 0
-    for p in sorted(root.glob("chunk_date=*")):
-        date = p.name.split("=", 1)[1]
-        if date < older_than_date:
-            shutil.rmtree(p)
-            removed += 1
+    for pattern in ("chunk_date=*", "bucket_date=*"):
+        for p in sorted(root.glob(pattern)):
+            date = p.name.split("=", 1)[1]
+            if date < older_than_date:
+                shutil.rmtree(p)
+                removed += 1
     return removed

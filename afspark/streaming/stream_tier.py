@@ -9,11 +9,19 @@ store with refresh_tier_incremental — full tier schema including
 first/last, bounded state (the store is on disk, not in the stream), and
 arbitrarily late data handled by the same algebra as the batch OoO path.
 
-Exactly-once: foreachBatch may redeliver a batch after a failure; the
-merge is NOT idempotent (counts would double), so applied batch ids are
-recorded in the store (`_applied_batches.json`) and redeliveries are
-skipped — the standard idempotent-sink recipe, tested with a forced
-redelivery.
+Delivery semantics: foreachBatch may redeliver a batch after a failure;
+the merge is NOT idempotent (counts would double), so batch ids are
+journaled in the store (`_applied_batches.json`, atomic replace) with a
+TWO-PHASE record: `intent` before the merge, `committed` after.
+Committed redeliveries are skipped.  A redelivery that finds a dangling
+`intent` (crash inside the merge-commit window) raises instead of
+guessing — without transactional storage (Iceberg MERGE) it cannot be
+known whether the partial merge landed, and a detectable stall beats
+silent double-counting; remediation is to rebuild the touched dates via
+the batch/OoO path and clear the entry.  Batch ids are only meaningful
+within one streaming-checkpoint lineage, so the journal is bound to the
+checkpoint location and refuses a mismatched one (a checkpoint-less
+restart would replay ids from 0 and silently drop new data).
 """
 
 from __future__ import annotations
@@ -89,15 +97,28 @@ def refresh_tier_store(
         new_points.unpersist()
 
 
-def _applied_path(path: str) -> Path:
+def _journal_path(path: str) -> Path:
     return Path(path) / "_applied_batches.json"
 
 
-def _applied_ids(path: str) -> set[int]:
-    p = _applied_path(path)
+def _read_journal(path: str) -> dict:
+    p = _journal_path(path)
     if not p.exists():
-        return set()
-    return set(json.loads(p.read_text()))
+        return {"lineage": None, "batches": {}}
+    data = json.loads(p.read_text())
+    if isinstance(data, list):  # pre-two-phase layout: all were committed
+        return {"lineage": None, "batches": {str(b): "committed" for b in data}}
+    return data
+
+
+def _write_journal(path: str, journal: dict) -> None:
+    import os
+
+    p = _journal_path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(journal, sort_keys=True))
+    os.replace(tmp, p)  # atomic: the journal is never observed half-written
 
 
 def apply_batch_once(
@@ -107,15 +128,37 @@ def apply_batch_once(
     batch_id: int,
     tier_seconds: int,
     keys: list[str] = ["series_id"],
+    lineage: str | None = None,
 ) -> bool:
     """foreachBatch body: merge the batch unless its id was already
-    applied (exactly-once under redelivery).  Returns True if applied."""
-    applied = _applied_ids(path)
-    if batch_id in applied:
+    committed.  Two-phase journal (see module docstring): a dangling
+    intent from a crash raises rather than double-applying; a lineage
+    (checkpoint location) mismatch raises rather than colliding batch
+    ids from a different stream.  Returns True if applied."""
+    journal = _read_journal(path)
+    if lineage is not None:
+        if journal["lineage"] not in (None, lineage):
+            raise RuntimeError(
+                f"tier store {path} was written by checkpoint lineage "
+                f"{journal['lineage']!r}; refusing batch ids from {lineage!r} "
+                "— batch ids are only comparable within one checkpoint"
+            )
+        journal["lineage"] = lineage
+    state = journal["batches"].get(str(batch_id))
+    if state == "committed":
         return False
+    if state == "intent":
+        raise RuntimeError(
+            f"batch {batch_id} has a dangling intent in {path}: a previous "
+            "attempt crashed inside the merge-commit window and it is unknown "
+            "whether its partial merge landed. Rebuild the touched dates from "
+            "the batch/OoO path, then clear the entry from _applied_batches.json"
+        )
+    journal["batches"][str(batch_id)] = "intent"
+    _write_journal(path, journal)
     refresh_tier_store(spark, path, batch_df, tier_seconds, keys)
-    applied.add(batch_id)
-    _applied_path(path).write_text(json.dumps(sorted(applied)))
+    journal["batches"][str(batch_id)] = "committed"
+    _write_journal(path, journal)
     return True
 
 
@@ -124,16 +167,26 @@ def stream_to_tier_store(
     source_dir: str,
     schema: str,
     store_path: str,
+    checkpoint_dir: str,
     tier_seconds: int = 3600,
-    checkpoint_dir: str | None = None,
 ):
-    """File-source stream -> incremental tier store via foreachBatch."""
+    """File-source stream -> incremental tier store via foreachBatch.
+
+    ``checkpoint_dir`` is REQUIRED: without a checkpoint the source
+    restarts numbering batches from 0, and previously-journaled ids would
+    silently swallow never-before-seen data."""
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir is required (batch-id lineage)")
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch_once(spark, store_path, batch_df, batch_id, tier_seconds)
+        apply_batch_once(
+            spark, store_path, batch_df, batch_id, tier_seconds,
+            lineage=checkpoint_dir,
+        )
 
-    writer = stream.writeStream.foreachBatch(sink)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

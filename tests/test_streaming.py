@@ -126,3 +126,30 @@ def test_stream_maintained_tier_equals_batch_and_redelivery_safe(spark, sf_dir, 
         assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3], k   # cnt/min/max
         assert g[1] == pytest.approx(w[1], rel=1e-12)
         assert g[7] == w[7] and g[8] == w[8], k                    # first/last_ts
+
+
+def test_tier_store_two_phase_journal_and_lineage(spark, sf_dir, tmpdir):
+    """Dangling intent (crash window) raises; lineage mismatch raises."""
+    import json
+    from pathlib import Path
+
+    from afspark.operators.rollup import TIERS
+    from afspark.streaming.stream_tier import apply_batch_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    ).limit(100)
+    store = f"{tmpdir}/tier"
+    assert apply_batch_once(spark, store, ev, 0, TIERS["1h"], lineage="ckpt-A")
+
+    # simulate a crash inside the merge-commit window of batch 1
+    jp = Path(store) / "_applied_batches.json"
+    j = json.loads(jp.read_text())
+    j["batches"]["1"] = "intent"
+    jp.write_text(json.dumps(j))
+    with pytest.raises(RuntimeError, match="dangling intent"):
+        apply_batch_once(spark, store, ev, 1, TIERS["1h"], lineage="ckpt-A")
+
+    # a different checkpoint lineage must be refused outright
+    with pytest.raises(RuntimeError, match="lineage"):
+        apply_batch_once(spark, store, ev, 2, TIERS["1h"], lineage="ckpt-B")
