@@ -290,6 +290,64 @@ def refresh_all_tiers_incremental(
     }
 
 
+def choose_tier(
+    start_epoch: int,
+    end_epoch: int,
+    target_points: int = 1000,
+    tiers: dict[str, int] = TIERS,
+) -> str:
+    """Pick the COARSEST tier that still yields >= target_points buckets
+    over [start, end] — the Grafana-style resolution router: a 1-hour
+    dashboard panel reads the 1m tier, a 1-year panel the 1d tier,
+    never raw points.  Falls back to the finest tier for short ranges.
+    """
+    span = max(0, end_epoch - start_epoch)
+    best = min(tiers, key=tiers.get)  # finest
+    for name in sorted(tiers, key=tiers.get, reverse=True):  # coarse -> fine
+        if span // tiers[name] >= target_points:
+            return name
+    return best
+
+
+def read_tier_range(
+    spark,
+    store_paths: dict[str, str],
+    start_epoch: int,
+    end_epoch: int,
+    target_points: int = 1000,
+    tiers: dict[str, int] = TIERS,
+):
+    """Route a time-range query to the right tier store and read it
+    partition-pruned.
+
+    ``store_paths`` maps tier name -> date-partitioned tier store
+    (stream_tier layout: ``bucket_date=``).  The chosen tier's store is
+    scanned with a bucket_date predicate derived from the range, so only
+    the covered date directories are listed — the read cost tracks the
+    RANGE, not the store.  Returns (tier_name, DataFrame).
+    """
+    import datetime as _dt
+
+    name = choose_tier(start_epoch, end_epoch, target_points, tiers)
+    if name not in store_paths:  # fall back to finest available store
+        name = min(
+            (t for t in store_paths), key=lambda t: tiers.get(t, 1 << 62)
+        )
+    d0 = _dt.datetime.utcfromtimestamp(start_epoch).date().isoformat()
+    d1 = _dt.datetime.utcfromtimestamp(end_epoch).date().isoformat()
+    from ..streaming.stream_tier import read_tier_store
+
+    df = (
+        read_tier_store(spark, store_paths[name])
+        .filter((F.col("bucket_date") >= d0) & (F.col("bucket_date") <= d1))
+        .filter(
+            (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(start_epoch)))
+            & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(end_epoch)))
+        )
+    )
+    return name, df
+
+
 def score_pages_to_tiers(
     pages_with_offsets: DataFrame,
     features,

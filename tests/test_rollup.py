@@ -258,3 +258,39 @@ def test_trimmed_mean_excludes_outliers(spark):
     assert 1000.0 not in kept
     assert (r.cnt_all, r.cnt_kept) == (20, len(kept))
     assert r.trimmed_mean == pytest.approx(sum(kept) / len(kept))
+
+
+def test_choose_tier_resolution_routing():
+    from afspark.operators.rollup import choose_tier
+
+    h, d = 3600, 86_400
+    assert choose_tier(0, 2 * h) == "1m"          # 2h panel: only 1m has >=1000
+    assert choose_tier(0, 90 * d, 1000) == "1h"   # 90d: 2160 x 1h buckets
+    assert choose_tier(0, 3 * 365 * d, 1000) == "1d"
+    assert choose_tier(0, 60, 1000) == "1m"       # tiny range -> finest fallback
+
+
+def test_read_tier_range_prunes_dates(spark, tmpdir, points):
+    """Router reads only the covered bucket_date partitions of the chosen
+    tier store."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from afspark.operators.rollup import TIERS, read_tier_range, rollup_points
+
+    store = f"{tmpdir}/t1h"
+    tier = rollup_points(points, TIERS["1h"]).withColumn(
+        "bucket_date", F.to_date("bucket_ts")
+    )
+    tier.write.partitionBy("bucket_date").parquet(store)
+
+    t0 = int(dtm.datetime(2024, 1, 5, tzinfo=dt.timezone.utc).timestamp())
+    t1 = int(dtm.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp())
+    name, df = read_tier_range(spark, {"1h": store}, t0, t1, target_points=100)
+    assert name == "1h"
+    files = df.select(F.input_file_name()).distinct().count()
+    total = spark.read.parquet(store).select(F.input_file_name()).distinct().count()
+    assert 0 < files < total
+    dates = {str(r.d) for r in df.select(F.to_date("bucket_ts").alias("d")).distinct().collect()}
+    assert min(dates) >= "2024-01-05" and max(dates) < "2024-03-01"
