@@ -285,9 +285,15 @@ def compact_chunks(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
+            # oversubscribe the shuffle partitions: with exactly
+            # touched*target_files slots, two (dir, salt) tuples often
+            # hash-collide into one task and the split never materializes
             df.withColumn("_salt", salt)
             .repartition(
-                max(1, len(touched) * target_files), "chunk_date", "bucket", "_salt"
+                max(16, len(touched) * target_files * 4),
+                "chunk_date",
+                "bucket",
+                "_salt",
             )
             .drop("_salt")
             .write.mode("overwrite")

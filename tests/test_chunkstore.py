@@ -349,3 +349,64 @@ def test_retention_policy_per_store(spark, tmpdir):
     assert days_left == [3, 4, 5]
     tier_days = read_points(spark, tier).select(F.dayofmonth("ts").alias("d")).distinct().count()
     assert tier_days == 5
+
+
+def test_retention_expires_tier_store_layout(spark, tmpdir):
+    """apply_retention must age out bucket_date= tier stores (stream_tier
+    layout), not only chunk_date= chunk stores."""
+    import datetime as dtm
+
+    from afspark.operators.rollup import TIERS
+    from afspark.sources.chunkstore import apply_retention
+    from afspark.streaming.stream_tier import read_tier_store, refresh_tier_store
+
+    rows = [
+        ("s", dtm.datetime(2024, 1, d, h, 0, 0), float(d + h))
+        for d in (1, 2, 3, 4)
+        for h in range(3)
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    store = f"{tmpdir}/tier1h"
+    refresh_tier_store(spark, store, pts, TIERS["1h"])
+    assert read_tier_store(spark, store).count() == 12
+
+    removed = apply_retention(spark, {"1h": (store, 2)}, today="2024-01-04")
+    assert removed == {"1h": 1}  # only Jan 1 is older than Jan 2 cutoff
+    left = read_tier_store(spark, store)
+    assert left.filter(F.col("bucket_date") < "2024-01-02").count() == 0
+    assert left.count() == 9
+
+
+def test_compaction_target_files_splits_partition(spark, tmpdir):
+    """target_files > 1: a partition's rows spread across up to that many
+    files (series-hash salt), preserving points."""
+    import datetime as dtm
+    from pathlib import Path
+
+    from afspark.sources.chunkstore import compact_chunks, write_chunk_store
+
+    rows = [
+        (f"s{i}", dtm.datetime(2024, 1, 1, h, m, 0), float(i * 1000 + h * 60 + m))
+        for i in range(8)
+        for h in range(6)
+        for m in (0, 30)
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    store = f"{tmpdir}/store"
+    write_chunk_store(pts, store, mode="overwrite", n_buckets=1)
+
+    def points_set():
+        return sorted(
+            (r.series_id, r.ts, r.value) for r in read_points(spark, store).collect()
+        )
+
+    before = points_set()
+    assert compact_chunks(spark, store, target_files=2) >= 1
+    counts = [
+        len(list(b.glob("*.parquet")))
+        for d in Path(store).glob("chunk_date=*")
+        for b in d.glob("bucket=*")
+    ]
+    assert all(c <= 2 for c in counts)
+    assert any(c == 2 for c in counts)  # 8 series hash into both salts
+    assert points_set() == before
