@@ -153,3 +153,63 @@ def test_tier_store_two_phase_journal_and_lineage(spark, sf_dir, tmpdir):
     # a different checkpoint lineage must be refused outright
     with pytest.raises(RuntimeError, match="lineage"):
         apply_batch_once(spark, store, ev, 2, TIERS["1h"], lineage="ckpt-B")
+
+
+def test_streaming_score_bit_exact_vs_batch(spark, tmpdir):
+    """Windows straddling micro-batch boundaries: streaming Score ==
+    score_local window-for-window, bit-exact, for overlapping windows."""
+    import os
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from afspark.functions import kernels as K
+    from afspark.streaming.stream_score import run_score_stream_to_memory
+
+    rng = np.random.default_rng(5)
+    series = {"a": rng.normal(size=3000), "b": rng.normal(size=2500)}
+    winlen, noverlap, fs = 256, 128, 1000.0
+    feats = [K.Energy(), K.SoundPressureLevel(), K.PermutationEntropy(3)]
+
+    src = f"{tmpdir}/in"
+    os.makedirs(src, exist_ok=True)
+    # 3 sequential files; cuts NOT aligned to window boundaries
+    cuts = [0, 1000, 1900, None]
+    for i in range(3):
+        rows = []
+        for sid, x in series.items():
+            lo, hi = cuts[i], cuts[i + 1] or len(x)
+            hi = min(hi, len(x))
+            for s in range(lo, hi):
+                rows.append((sid, s + 1, float(x[s])))
+        pd.DataFrame(rows, columns=["series_id", "seq", "value"]).to_parquet(
+            f"{src}/part{i}.parquet"
+        )
+        os.utime(f"{src}/part{i}.parquet", (1700000000 + i, 1700000000 + i))
+
+    q = run_score_stream_to_memory(
+        spark, src, "series_id string, seq long, value double",
+        f"{tmpdir}/ckpt", feats, winlen, noverlap, fs,
+        query_name="score_stream_t",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {}
+    for r in spark.sql("select * from score_stream_t").collect():
+        got[(r.series_id, r.win_start, r.feature)] = r.value
+
+    n_expected = 0
+    for sid, x in series.items():
+        for f in feats:
+            starts, names, vals = K.score_local(f, x, fs, winlen, noverlap)
+            for i, st in enumerate(starts):
+                for j, nm in enumerate(names):
+                    key = (sid, int(st), nm)
+                    assert key in got, key
+                    assert got[key] == vals[i, j], key  # bit-exact
+                    n_expected += 1
+    assert len(got) == n_expected
