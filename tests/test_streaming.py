@@ -213,3 +213,87 @@ def test_streaming_score_bit_exact_vs_batch(spark, tmpdir):
                     assert got[key] == vals[i, j], key  # bit-exact
                     n_expected += 1
     assert len(got) == n_expected
+
+
+def test_streaming_samples_to_tier_store_end_to_end(spark, tmpdir):
+    """Full streaming pipeline: sample stream -> stateful windowed Score
+    -> foreachBatch incremental tier store == batch score + batch rollup."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from afspark.functions import kernels as K
+    from afspark.operators.rollup import rollup_points
+    from afspark.streaming.stream_score import streaming_score
+    from afspark.streaming.stream_tier import apply_batch_once, read_tier_store
+
+    rng = np.random.default_rng(9)
+    series = {"a": rng.normal(size=4000), "b": rng.normal(size=3000)}
+    winlen, noverlap, fs, origin = 256, 0, 10.0, 1_700_000_000
+    feats = [K.Energy(), K.ZeroCrossingRate()]
+
+    src = f"{tmpdir}/in"
+    os.makedirs(src, exist_ok=True)
+    cuts = [0, 1500, 2600, None]
+    for i in range(3):
+        rows = []
+        for sid, x in series.items():
+            lo, hi = cuts[i], min(cuts[i + 1] or len(x), len(x))
+            rows += [(sid, s + 1, float(x[s])) for s in range(lo, hi)]
+        pd.DataFrame(rows, columns=["series_id", "seq", "value"]).to_parquet(
+            f"{src}/part{i}.parquet"
+        )
+        os.utime(f"{src}/part{i}.parquet", (1700000000 + i, 1700000000 + i))
+
+    store = f"{tmpdir}/tier1m"
+    stream = (
+        spark.readStream.schema("series_id string, seq long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    scored = streaming_score(stream, feats, winlen, noverlap, fs)
+    pts = scored.select(
+        F.concat_ws("|", "series_id", "feature").alias("series_id"),
+        F.timestamp_seconds(F.lit(origin) + F.col("win_start") / F.lit(fs)).alias("ts"),
+        "value",
+    )
+
+    def sink(bdf, bid):
+        apply_batch_once(spark, store, bdf, bid, 60, lineage="e2e")
+
+    q = (
+        pts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch twin: score_local per series -> rollup_points
+    rows = []
+    for sid, x in series.items():
+        for f in feats:
+            starts, names, vals = K.score_local(f, x, fs, winlen, noverlap)
+            for i, st in enumerate(starts):
+                rows.append((f"{sid}|{names[0]}", origin + st / fs, float(vals[i, 0])))
+    bpdf = pd.DataFrame(rows, columns=["series_id", "epoch", "value"])
+    bdf = spark.createDataFrame(bpdf).select(
+        "series_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+    )
+    want = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max, r.first, r.last)
+        for r in rollup_points(bdf, 60).collect()
+    }
+    got = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max, r.first, r.last)
+        for r in read_tier_store(spark, store).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        g, w = got[k], want[k]
+        assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3], k
+        assert g[1] == pytest.approx(w[1], rel=1e-12)
+        assert g[4] == w[4] and g[5] == w[5], k  # first/last bit-exact
