@@ -1351,6 +1351,19 @@ def q_neardup_clusters(spark, sf_dir):
     )
 
 
+def q_neardup_clusters_star(spark, sf_dir):
+    """Same component semantics via the large-star/small-star algorithm
+    (the O(log n)-round variant for adversarial graphs) — second
+    implementation through the SAME recursive-CTE oracle as
+    neardup_clusters."""
+    from .operators.dedup import connected_components_star
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_star(pairs, id_a="doc_a", id_b="doc_b").select(
+        "id", "cluster_id"
+    )
+
+
 SQL_NEARDUP_CLUSTERS = f"""
     WITH RECURSIVE sh AS (
       SELECT DISTINCT doc_id, substr(text, i, {_SHINGLE_LEN}) AS sh
@@ -1651,6 +1664,43 @@ SQL_TOPK_EVENT_TYPES = """
                                        ORDER BY n DESC, event_type) AS rk
           FROM c)
     SELECT bucket_epoch, event_type, n, rk FROM r WHERE rk <= 3
+"""
+
+
+def q_histogram_1d_chained(spark, sf_dir):
+    """1d histogram tier re-aggregated FROM the 1h histogram tier (counts
+    sum, bins align); the oracle computes 1d bins directly from raw —
+    proves histogram tier chaining."""
+    from .operators.rollup import histogram_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    h1h = histogram_rollup(pts, TIERS["1h"], bin_width=500.0)
+    h1d = (
+        h1h.withColumn(
+            "bucket_ts",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("bucket_ts") / 86400) * 86400).cast("long")
+            ),
+        )
+        .groupBy("series_id", "bucket_ts", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return h1d.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+    )
+
+
+SQL_HISTOGRAM_1D = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/86400)*86400)::BIGINT AS bucket_epoch
+               FROM events)
+    SELECT series_id, bucket_epoch,
+           CAST(floor(v/500.0) AS BIGINT) AS bin, count(*) AS n
+    FROM c GROUP BY 1, 2, 3
 """
 
 
@@ -2006,6 +2056,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "neardup_clusters_star": (q_neardup_clusters_star, SQL_NEARDUP_CLUSTERS),
     "asof_latest_event": (q_asof_latest_event, SQL_ASOF_LATEST),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "range_join_sessions": (q_range_join_sessions, SQL_RANGE_JOIN_SESSIONS),
@@ -2022,6 +2073,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma_events": (q_ewma_events, SQL_EWMA),
     "histogram_1h": (q_histogram_1h, SQL_HISTOGRAM_1H),
     "topk_event_types_1d": (q_topk_event_types_1d, SQL_TOPK_EVENT_TYPES),
+    "histogram_1d_chained": (q_histogram_1d_chained, SQL_HISTOGRAM_1D),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),

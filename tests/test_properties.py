@@ -118,3 +118,23 @@ def test_batch_equals_scalar_paths(xs):
         both_nan = np.isnan(a) & np.isnan(b)
         close = np.isclose(a, b, rtol=1e-9, atol=1e-12)
         assert np.all(both_nan | close), (f.key, a, b)
+
+
+@given(
+    span=st.integers(min_value=0, max_value=10 * 365 * 86_400),
+    target=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_choose_tier_is_coarsest_satisfying(span, target):
+    """Router invariant: the chosen tier satisfies the target (or is the
+    finest tier), and no coarser tier satisfies it."""
+    from afspark.operators.rollup import TIERS, choose_tier
+
+    name = choose_tier(0, span, target)
+    sec = TIERS[name]
+    finest = min(TIERS.values())
+    if sec != finest:
+        assert span // sec >= target
+    for other, osec in TIERS.items():
+        if osec > sec:
+            assert span // osec < target, (name, other)
