@@ -295,6 +295,20 @@ def _gapfill_q(spark, sf_dir, method):
     )
 
 
+def q_gapfill_locf_maxgap_1h(spark, sf_dir):
+    """LOCF with a 3-bucket staleness horizon: longer outages stay null."""
+    pts = events_samples(spark, sf_dir, cents=True)
+    rolled = rollup_points(pts, TIERS["1h"])
+    out = gapfill(rolled, TIERS["1h"], value_col="avg", method="locf", max_gap=3)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        _r(F.col("value") / 100.0, 4).alias("value"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+        F.col("value").isNull().cast("int").alias("is_stale"),
+    )
+
+
 def q_gapfill_locf_1h(spark, sf_dir):
     return _gapfill_q(spark, sf_dir, "locf")
 
@@ -333,6 +347,17 @@ _SQL_GAPFILL_BASE = """
       FROM j
     )
 """
+
+SQL_GAPFILL_LOCF_MAXGAP = _SQL_GAPFILL_BASE + """
+    SELECT series_id, bucket_epoch,
+           CASE WHEN pt IS NOT NULL AND bucket_epoch - pt <= 3*3600
+                THEN floor((pv/100.0)*10000.0 + 0.5)/10000.0 END AS value,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap,
+           CASE WHEN pt IS NOT NULL AND bucket_epoch - pt <= 3*3600
+                THEN 0 ELSE 1 END AS is_stale
+    FROM nb
+"""
+
 
 SQL_GAPFILL_LOCF = _SQL_GAPFILL_BASE + """
     SELECT series_id, bucket_epoch, floor((pv/100.0)*10000.0 + 0.5)/10000.0 AS value,
@@ -1667,6 +1692,42 @@ SQL_TOPK_EVENT_TYPES = """
 """
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: typed parse of the events JSON props
+    column (from_json with an explicit schema — Catalyst-native, no
+    Python) aggregated per event_type."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            _r(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+    WITH e AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           count(k) AS n_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           floor((sum(k)/count(k))*1000000.0 + 0.5)/1000000.0 AS avg_k
+    FROM e GROUP BY 1
+"""
+
+
 def q_histogram_1d_chained(spark, sf_dir):
     """1d histogram tier re-aggregated FROM the 1h histogram tier (counts
     sum, bins align); the oracle computes 1d bins directly from raw —
@@ -2020,6 +2081,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_30d_chained": (q_rollup_30d_chained, _sql_rollup(30 * 86400)),
     "gapfill_locf_1h": (q_gapfill_locf_1h, SQL_GAPFILL_LOCF),
     "gapfill_linear_1h": (q_gapfill_linear_1h, SQL_GAPFILL_LINEAR),
+    "gapfill_locf_maxgap_1h": (q_gapfill_locf_maxgap_1h, SQL_GAPFILL_LOCF_MAXGAP),
     "pressure_scalar": (q_pressure_scalar, SQL_PRESSURE),
     "samples_from_documents": (q_samples_from_documents, SQL_SAMPLES_FROM_DOCS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
@@ -2074,6 +2136,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "histogram_1h": (q_histogram_1h, SQL_HISTOGRAM_1H),
     "topk_event_types_1d": (q_topk_event_types_1d, SQL_TOPK_EVENT_TYPES),
     "histogram_1d_chained": (q_histogram_1d_chained, SQL_HISTOGRAM_1D),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),

@@ -42,10 +42,15 @@ def gapfill(
     value_col: str = "avg",
     keys: list[str] = ["series_id"],
     method: str = "linear",
+    max_gap: int | None = None,
 ) -> DataFrame:
     """Dense (keys, bucket_ts, value, is_gap) with gaps filled.
 
-    ``method``: 'locf' or 'linear'.
+    ``method``: 'locf' or 'linear'.  ``max_gap`` (locf only): fill at
+    most that many buckets past the last observation — beyond the
+    horizon a gap stays null, so a dead sensor reads as ABSENT instead
+    of freezing its last value forever (the standard staleness bound,
+    cf. Prometheus's 5-minute staleness).
     """
     spine = bucket_spine(rolled, tier_seconds, keys)
     joined = spine.join(
@@ -71,7 +76,13 @@ def gapfill(
     )
     if method == "locf":
         filled = F.col("_pv")
+        if max_gap is not None:
+            filled = F.when(
+                (t - F.col("_pt")) <= max_gap * tier_seconds, F.col("_pv")
+            )
     elif method == "linear":
+        if max_gap is not None:
+            raise ValueError("max_gap is only defined for method='locf'")
         interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
             (t - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
         )

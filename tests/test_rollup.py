@@ -294,3 +294,23 @@ def test_read_tier_range_prunes_dates(spark, tmpdir, points):
     assert 0 < files < total
     dates = {str(r.d) for r in df.select(F.to_date("bucket_ts").alias("d")).distinct().collect()}
     assert min(dates) >= "2024-01-05" and max(dates) < "2024-03-01"
+
+
+def test_gapfill_locf_max_gap_staleness(spark):
+    """Planted 5-bucket outage with max_gap=3: first 3 filled, rest null."""
+    rows = [
+        ("s", "2024-01-01 00:00:00", 10.0),
+        ("s", "2024-01-01 00:06:00", 99.0),  # 5 missing minutes between
+    ]
+    sparse = make_sparse(spark, rows)
+    out = {
+        r.bucket_ts.minute: (r.value, r.is_gap)
+        for r in gapfill(sparse, 60, method="locf", max_gap=3).collect()
+    }
+    assert out[0] == (10.0, False) and out[6] == (99.0, False)
+    for m in (1, 2, 3):
+        assert out[m] == (10.0, True), m
+    for m in (4, 5):
+        assert out[m][0] is None and out[m][1] is True, m
+    with pytest.raises(ValueError, match="max_gap"):
+        gapfill(sparse, 60, method="linear", max_gap=3).collect()
