@@ -328,13 +328,20 @@ def read_tier_range(
     """
     import datetime as _dt
 
-    name = choose_tier(start_epoch, end_epoch, target_points, tiers)
-    if name not in store_paths:  # fall back to finest available store
-        name = min(
-            (t for t in store_paths), key=lambda t: tiers.get(t, 1 << 62)
-        )
-    d0 = _dt.datetime.utcfromtimestamp(start_epoch).date().isoformat()
-    d1 = _dt.datetime.utcfromtimestamp(end_epoch).date().isoformat()
+    # route among the tiers a store actually exists for: the coarsest
+    # AVAILABLE tier meeting target_points (falling back to the finest
+    # available tier would scan up to 60x the buckets when e.g. the 1d
+    # store is missing but 1h would satisfy the target)
+    available = {t: tiers[t] for t in store_paths if t in tiers}
+    if not available:
+        raise ValueError(f"no known tier among stores: {list(store_paths)}")
+    name = choose_tier(start_epoch, end_epoch, target_points, available)
+    # the store's bucket_date comes from F.to_date in the engine's UTC
+    # session (session.py pins spark.sql.session.timeZone=UTC); derive the
+    # pruning dates in UTC to match
+    utc = _dt.timezone.utc
+    d0 = _dt.datetime.fromtimestamp(start_epoch, tz=utc).date().isoformat()
+    d1 = _dt.datetime.fromtimestamp(end_epoch, tz=utc).date().isoformat()
     from ..streaming.stream_tier import read_tier_store
 
     df = (

@@ -276,30 +276,30 @@ def compact_chunks(
         "/", F.col("chunk_date").cast("string"), F.col("bucket").cast("string")
     )
     df = read_chunk_store(spark, path).filter(key_col.isin(keys))
-    # repartitioning on the partition key alone would put each
-    # (chunk_date, bucket) wholly in ONE task => always one output file;
-    # a series-hash salt splits a partition's rows across target_files
-    # tasks so the parameter actually bounds file size
-    salt = F.pmod(F.xxhash64("series_id"), F.lit(target_files))
+    writer = (
+        df.repartition(max(1, len(touched)), "chunk_date", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("chunk_date", "bucket")
+    )
+    if target_files > 1:
+        # repartitioning on the partition key puts each (chunk_date,
+        # bucket) wholly in one task (=> one file); the DETERMINISTIC way
+        # to split a large partition into ~target_files files is the
+        # writer's maxRecordsPerFile, sized from the largest touched
+        # partition (salt-based task splitting only splits when the hash
+        # happens to separate the salts — not a guarantee)
+        import math
+
+        biggest = (
+            df.groupBy("chunk_date", "bucket").count().agg(F.max("count")).first()[0]
+        ) or 1
+        writer = writer.option(
+            "maxRecordsPerFile", max(1, math.ceil(biggest / target_files))
+        )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            # oversubscribe the shuffle partitions: with exactly
-            # touched*target_files slots, two (dir, salt) tuples often
-            # hash-collide into one task and the split never materializes
-            df.withColumn("_salt", salt)
-            .repartition(
-                max(16, len(touched) * target_files * 4),
-                "chunk_date",
-                "bucket",
-                "_salt",
-            )
-            .drop("_salt")
-            .write.mode("overwrite")
-            .partitionBy("chunk_date", "bucket")
-            .parquet(path)
-        )
+        writer.parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(touched)

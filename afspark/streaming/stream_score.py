@@ -47,9 +47,11 @@ def streaming_score(
     """Streaming (series_id, seq, value) -> (series_id, win_start,
     feature, value), append mode, one row per completed window x feature
     name."""
+    if winlen <= 0 or noverlap < 0 or noverlap >= winlen:
+        # same domain the batch window_starts enforces — the stream must
+        # never accept arguments the batch engine would refuse
+        raise ValueError("require winlen > 0 and 0 <= noverlap < winlen")
     step = winlen - noverlap
-    if step <= 0:
-        raise ValueError("noverlap must be < winlen")
 
     def score_fn(key, pdfs, state: GroupState):
         series_id = key[0]

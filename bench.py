@@ -168,8 +168,6 @@ def main() -> None:
     samples.unpersist()
     offs.unpersist()
     pages.unpersist()
-    for df in tiers.values():
-        df.unpersist()
 
     out = {
         "metric": "rolled_up_points_per_sec",

@@ -264,7 +264,7 @@ def test_choose_tier_resolution_routing():
     from afspark.operators.rollup import choose_tier
 
     h, d = 3600, 86_400
-    assert choose_tier(0, 2 * h) == "1m"          # 2h panel: only 1m has >=1000
+    assert choose_tier(0, 2 * h) == "1m"          # 120 x 1m < 1000: finest fallback
     assert choose_tier(0, 90 * d, 1000) == "1h"   # 90d: 2160 x 1h buckets
     assert choose_tier(0, 3 * 365 * d, 1000) == "1d"
     assert choose_tier(0, 60, 1000) == "1m"       # tiny range -> finest fallback

@@ -155,6 +155,24 @@ def test_tier_store_two_phase_journal_and_lineage(spark, sf_dir, tmpdir):
         apply_batch_once(spark, store, ev, 2, TIERS["1h"], lineage="ckpt-B")
 
 
+def _write_sample_files(src, series, cuts):
+    """Write len(cuts)-1 sequential parquet files of (series_id, seq, value)
+    rows, mtime-spaced so the file source processes them in order."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(len(cuts) - 1):
+        rows = []
+        for sid, x in series.items():
+            lo, hi = cuts[i], min(cuts[i + 1] or len(x), len(x))
+            rows += [(sid, s + 1, float(x[s])) for s in range(lo, hi)]
+        p = f"{src}/part{i}.parquet"
+        pd.DataFrame(rows, columns=["series_id", "seq", "value"]).to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+
 def test_streaming_score_bit_exact_vs_batch(spark, tmpdir):
     """Windows straddling micro-batch boundaries: streaming Score ==
     score_local window-for-window, bit-exact, for overlapping windows."""
@@ -173,20 +191,8 @@ def test_streaming_score_bit_exact_vs_batch(spark, tmpdir):
     feats = [K.Energy(), K.SoundPressureLevel(), K.PermutationEntropy(3)]
 
     src = f"{tmpdir}/in"
-    os.makedirs(src, exist_ok=True)
     # 3 sequential files; cuts NOT aligned to window boundaries
-    cuts = [0, 1000, 1900, None]
-    for i in range(3):
-        rows = []
-        for sid, x in series.items():
-            lo, hi = cuts[i], cuts[i + 1] or len(x)
-            hi = min(hi, len(x))
-            for s in range(lo, hi):
-                rows.append((sid, s + 1, float(x[s])))
-        pd.DataFrame(rows, columns=["series_id", "seq", "value"]).to_parquet(
-            f"{src}/part{i}.parquet"
-        )
-        os.utime(f"{src}/part{i}.parquet", (1700000000 + i, 1700000000 + i))
+    _write_sample_files(src, series, [0, 1000, 1900, None])
 
     q = run_score_stream_to_memory(
         spark, src, "series_id string, seq long, value double",
@@ -234,17 +240,7 @@ def test_streaming_samples_to_tier_store_end_to_end(spark, tmpdir):
     feats = [K.Energy(), K.ZeroCrossingRate()]
 
     src = f"{tmpdir}/in"
-    os.makedirs(src, exist_ok=True)
-    cuts = [0, 1500, 2600, None]
-    for i in range(3):
-        rows = []
-        for sid, x in series.items():
-            lo, hi = cuts[i], min(cuts[i + 1] or len(x), len(x))
-            rows += [(sid, s + 1, float(x[s])) for s in range(lo, hi)]
-        pd.DataFrame(rows, columns=["series_id", "seq", "value"]).to_parquet(
-            f"{src}/part{i}.parquet"
-        )
-        os.utime(f"{src}/part{i}.parquet", (1700000000 + i, 1700000000 + i))
+    _write_sample_files(src, series, [0, 1500, 2600, None])
 
     store = f"{tmpdir}/tier1m"
     stream = (
