@@ -166,3 +166,18 @@ def test_counter_rate_single_series_shuffle(spark, sf_dir):
     # run in the same stage with no second shuffle
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan  # map-side combine still present
+
+
+def test_ewma_no_window_and_broadcast_carry(spark, sf_dir):
+    """EWMA's linear-recurrence decomposition uses NO window function (no
+    per-series global sort-task) and the tiny per-chunk carry table joins
+    broadcast-side; shuffles stay bounded (series / series+chunk keys)."""
+    from afspark.operators.tsanalytics import ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    plan = _plan(ewma(ev, 0.05, chunk_seconds=86_400))
+    assert "WindowExec" not in plan and "Window " not in plan
+    assert "BroadcastExchange" in plan  # carry table is the small side
+    assert plan.count("Exchange hashpartitioning") <= 4

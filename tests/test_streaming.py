@@ -293,3 +293,14 @@ def test_streaming_samples_to_tier_store_end_to_end(spark, tmpdir):
         assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3], k
         assert g[1] == pytest.approx(w[1], rel=1e-12)
         assert g[4] == w[4] and g[5] == w[5], k  # first/last bit-exact
+
+
+def test_streaming_score_rejects_batch_invalid_args(spark):
+    """The stream must refuse exactly the argument domain the batch
+    window_starts refuses."""
+    from afspark.streaming.stream_score import streaming_score
+
+    df = spark.createDataFrame([], "series_id string, seq long, value double")
+    for winlen, noverlap in ((0, 0), (256, -1), (256, 256), (256, 300)):
+        with pytest.raises(ValueError):
+            streaming_score(df, [], winlen, noverlap)
