@@ -241,6 +241,155 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
+def _hash_uniform(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-id uniform [0,1) from a splitmix64 finalizer —
+    position- and partitioning-independent, vectorized over the batch."""
+    z = (ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(salt + 1))
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _kmeans_parallel_seeds(
+    ids_v: DataFrame, n_cells: int, seed: int, rounds: int = 5
+) -> np.ndarray:
+    """k-means|| init (Bahmani et al., VLDB 2012): O(rounds) corpus
+    passes INDEPENDENT of n_cells, replacing maximin's one-pass-per-seed
+    (n_cells-1 sequential full scans — a 100-TB killer at realistic IVF
+    cell counts of 256-4096).
+
+    Per round, ONE fused narrow Arrow pass both (a) emits the partial
+    cost sum(d^2 to nearest current candidate) per Arrow batch and (b)
+    samples each point with p = min(1, l*d^2/phi_prev) using the PREVIOUS
+    round's cost (the spark.mllib fusion — avoids a separate cost pass
+    per round).  l = 2*n_cells oversampling; candidates accumulate to
+    ~l*rounds.  A final pass weights each candidate by the number of
+    corpus points nearest to it (partial counts per batch), then a
+    driver-local weighted Lloyd's reduces the tiny candidate set to
+    n_cells seeds.  Total passes: 1 (first seed) + rounds+1 (fused loop;
+    its round 0 is cost-only) + 1 (weights) = rounds + 3 — 8 at the
+    default rounds=5, independent of n_cells (tested).
+
+    Determinism: sampling uses a splitmix64 hash of (id, round), not an
+    RNG, so the candidate set is independent of partitioning and task
+    order (partitioning-invariance is tested).
+    """
+    first = (
+        ids_v.withColumn(
+            "_h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(1)
+        .toPandas()
+    )
+    cands = [np.asarray(first["v"].iloc[0], dtype=np.float64)]
+    ell = 2.0 * n_cells
+    # round 0 is cost-only (phi_prev None -> p=0): Bahmani computes the
+    # initial cost psi before the first sampling round; fusing it as a
+    # no-sample round keeps one pass per round.  rounds+1 loop iters =
+    # `rounds` actual sampling rounds.
+    phi_prev = None
+    for rnd in range(rounds + 1):
+        chosen = np.stack(cands)
+        prev = phi_prev
+
+        def round_pass(batches, _c=chosen, _prev=prev, _rnd=rnd):
+            cost = 0.0
+            picked: list[pd.DataFrame] = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["v"].to_numpy())
+                d2 = _sq_dists(X, _c).min(axis=1)
+                cost += float(d2.sum())
+                ids = pdf["id"].to_numpy(np.int64)
+                u = _hash_uniform(ids, salt=seed * 1000 + _rnd)
+                if _prev is None:
+                    p = np.zeros(len(d2))  # cost-only round
+                elif _prev <= 0.0:
+                    p = np.zeros(len(d2))  # candidates already cover corpus
+                else:
+                    p = np.minimum(1.0, ell * d2 / _prev)
+                m = u < p
+                if m.any():
+                    picked.append(
+                        pd.DataFrame(
+                            {
+                                "id": ids[m],
+                                "v": [list(map(float, r)) for r in X[m]],
+                                "cost": np.nan,
+                            }
+                        )
+                    )
+            yield pd.DataFrame({"id": [-1], "v": [None], "cost": [cost]})
+            for p_df in picked:
+                yield p_df
+
+        res = ids_v.mapInPandas(
+            round_pass, "id long, v array<double>, cost double"
+        ).toPandas()
+        phi_prev = float(res["cost"].dropna().sum())
+        new = res[res["cost"].isna()].sort_values("id")
+        for vec in new["v"]:
+            cands.append(np.asarray(vec, dtype=np.float64))
+        if phi_prev == 0.0 and len(cands) >= n_cells and rnd > 0:
+            break
+    C = np.stack(cands)
+
+    def weight_pass(batches, _c=C):
+        counts = np.zeros(len(_c), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            assign = _sq_dists(X, _c).argmin(axis=1)
+            counts += np.bincount(assign, minlength=len(_c))
+        yield pd.DataFrame({"cand": np.arange(len(_c)), "n": counts})
+
+    w = (
+        ids_v.mapInPandas(weight_pass, "cand int, n long")
+        .groupBy("cand")
+        .agg(F.sum("n").alias("n"))
+        .toPandas()
+        .sort_values("cand")
+    )
+    weights = np.zeros(len(C), dtype=np.float64)
+    weights[w["cand"].to_numpy()] = w["n"].to_numpy(np.float64)
+
+    # driver-local weighted Lloyd's on the tiny candidate set.
+    # init: weighted maximin over candidates (cheap — |C| ~ l*rounds).
+    live = weights > 0
+    if live.sum() >= n_cells:
+        C, weights = C[live], weights[live]
+    if len(C) <= n_cells:
+        # degenerate/tiny corpus: pad by repeating candidates
+        reps = int(np.ceil(n_cells / len(C)))
+        return np.tile(C, (reps, 1))[:n_cells].copy()
+    heavy = int(np.argmax(weights))
+    sel = [heavy]
+    d2 = ((C - C[heavy]) ** 2).sum(axis=1)
+    while len(sel) < n_cells:
+        nxt = int(np.argmax(weights * d2))
+        sel.append(nxt)
+        d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+    cents = C[sel].copy()
+    # GEMM distance form (_sq_dists) — the broadcast-tensor form is
+    # O(|C| * k * dim) memory, catastrophic at |C|~l*rounds, k~4096.
+    for _ in range(20):
+        a = _sq_dists(C, cents).argmin(axis=1)
+        new = cents.copy()
+        for c in range(n_cells):
+            m = a == c
+            if weights[m].sum() > 0:
+                new[c] = (C[m] * weights[m, None]).sum(axis=0) / weights[m].sum()
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
 def train_codebook_distributed(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -248,6 +397,7 @@ def train_codebook_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    init_rounds: int = 5,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over the FULL corpus.
 
@@ -260,51 +410,14 @@ def train_codebook_distributed(
     corpus rows at any point; total network traffic per iteration is
     centroids out (broadcast via closure) + partials back.
 
-    Deterministic farthest-point init (maximin): seed 1 is the vector
-    with the smallest md5(seed || id) (position-independent); each next
-    seed is the corpus point farthest from the chosen set (ties broken by
-    id) — one narrow pass per seed, partial max per Arrow batch, so
-    well-separated clusters always receive a seed (random init can put
-    every seed in one blob and Lloyd's cannot recover).  Empty cells keep
-    their previous centroid.
+    Init is k-means|| (_kmeans_parallel_seeds): init_rounds + 2 corpus
+    passes regardless of n_cells — the round-3 maximin init cost one
+    full corpus scan PER SEED.  Deterministic and partitioning-
+    independent (hash sampling, not RNG).  Empty cells keep their
+    previous centroid.
     """
     ids_v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    first = (
-        ids_v.withColumn(
-            "_h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
-        )
-        .orderBy("_h")
-        .limit(1)
-        .toPandas()
-    )
-    seeds = [np.asarray(first["v"].iloc[0], dtype=np.float64)]
-    while len(seeds) < n_cells:
-        chosen = np.stack(seeds)
-
-        def far_partial(batches):
-            best = None  # (dist, -id, vec) — max dist, tie -> smallest id
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.stack(pdf["v"].to_numpy())
-                d2 = _sq_dists(X, chosen).min(axis=1)
-                ids = pdf["id"].to_numpy()
-                order = np.lexsort((ids, -d2))  # max d2, then min id
-                i = order[0]
-                cand = (float(d2[i]), int(ids[i]), list(map(float, X[i])))
-                if best is None or (cand[0], -cand[1]) > (best[0], -best[1]):
-                    best = cand
-            if best is not None:
-                yield pd.DataFrame(
-                    {"d2": [best[0]], "id": [best[1]], "v": [best[2]]}
-                )
-
-        cand = ids_v.mapInPandas(
-            far_partial, "d2 double, id long, v array<double>"
-        ).toPandas()
-        cand = cand.sort_values(["d2", "id"], ascending=[False, True]).iloc[0]
-        seeds.append(np.asarray(cand["v"], dtype=np.float64))
-    cents = np.stack(seeds)
+    cents = _kmeans_parallel_seeds(ids_v, n_cells, seed, rounds=init_rounds)
     src = corpus.select(_as_double(vec_col).alias("v"))
 
     for _ in range(iters):

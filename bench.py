@@ -172,7 +172,7 @@ def main() -> None:
     out = {
         "metric": "rolled_up_points_per_sec",
         "value": round(points / headline_sec, 1),
-        "unit": "sec",
+        "unit": "points_per_sec",
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
