@@ -329,36 +329,100 @@ SIMHASH_SCHEMA = "id long, simhash long"
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc — one vectorized Arrow pass per partition."""
+    """64-bit SimHash per doc — one vectorized Arrow pass per partition.
+
+    The whole batch's tokens are hashed in ONE concatenated byte buffer
+    (no per-document Python loop): each doc is normalized to a single-
+    space-joined token string, all docs are joined with a space, and the
+    buffer is split on byte 0x20 — valid because tokens from str.split()
+    contain no whitespace and 0x20 in UTF-8 occurs ONLY as the space
+    character (continuation bytes are >= 0x80).  FNV-1a then sweeps the
+    (tokens x maxlen) padded matrix column-wise across ALL tokens of the
+    batch at once; per-doc votes come from one add.reduceat over doc
+    boundaries.  Tokens are length-sorted into bounded slices so one
+    pathological long token cannot blow up the padded matrix.
+
+    Matches the round-3 per-doc implementation bit-for-bit, including
+    its quirk that a NUL byte terminates a token's hash early (the pad
+    value doubles as the live mask).
+    """
     src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def _fnv_tokens(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """FNV-1a 64-bit of each token (slice of buf), padded-matrix sweep
+        over a length-sorted slice at a time (<= ~32 MB padded)."""
+        n = len(starts)
+        hs = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        order = np.argsort(lengths, kind="stable")
+        budget = 32 * 1024 * 1024
+        i = 0
+        with np.errstate(over="ignore"):
+            while i < n:
+                # grow the slice while padded size stays in budget
+                j = i + 1
+                while j < n and (j - i + 1) * int(lengths[order[j]]) <= budget:
+                    j += 1
+                sl = order[i:j]
+                L = int(lengths[sl].max()) if len(sl) else 0
+                arr = np.zeros((len(sl), L), dtype=np.uint8)
+                idx = starts[sl, None] + np.arange(L)[None, :]
+                m = np.arange(L)[None, :] < lengths[sl, None]
+                arr[m] = buf[idx[m]]
+                h = np.full(len(sl), 0xCBF29CE484222325, dtype=np.uint64)
+                for c in range(L):
+                    live = arr[:, c] != 0
+                    h[live] = (h[live] ^ arr[live, c]) * np.uint64(0x100000001B3)
+                hs[sl] = h
+                i = j
+        return hs
 
     def compute(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = np.empty(len(pdf), dtype=np.int64)
+            n_docs = len(pdf)
+            out = np.zeros(n_docs, dtype=np.int64)
+            parts: list[str] = []
+            tok_counts = np.zeros(n_docs, dtype=np.int64)
             for i, t in enumerate(pdf["t"]):
-                toks = np.array(t.split(), dtype=object)
-                if len(toks) == 0:
-                    out[i] = 0
-                    continue
-                # FNV-1a 64-bit per token, vectorized over characters
-                hs = np.full(len(toks), 0xCBF29CE484222325, dtype=np.uint64)
-                maxlen = max(len(s) for s in toks)
-                arr = np.zeros((len(toks), maxlen), dtype=np.uint8)
-                for j, s in enumerate(toks):
-                    b = s.encode()
-                    arr[j, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-                with np.errstate(over="ignore"):
-                    for c in range(maxlen):
-                        live = arr[:, c] != 0
-                        hs[live] = (hs[live] ^ arr[live, c]) * np.uint64(0x100000001B3)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for bpos in np.nonzero(votes > 0)[0]:
-                    sh |= np.uint64(1) << np.uint64(bpos)
-                out[i] = sh.astype(np.int64)
+                toks = t.split()
+                tok_counts[i] = len(toks)
+                if toks:
+                    parts.append(" ".join(toks))
+            nonempty = np.flatnonzero(tok_counts > 0)
+            if len(nonempty):
+                buf = np.frombuffer(" ".join(parts).encode(), dtype=np.uint8)
+                sp = np.flatnonzero(buf == 32)
+                starts = np.concatenate(([0], sp + 1))
+                ends = np.concatenate((sp, [len(buf)]))
+                lengths = ends - starts
+                hs = _fnv_tokens(buf, starts, lengths)
+                # votes = 2*sum(bits) - n_tokens, doc segments reduced in
+                # bounded chunks: the (tokens x 64) bit matrix for a whole
+                # Arrow batch can reach GBs (10k docs x hundreds of
+                # tokens), so expand at most ~128k tokens at a time,
+                # aligned to doc boundaries.
+                nn = len(nonempty)
+                bounds = np.concatenate(([0], np.cumsum(tok_counts[nonempty])))
+                S = np.zeros((nn, 64), dtype=np.int64)
+                bitpos = np.arange(64, dtype=np.uint64)
+                CH = 1 << 17
+                i = 0
+                while i < nn:
+                    j = int(np.searchsorted(bounds, bounds[i] + CH, side="right")) - 1
+                    j = max(j, i + 1)
+                    t0, t1 = int(bounds[i]), int(bounds[j])
+                    bits = (
+                        (hs[t0:t1, None] >> bitpos) & np.uint64(1)
+                    ).astype(np.int32)
+                    S[i:j] = np.add.reduceat(bits, bounds[i:j] - t0, axis=0)
+                    i = j
+                votes = 2 * S - tok_counts[nonempty][:, None]
+                sh = (
+                    (votes > 0).astype(np.uint64)
+                    << bitpos[None, :]
+                ).sum(axis=1)
+                out[nonempty] = sh.astype(np.int64)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(), "simhash": out})
 
     return src.mapInPandas(compute, SIMHASH_SCHEMA)

@@ -575,3 +575,23 @@ def test_kmeans_parallel_seeding_pass_count_independent_of_ncells(spark, monkeyp
 
     assert counts[4] == counts[16], counts
     assert counts[4] <= 8, counts
+
+
+def test_simhash64_unicode_and_edge_tokens(spark):
+    """Regression: the round-3 simhash sized its pad matrix by CHARACTER
+    length but filled it with UTF-8 BYTES — any doc whose longest token
+    was multibyte crashed the Arrow pass.  The byte-buffer rewrite must
+    handle unicode, NUL bytes, empty and whitespace-only docs, and a
+    pathological no-space token without error, deterministically."""
+    from afspark.operators import dedup
+
+    texts = [
+        "héllo wörld", "ünïcodé " * 10, "", "   ", "nul\x00tok here",
+        "x" * 50000, "plain ascii text",
+    ]
+    sdf = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    a = {r.id: r.simhash for r in dedup.simhash64(sdf).collect()}
+    b = {r.id: r.simhash for r in dedup.simhash64(sdf.repartition(5)).collect()}
+    assert a == b
+    assert a[2] == 0 and a[3] == 0  # empty / whitespace-only -> 0
+    assert len(a) == len(texts)
