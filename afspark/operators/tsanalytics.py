@@ -7,10 +7,11 @@ SURVEY.md §2.9's streaming/tier semantics the way every production TSDB
 does).
 
 Both are pure Catalyst window/aggregation expressions (whole-stage
-codegen, no Python).  The per-series windows partition by series_id; the
-skew story is the same as every per-series op here: hot series are split
-by the planner's salting machinery upstream, and window frames are
-bounded (lag-1 / N rows), so state per task is O(frame), not O(series).
+codegen, no Python).  counter_increase's default path chunks the lag
+recurrence by time (the EWMA two-level decomposition), so a hot series
+never serializes into one sort task; rolling_zscore partitions by
+series_id with a BOUNDED frame (O(n_window) state per task), which is
+inherent to its semantics and safe.
 """
 
 from __future__ import annotations
@@ -24,26 +25,67 @@ def counter_increase(
     keys: list[str] = ["series_id"],
     ts_col: str = "ts",
     value_col: str = "value",
+    chunk_seconds: int | None = 3600,
 ) -> DataFrame:
     """Per-sample increase of a monotone counter, with reset handling.
 
     PromQL `increase` semantics: delta to the previous sample; a NEGATIVE
     delta means the counter reset (process restart), in which case the
     increase is the raw new value (the counter restarted from 0).  The
-    first sample of a series contributes no increase (null).
+    first sample of a series contributes no increase (null).  Ordering
+    tiebreaks on the value so duplicate timestamps (possible in the
+    events stream) yield a deterministic, engine-independent lag
+    sequence.
 
-    One lag-1 window per series — a single shuffle on the series key,
-    O(1) state per row.  Ordering tiebreaks on the value so duplicate
-    timestamps (possible in the events stream) yield a deterministic,
-    engine-independent lag sequence.
+    Default path is the TWO-LEVEL chunk decomposition (the EWMA trick,
+    tsanalytics.ewma, applied to the lag recurrence): rows are lag-1'd
+    within (series, time-chunk) windows — parallel across series AND
+    time, so a hot series' history never lands in one sort task — and
+    the cross-chunk boundary value (the last (ts, value)-ordered sample
+    per chunk, i.e. max(struct(ts, value)) — an algebraic map-side-
+    combinable aggregate) is lagged over a tiny one-row-per-chunk
+    per-series window, then joined back to fill each chunk's first row.
+    Chunk grouping preserves global (ts, value) order because floor-
+    bucketing is monotone in ts.  All Catalyst: one shuffle of the data
+    by (series, chunk) shared by the window and the chunk aggregate;
+    the carry side is tiny (one row per series-chunk).
+
+    ``chunk_seconds=None`` selects the single per-series window (one
+    sort task per series — fine for small/unskewed series, and the
+    form a SQL oracle expresses directly).
     """
-    w = W.partitionBy(*keys).orderBy(ts_col, value_col)
-    prev = F.lag(value_col).over(w)
+    if chunk_seconds is None:
+        w = W.partitionBy(*keys).orderBy(ts_col, value_col)
+        prev = F.lag(value_col).over(w)
+    else:
+        from .rollup import bucket_ts
+
+        points = points.withColumn(
+            "_chunk", bucket_ts(F.col(ts_col), chunk_seconds)
+        )
+        wloc = W.partitionBy(*keys, "_chunk").orderBy(ts_col, value_col)
+        local_prev = F.lag(value_col).over(wloc)
+        last_per_chunk = points.groupBy(*keys, "_chunk").agg(
+            F.max(F.struct(ts_col, value_col)).alias("_last")
+        )
+        wser = W.partitionBy(*keys).orderBy("_chunk")
+        carries = last_per_chunk.select(
+            *keys,
+            "_chunk",
+            F.lag(F.col(f"_last.{value_col}")).over(wser).alias("_carry"),
+        )
+        points = points.withColumn("_lp", local_prev).join(
+            carries, [*keys, "_chunk"]
+        )
+        prev = F.coalesce(F.col("_lp"), F.col("_carry"))
     delta = F.col(value_col) - prev
     inc = F.when(prev.isNull(), F.lit(None).cast("double")).when(
         delta < 0, F.col(value_col)
     ).otherwise(delta)
-    return points.withColumn("increase", inc)
+    out = points.withColumn("increase", inc)
+    if chunk_seconds is not None:
+        out = out.drop("_chunk", "_lp", "_carry")
+    return out
 
 
 def rate_per_bucket(

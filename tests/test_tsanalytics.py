@@ -122,3 +122,54 @@ def test_topk_per_bucket_deterministic_ties(spark):
     )
     out = sorted((r.rk, r.event_type, r.n) for r in topk_per_bucket(pts, 3600, k=3).collect())
     assert out == [(1, "x", 3), (2, "a", 2), (3, "b", 2)]
+
+
+def test_counter_increase_chunked_equals_single_window(spark):
+    """The two-level chunk decomposition must reproduce the single
+    per-series window bit-for-bit, including resets that land exactly on
+    a chunk boundary and duplicate timestamps straddling one."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for sid in ("a", "b"):
+        ts = 0
+        v = 0.0
+        for _ in range(200):
+            ts += int(rng.integers(1, 8))
+            if rng.random() < 0.1:
+                v = float(rng.integers(0, 3))      # reset
+            else:
+                v += float(rng.integers(0, 5))
+            rows.append((sid, t(ts), v))
+            if rng.random() < 0.15:
+                rows.append((sid, t(ts), v + 1.0))  # duplicate timestamp
+    # boundary-exact rows: ts at an exact multiple of the chunk size
+    rows += [("a", t(40), 100.0), ("a", t(80), 2.0)]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+
+    key = lambda r: (r.series_id, r.ts, r.value)  # noqa: E731
+    chunked = sorted(counter_increase(pts, chunk_seconds=40).collect(), key=key)
+    single = sorted(counter_increase(pts, chunk_seconds=None).collect(), key=key)
+    assert [r.increase for r in chunked] == [r.increase for r in single]
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in single]
+
+
+def test_counter_increase_plan_is_chunked(spark):
+    """Scale shape: the data-sized window partitions by (series, chunk) —
+    never by series alone — so one hot series cannot serialize into a
+    single sort task.  The only series-keyed window runs over the tiny
+    one-row-per-chunk carry aggregate."""
+    pts = spark.createDataFrame(
+        [("s", t(i * 7), float(i)) for i in range(50)],
+        "series_id string, ts timestamp, value double",
+    )
+    out = counter_increase(pts, chunk_seconds=60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, plan
+    data_windows = [s for s in specs if "_chunk" in s]
+    assert data_windows, f"no (series, chunk) window found:\n{plan}"
+    # the carry window (series-only partition) consumes _last, the
+    # one-row-per-chunk aggregate — every other window must be chunked
+    for s in specs:
+        if "_chunk" not in s.split("windowspecdefinition", 1)[1].split(",")[1]:
+            assert "_last" in s, f"series-only window over raw rows:\n{s}"
