@@ -46,6 +46,7 @@ def char_shingles(
     id_col: str = "doc_id",
     k: int = 8,
     hashed: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct k-char shingles per doc: (id, sh) — pure Catalyst.
 
@@ -69,7 +70,7 @@ def char_shingles(
     sh = F.substring("_t", F.col("i"), k)
     if hashed:
         sh = F.xxhash64(sh)
-    return (
+    out = (
         docs.filter(F.length(text_col) >= k)
         .repartition(n_parts)
         .select(
@@ -78,8 +79,13 @@ def char_shingles(
             F.col(text_col).alias("_t"),
         )
         .select("id", sh.alias("sh"))
-        .distinct()
     )
+    # ``distinct=False`` skips the set-semantics shuffle — the MULTISET is
+    # fine for minhash signatures (min is duplicate-invariant), which
+    # saves shuffling the full exploded shingle table; consumers that
+    # need set semantics (Jaccard intersection/sizes) distinct AFTER
+    # pruning to candidate docs, when the table is tiny.
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -202,35 +208,45 @@ def jaccard_verify(
     candidates: DataFrame,
     shingles: DataFrame,
     threshold: float = 0.7,
+    distinct_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the LSH contract).
 
     Shingles are first semi-join-pruned to docs that appear in a
-    candidate pair — the verify joins then shuffle only the candidate
-    docs' shingles instead of the whole corpus.
+    candidate pair, then packed into ONE SORTED ARRAY per doc; the pair
+    intersection is Catalyst's array_intersect (set semantics) — no
+    shingle-keyed join, no per-pair aggregation shuffle.  The verify
+    then costs: one scan of the shingle table (pruned at the semi-join),
+    one tiny groupBy over candidate docs, and two equi-joins that move
+    each candidate doc's packed array once.  The round-3 form joined
+    exploded shingle ROWS on (id, sh) and re-aggregated the matches —
+    same bytes, three more shuffles.
+
+    ``distinct_shingles=False`` declares the input may hold duplicate
+    (id, sh) rows (char_shingles distinct=False); the distinct then runs
+    AFTER the prune, on candidate docs only.
     """
     ids = (
         candidates.select(F.col("id_a").alias("id"))
         .unionByName(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shingles = shingles.join(F.broadcast(ids), "id", "left_semi")
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col("id").alias("id_a"), "sh")
-    sb = shingles.select(F.col("id").alias("id_b"), "sh")
-    inter = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pruned = shingles.join(F.broadcast(ids), "id", "left_semi")
+    if not distinct_shingles:
+        pruned = pruned.distinct()
+    arrs = pruned.groupBy("id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shs")
     )
-    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("_sa"))
+    ab = arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        candidates.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn("_i", inter)
         .withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            "jaccard",
+            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -288,9 +304,13 @@ def minhash_lsh_dedup_pairs(
     # recomputes the shingle explode + distinct from scratch (measured
     # ~4x the total work at sf0.1).  MEMORY_AND_DISK spills instead of
     # OOMing at scale — the standard multi-use intermediate pattern.
-    sh = char_shingles(docs, text_col, id_col, k, hashed=hashed).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # distinct=False: signatures are duplicate-invariant (min over the
+    # multiset == min over the set), so the full-table set-semantics
+    # shuffle is skipped; the verify applies distinct AFTER pruning to
+    # candidate docs (distinct_shingles=False below).
+    sh = char_shingles(
+        docs, text_col, id_col, k, hashed=hashed, distinct=False
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -313,7 +333,7 @@ def minhash_lsh_dedup_pairs(
             .select("id_a", "id_b")
         )
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    out = jaccard_verify(cand, sh, threshold)
+    out = jaccard_verify(cand, sh, threshold, distinct_shingles=False)
     # Materialize (the pair set is tiny) so the persisted intermediates
     # can be released NOW — otherwise sh/sig/cand accumulate in executor
     # storage across invocations in a long-lived session.
