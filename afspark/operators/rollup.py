@@ -280,6 +280,12 @@ def refresh_all_tiers_incremental(
     Associativity means each tier merges the SAME batch at its own
     resolution — no tier needs another tier's refreshed rows, so all four
     refreshes share one scan of the (persisted) batch and run in parallel.
+
+    Cache lifetime: the batch persist is intentionally left to the
+    CALLER's session — the returned tier DataFrames are lazy and all read
+    it, so unpersisting here would defeat the shared scan.  Unpersist (or
+    let the ContextCleaner reclaim it) once every tier is materialized;
+    refresh_tier_store does exactly that in its try/finally.
     """
     new_points = new_points.persist()
     return {

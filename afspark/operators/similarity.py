@@ -35,7 +35,14 @@ def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Pairwise squared distances via the GEMM expansion
     ||x||^2 + ||c||^2 - 2 x.c — O(rows x cells) memory instead of the
     O(rows x cells x dim) broadcast tensor (0.9 GB per 10k-row batch at
-    dim=768, an executor OOM at realistic embedding widths)."""
+    dim=768, an executor OOM at realistic embedding widths).
+
+    Precision trade-off (accepted; sklearn does the same): the expansion
+    loses ~half the significant digits to cancellation for points very
+    close to a centroid, so argmin CELL assignment for near-TIED
+    centroids can differ from the exact pairwise-difference form.  If
+    exact tie behavior ever matters, recompute the top-2 candidate cells
+    exactly."""
     xx = (X * X).sum(axis=1)[:, None]
     cc = (C * C).sum(axis=1)[None, :]
     return np.maximum(xx + cc - 2.0 * (X @ C.T), 0.0)

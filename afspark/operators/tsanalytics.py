@@ -254,8 +254,13 @@ def ewma(
         lambda pdf: local_pass(pdf), local_schema
     )
     # consumed twice (chunk aggregates + final join): persist so the Arrow
-    # pass runs once; the block is reclaimed by the ContextCleaner when the
-    # returned DataFrame is garbage collected
+    # pass runs once.  Cache lifetime is the CALLER's: the returned
+    # DataFrame is lazy and reads this cache, so ewma() cannot unpersist
+    # before the caller materializes; the block is reclaimed by the
+    # ContextCleaner when the returned DataFrame is garbage collected —
+    # in a long-lived session that calls ewma() repeatedly and HOLDS the
+    # results, unpersist via df.sparkSession.catalog.clearCache() or drop
+    # the references.
     local = local.persist()
 
     agg = local.groupBy(*key_cols).agg(

@@ -276,6 +276,12 @@ def compact_chunks(
         "/", F.col("chunk_date").cast("string"), F.col("bucket").cast("string")
     )
     df = read_chunk_store(spark, path).filter(key_col.isin(keys))
+    # LOAD-BEARING shuffle: this job reads and dynamically overwrites the
+    # SAME parquet path.  The repartition() materializes every input row
+    # into shuffle files BEFORE commit-time partition deletion, so the
+    # write never reads a file the overwrite already deleted.  A refactor
+    # to coalesce()/no-shuffle would silently reintroduce that race —
+    # keep a shuffle boundary (or checkpoint/persist the read) here.
     writer = (
         df.repartition(max(1, len(touched)), "chunk_date", "bucket")
         .write.mode("overwrite")

@@ -84,6 +84,11 @@ def refresh_tier_store(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            # LOAD-BEARING shuffle (see chunkstore.compact_chunks): the
+            # job reads and dynamically overwrites the same path; the
+            # repartition materializes the committed rows into shuffle
+            # files before the overwrite deletes their source partitions.
+            # Do not refactor to coalesce()/no-shuffle.
             (
                 refreshed.repartition(max(1, len(dates)), "bucket_date")
                 .write.mode("overwrite")
@@ -134,7 +139,16 @@ def apply_batch_once(
     committed.  Two-phase journal (see module docstring): a dangling
     intent from a crash raises rather than double-applying; a lineage
     (checkpoint location) mismatch raises rather than colliding batch
-    ids from a different stream.  Returns True if applied."""
+    ids from a different stream.  Returns True if applied.
+
+    SINGLE-WRITER assumption: each journal write is atomic
+    (_write_journal's rename), but this function's read-modify-write of
+    the journal is not locked — exactly ONE stream may target a given
+    store path at a time (Structured Streaming's checkpoint lock
+    guarantees this for one query; do not point a second query or an ad
+    hoc batch job at the same path concurrently).  The lineage check
+    catches the accidental second stream on its FIRST batch only if the
+    journal write wins the race; it is a tripwire, not a lock."""
     journal = _read_journal(path)
     if lineage is not None:
         if journal["lineage"] not in (None, lineage):

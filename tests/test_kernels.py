@@ -513,3 +513,34 @@ def test_envelope_energy_preserving_convention():
     # exact only when the DC and Nyquist bins vanish; mean removal
     # zeroes DC, the Nyquist bin leaves a ~1e-5 relative residual
     assert np.sum(envelope(y) ** 2) == pytest.approx(np.sum(y * y), rel=1e-3)
+
+
+def test_alpha_stable_fit_cauchy_adjacent():
+    """alpha ~ 1 coverage (VERDICT r3 item 7): Cauchy-adjacent draws
+    (alpha in [0.95, 1.05], incl. exactly 1.0 via the sampler's tan(u)
+    branch) must recover through the McCulloch TABLE interpolation —
+    the alpha=1 row of the grids, not the fixture sampler — within the
+    reference's atol 0.1; the fitted-Myriad path must agree with the
+    constant computed from the recovered (alpha, scale)."""
+    from afspark.functions.alphastable import (
+        fit_alpha_stable_full,
+        myriad_constant,
+        rand_symmetric_alpha_stable,
+    )
+
+    rng = np.random.default_rng(17)
+    for alpha_true in (0.95, 1.0, 1.05):
+        x = rand_symmetric_alpha_stable(rng, alpha_true, 1.5, N)
+        _, names, v = K.score_local(K.SymmetricAlphaStableStats(), x)
+        a_hat, c_hat = v[0, 0], v[0, 1]
+        assert a_hat == pytest.approx(alpha_true, abs=0.1), alpha_true
+        assert c_hat == pytest.approx(1.5, abs=0.15), alpha_true
+        # full-table path agrees near beta=0
+        a_full, beta, c_full, _ = fit_alpha_stable_full(x)
+        assert a_full == pytest.approx(alpha_true, abs=0.1)
+        assert abs(beta) < 0.2
+        assert c_full == pytest.approx(1.5, abs=0.15)
+        # fitted Myriad = sum(log(k + x^2)) with k from the SAME full fit
+        _, _, vm = K.score_local(K.Myriad(), x)
+        sqk = myriad_constant(float(a_full), float(c_full))
+        assert vm[0, 0] == pytest.approx(float(np.sum(np.log(sqk + x * x))))
