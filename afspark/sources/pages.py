@@ -207,8 +207,12 @@ def derive_samples(pages: DataFrame) -> DataFrame:
                 - 127.5
             ) / 127.5
             offs = pdf["sample_offset"].to_numpy(dtype=np.int64)
-            seq = np.concatenate(
-                [o + 1 + np.arange(l, dtype=np.int64) for o, l in zip(offs, lens)]
+            # seq = offset+1+position, fully vectorized: a global arange
+            # re-based at each page boundary (no per-page Python arange)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            seq = (
+                np.arange(total, dtype=np.int64)
+                + np.repeat(offs + 1 - starts, lens)
             )
             yield pd.DataFrame(
                 {

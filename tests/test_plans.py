@@ -149,10 +149,13 @@ def test_incremental_refresh_broadcasts_touched_set(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_counter_rate_single_series_shuffle(spark, sf_dir):
-    """The lag window and the bucket aggregation must reuse ONE series
-    shuffle: exactly one exchange below the final (partial-agg'd)
-    aggregation."""
+def test_counter_rate_chunked_shuffle_shape(spark, sf_dir):
+    """counter_increase's chunked decomposition: every exchange that
+    carries raw rows hashes on (series_id, _chunk) — a hot series spreads
+    over its time chunks instead of serializing into one sort task.  The
+    only series-keyed window/exchange runs over the one-row-per-chunk
+    carry aggregate, which then joins BROADCAST-side; the rate
+    aggregation keeps its map-side combine."""
     from afspark.operators.tsanalytics import rate_per_bucket
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -160,11 +163,16 @@ def test_counter_rate_single_series_shuffle(spark, sf_dir):
     )
     out = rate_per_bucket(ev, 3600)
     plan = _plan(out)
-    # ONE exchange total: hashpartitioning(series_id) feeds the lag
-    # window, and Catalyst recognizes that series-partitioning satisfies
-    # the (series, bucket) grouping requirement, so both HashAggregates
-    # run in the same stage with no second shuffle
-    assert plan.count("Exchange hashpartitioning") == 1
+    # the raw-data lag window is chunk-partitioned
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    raw_windows = [s for s in specs if "value#" in s and "_chunk" in s]
+    assert raw_windows, plan
+    # no series-only window over raw rows: every series-only spec is the
+    # carry lag over the chunk aggregate (_w0 = pre-projected last value)
+    for s in specs:
+        if "_chunk" not in s.split("windowspecdefinition", 1)[1].split(",")[1]:
+            assert "_w0" in s or "_last" in s, s
+    assert "BroadcastHashJoin" in plan  # tiny carry side broadcast
     assert "partial_" in plan  # map-side combine still present
 
 
