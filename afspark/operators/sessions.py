@@ -6,9 +6,11 @@ windows as not-needed for parity); this is the engine-side operator a
 web-pages/events table needs (visit reconstruction, burst detection).
 
 Pure Catalyst: lag() flags gap-openers, a running sum over the flags
-numbers the sessions — two window passes over ONE shuffle on series_id,
-all inside whole-stage codegen; the session aggregate is a normal
-hash agg.  Identical SQL runs in DuckDB for the driver oracle.
+numbers the sessions.  The default path chunks both passes by time (the
+EWMA/counter_increase two-level decomposition) so a hot series never
+serializes into one sort task; ``chunk_seconds=None`` keeps the single
+per-series window form, whose identical SQL runs in DuckDB for the
+driver oracle.
 """
 
 from __future__ import annotations
@@ -22,17 +24,76 @@ def sessionize(
     gap_seconds: int,
     series_col: str = "series_id",
     ts_col: str = "ts",
+    chunk_seconds: int | None = 86_400,
 ) -> DataFrame:
-    """Add ``session_id`` (1-based per series, by time order)."""
-    w = W.partitionBy(series_col).orderBy(ts_col)
-    prev = F.lag(ts_col).over(w)
-    opener = (
-        prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds)
+    """Add ``session_id`` (1-based per series, by time order).
+
+    Default path: two-level chunk decomposition.  Within each (series,
+    time-chunk) window, rows get a local opener flag (a chunk's first row
+    provisionally counts as an opener) and a local running sum — parallel
+    across series AND time.  The cross-chunk correction runs on the tiny
+    one-row-per-chunk aggregate: whether a chunk's first row REALLY opens
+    a session depends only on the previous chunk's last timestamp
+    (lag over chunk rows), and every row's session id shifts by the
+    cumulative corrected opener count of prior chunks plus the first-row
+    correction of its own chunk.  Chunk grouping preserves global ts
+    order (floor-bucketing is monotone); equal timestamps always land in
+    the same chunk, so the boundary carry (max ts) is exact under ties.
+    All Catalyst: one data-sized shuffle on (series, chunk); the carry
+    table is one row per series-chunk and joins broadcast-side.
+    """
+    us = F.unix_timestamp
+    if chunk_seconds is None:
+        w = W.partitionBy(series_col).orderBy(ts_col)
+        prev = F.lag(ts_col).over(w)
+        opener = (
+            prev.isNull()
+            | ((us(F.col(ts_col)) - us(prev)) > gap_seconds)
+        ).cast("long")
+        return points.withColumn(
+            "session_id",
+            F.sum(opener).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+
+    from .rollup import bucket_ts
+
+    p = points.withColumn("_chunk", bucket_ts(F.col(ts_col), chunk_seconds))
+    wloc = W.partitionBy(series_col, "_chunk").orderBy(ts_col)
+    prev_loc = F.lag(ts_col).over(wloc)
+    opener_loc = (
+        prev_loc.isNull()
+        | ((us(F.col(ts_col)) - us(prev_loc)) > gap_seconds)
     ).cast("long")
-    return points.withColumn(
-        "session_id",
-        F.sum(opener).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    p = p.withColumn("_open", opener_loc).withColumn(
+        "_run", F.sum("_open").over(wloc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    agg = p.groupBy(series_col, "_chunk").agg(
+        F.max(ts_col).alias("_last_ts"),
+        F.min(ts_col).alias("_first_ts"),
+        F.sum("_open").alias("_n_open"),
+    )
+    wser = W.partitionBy(series_col).orderBy("_chunk")
+    prev_last = F.lag("_last_ts").over(wser)
+    actual_first = (
+        prev_last.isNull()
+        | ((us(F.col("_first_ts")) - us(prev_last)) > gap_seconds)
+    ).cast("long")
+    carr = agg.withColumn("_af", actual_first).withColumn(
+        "_corr", F.col("_n_open") - 1 + F.col("_af")
+    )
+    base = (
+        F.coalesce(
+            F.sum("_corr").over(wser.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        + F.col("_af")
+        - 1
+    )
+    carr = carr.select(series_col, "_chunk", base.alias("_base"))
+    return (
+        p.join(carr, [series_col, "_chunk"])
+        .withColumn("session_id", F.col("_run") + F.col("_base"))
+        .drop("_chunk", "_open", "_run", "_base")
     )
 
 

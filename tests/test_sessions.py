@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from afspark.operators.sessions import session_stats, sessionize
 
 
@@ -34,3 +36,56 @@ def test_sessionize_planted_gaps(spark):
     assert stats[("u", 1)] == (2, 600, 3.0)
     assert stats[("u", 2)] == (2, 1800, 7.0)
     assert stats[("u", 3)] == (1, 0, 5.0)
+
+
+def test_sessionize_chunked_equals_single_window(spark):
+    """The two-level chunk decomposition must reproduce the single
+    per-series window exactly: sessions spanning chunk boundaries,
+    gap-openers landing ON a boundary, duplicate timestamps, and gaps
+    larger than several chunks."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for sid in ("a", "b"):
+        sec = 0
+        for _ in range(300):
+            # mix sub-gap steps, exact-gap steps, and multi-chunk jumps
+            r = rng.random()
+            if r < 0.6:
+                sec += int(rng.integers(1, 1800))
+            elif r < 0.8:
+                sec += 1800  # exactly the gap: NOT an opener (> is strict)
+            else:
+                sec += int(rng.integers(100_000, 400_000))  # multi-chunk gap
+            rows.append((sid, _ts("2024-01-01 00:00:00"), float(sec), sec))
+    df = spark.createDataFrame(
+        [(s, t, v, sec) for (s, t, v, sec) in rows],
+        "series_id string, ts0 timestamp, value double, off long",
+    ).select(
+        "series_id",
+        (F.col("ts0") + F.make_interval(secs=F.col("off"))).alias("ts"),
+        "value",
+    )
+    # duplicate timestamps
+    df = df.unionByName(df.limit(20))
+
+    key = lambda r: (r.series_id, r.ts, r.value)  # noqa: E731
+    chunked = sorted(sessionize(df, 1800, chunk_seconds=86_400).collect(), key=key)
+    single = sorted(sessionize(df, 1800, chunk_seconds=None).collect(), key=key)
+    assert [r.session_id for r in chunked] == [r.session_id for r in single]
+
+    # session_stats over the chunked path matches the single-window path
+    a = {(r.series_id, r.session_id): tuple(r) for r in
+         session_stats(df, 1800).collect()}
+    # temporarily force the stats through the single-window sessionizer
+    s = sessionize(df, 1800, chunk_seconds=None)
+    b = {(r.series_id, r.session_id): tuple(r) for r in
+         s.groupBy("series_id", "session_id").agg(
+             F.count(F.lit(1)).alias("n"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+             F.sum("value").alias("value_sum"),
+         ).collect()}
+    assert a == b
