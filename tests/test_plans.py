@@ -48,7 +48,10 @@ def test_kernel_stage_partitions_explicit_not_aqe_coalesced(spark, sf_dir):
     n = scored.rdd.getNumPartitions()
     import os
 
-    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "8"))
+    from afspark.operators.score import _kernel_partitions
+
+    assert n == _kernel_partitions(spark)
+    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "4"))
     assert n == spark.sparkContext.defaultParallelism * mult
 
 
