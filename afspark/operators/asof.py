@@ -31,6 +31,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_asof",
+    chunk_seconds: int | None = 86_400,
 ) -> DataFrame:
     """left rows + the most recent right ``value_cols`` at-or-before ts.
 
@@ -38,6 +39,15 @@ def asof_join(
     are nulled out (standard as-of tolerance).  Right-side duplicates at
     the same (series, ts) must be resolved by the caller (e.g. max_by) —
     as-of is otherwise ambiguous, in any engine.
+
+    Default path: the carry (last-non-null right struct, a decomposable
+    prefix op like EWMA/counter/sessionize) runs two-level — a local
+    last-ignorenulls within each (series, time-chunk) window, plus a
+    cross-chunk carry computed on the tiny one-row-per-chunk aggregate
+    (max_by over right rows only, then last-ignorenulls over chunk rows)
+    joined back broadcast-side — so one hot series' full history never
+    lands in a single sort task.  ``chunk_seconds=None`` keeps the
+    single per-series window (the oracle-twin form).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (series_col, ts_col)]
@@ -68,19 +78,53 @@ def asof_join(
         ).alias("_r"),
     )
     u = l_tagged.unionByName(r_tagged)
-    # right rows sort BEFORE left rows at equal ts -> inclusive match
-    w = (
-        W.partitionBy(series_col)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    if chunk_seconds is None:
+        # right rows sort BEFORE left rows at equal ts -> inclusive match
+        w = (
+            W.partitionBy(series_col)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        carry = F.last("_r", ignorenulls=True).over(w)
+    else:
+        from .rollup import bucket_ts
+
+        u = u.withColumn("_chunk", bucket_ts(F.col(ts_col), chunk_seconds))
+        wloc = (
+            W.partitionBy(series_col, "_chunk")
+            .orderBy(ts_col, "_side")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        # per-chunk last right struct: max_by over right rows only (the
+        # when() nulls the ordering key for left rows, which max_by
+        # skips); chunks holding no right rows yield a null that the
+        # cross-chunk last-ignorenulls carries over
+        summaries = u.groupBy(series_col, "_chunk").agg(
+            F.max_by(
+                "_r", F.when(F.col("_side") == 0, F.col(ts_col))
+            ).alias("_last_r")
+        )
+        wser = (
+            W.partitionBy(series_col)
+            .orderBy("_chunk")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carr = summaries.select(
+            series_col,
+            "_chunk",
+            F.last("_last_r", ignorenulls=True).over(wser).alias("_carry"),
+        )
+        u = u.withColumn(
+            "_rloc", F.last("_r", ignorenulls=True).over(wloc)
+        ).join(carr, [series_col, "_chunk"])
+        carry = F.coalesce(F.col("_rloc"), F.col("_carry"))
     carried = (
         u.select(
             series_col,
             ts_col,
             *lcols,
             "_side",
-            F.last("_r", ignorenulls=True).over(w).alias("_c"),
+            carry.alias("_c"),
         )
         .filter(F.col("_side") == 1)
         .select(

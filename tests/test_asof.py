@@ -60,3 +60,42 @@ def test_asof_right_nulls_stay_row_coherent(spark):
     assert r.v1_asof == 20.0
     assert r.v2_asof is None
     assert r.ts_asof == _ts("2024-01-01 00:00:20")
+
+
+def test_asof_chunked_equals_single_window(spark):
+    """The two-level chunk decomposition of the as-of carry must match
+    the single per-series window exactly: matches reaching back across
+    several empty chunks, same-ts left/right rows (inclusive), legit
+    NULLs in right value columns, and tolerance gating."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    lrows, rrows = [], []
+    base = _ts("2024-01-01 00:00:00")
+    from datetime import timedelta
+
+    for sid in ("a", "b"):
+        rsec = sorted(int(x) for x in rng.choice(500_000, size=40, replace=False))
+        for i, s in enumerate(rsec):
+            # legit NULL values in some right rows; distinct ts per series
+            v = None if i % 7 == 3 else float(i)
+            rrows.append((sid, base + timedelta(seconds=s), v, i))
+        lsec = [int(x) for x in rng.choice(500_000, size=120, replace=False)]
+        lsec += rsec[:10]  # same-ts left rows (inclusive-match edge)
+        for j, s in enumerate(lsec):
+            lrows.append((sid, base + timedelta(seconds=s), j))
+    left = spark.createDataFrame(lrows, "series_id string, ts timestamp, tag long")
+    right = spark.createDataFrame(
+        rrows, "series_id string, ts timestamp, value double, rtag long"
+    )
+
+    for tol in (None, 3600):
+        a = sorted(
+            asof_join(left, right, tolerance_seconds=tol, chunk_seconds=3600).collect(),
+            key=lambda r: (r.series_id, r.ts, r.tag),
+        )
+        b = sorted(
+            asof_join(left, right, tolerance_seconds=tol, chunk_seconds=None).collect(),
+            key=lambda r: (r.series_id, r.ts, r.tag),
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], f"tol={tol}"
