@@ -139,31 +139,54 @@ def main() -> None:
     points = n_samples + n_scores
 
     # --- secondary phases ---------------------------------------------------
-    with timed("q_derive_samples"):
-        samples = derive_samples(pages).persist()
-        samples.count()
-
-    with timed("q_energy_catalyst_tumbling"):
-        tumbling_agg(
-            samples, WINLEN, {"energy": energy_agg(F.col("value")), "spl": spl_agg(F.col("value"))}
-        ).count()
-
+    # best-of-N here too (default 2): the host's cold-fault bandwidth can
+    # collapse MID-RUN (observed: minhash 42 s in a bench whose pre-run
+    # probe read healthy, vs 5.8 s isolated minutes later), and a single
+    # exposure per query makes one bad window fabricate a regression.
+    # The first rep also serves as the cache warm-up the headline's
+    # best-of-N already gets.
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("series_id"), "ts", "value"
     )
-    with timed("q_gapfill_linear_1h"):
-        gapfill(rollup_points(events, TIERS["1h"]), TIERS["1h"], method="linear").count()
-
-    with timed("q_chunk_encode"):
-        chunks = encode_chunks(events, chunk_seconds=86_400)
-        chunks.agg(F.sum("n")).collect()
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    with timed("q_minhash_lsh_dedup"):
-        dedup.minhash_lsh_dedup_pairs(docs, threshold=0.7).count()
+    samples = derive_samples(pages).persist()
 
-    with timed("q_simhash64"):
-        dedup.simhash64(docs).count()
+    def run_secondaries():
+        with timed("q_derive_samples"):
+            samples.unpersist(blocking=True)
+            samples.persist()
+            samples.count()
+
+        with timed("q_energy_catalyst_tumbling"):
+            tumbling_agg(
+                samples,
+                WINLEN,
+                {"energy": energy_agg(F.col("value")), "spl": spl_agg(F.col("value"))},
+            ).count()
+
+        with timed("q_gapfill_linear_1h"):
+            gapfill(
+                rollup_points(events, TIERS["1h"]), TIERS["1h"], method="linear"
+            ).count()
+
+        with timed("q_chunk_encode"):
+            chunks = encode_chunks(events, chunk_seconds=86_400)
+            chunks.agg(F.sum("n")).collect()
+
+        with timed("q_minhash_lsh_dedup"):
+            dedup.minhash_lsh_dedup_pairs(docs, threshold=0.7).count()
+
+        with timed("q_simhash64"):
+            dedup.simhash64(docs).count()
+
+    sec_reps = int(os.environ.get("AFSPARK_BENCH_SECONDARY_REPEATS", "2"))
+    merged: dict[str, float] = {}
+    for _ in range(max(1, sec_reps)):
+        run_secondaries()
+        for k, v in timings.items():
+            if k.startswith("q_") and k != "q_score_rollup_fused":
+                merged[k] = min(merged.get(k, v), v)
+    timings.update(merged)
 
     samples.unpersist()
     offs.unpersist()
