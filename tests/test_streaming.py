@@ -304,3 +304,61 @@ def test_streaming_score_rejects_batch_invalid_args(spark):
     for winlen, noverlap in ((0, 0), (256, -1), (256, 256), (256, 300)):
         with pytest.raises(ValueError):
             streaming_score(df, [], winlen, noverlap)
+
+
+def test_stream_sessions_match_batch(spark, tmpdir):
+    """session_window streaming sessions == batch session_stats on
+    second-resolution data, INCLUDING deltas exactly at the gap (stay)
+    and gap+1 (split); append mode emits each closed session once."""
+    import datetime as dtm
+
+    from afspark.operators.sessions import session_stats
+    from afspark.streaming.stream_sessions import run_session_stream_to_memory
+
+    t0 = dtm.datetime(2024, 1, 1)
+    gap = 60
+    rows = []
+    for sid, deltas in {
+        "a": [0, 30, gap, 90, gap + 1, 5, 200],   # gap keeps, gap+1 splits
+        "b": [0, gap + 1, gap + 1, gap],
+    }.items():
+        sec = 0
+        for i, d in enumerate(deltas):
+            sec += d
+            rows.append((sid, t0 + dtm.timedelta(seconds=sec), float(i)))
+    pts = spark.createDataFrame(rows, SCHEMA)
+    src = f"{tmpdir}/in"
+    pts.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = run_session_stream_to_memory(
+        spark, src, SCHEMA, gap_seconds=gap, query_name="t_sess_stream",
+        watermark="0 seconds",
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only after the watermark passes a session's
+        # close: drop a far-future flush row to advance it
+        flush = spark.createDataFrame(
+            [("zz", t0 + dtm.timedelta(days=30), 0.0)], SCHEMA
+        )
+        flush.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        got = {
+            (r.series_id, r.session_start): (
+                r.n, r.session_end, r.duration_s, r.value_sum
+            )
+            for r in spark.sql("select * from t_sess_stream").collect()
+            if r.series_id != "zz"
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.series_id, r.session_start): (
+            r.n, r.session_end, r.duration_s, r.value_sum
+        )
+        for r in session_stats(pts, gap).collect()
+    }
+    assert got == want
+    assert len(want) == 4 + 3  # a: 4 sessions, b: 3 sessions
