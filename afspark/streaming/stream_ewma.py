@@ -1,0 +1,113 @@
+"""Stateful streaming EWMA: the sample-order linear recurrence over a
+live per-series stream, exact vs the batch operator.
+
+The batch ewma (operators/tsanalytics.py) parallelizes the recurrence
+with the two-level chunk decomposition; a stream delivers the same
+recurrence incrementally.  State per series is O(1) — (last ewma value,
+samples seen, last event-time) — carried across micro-batches with
+applyInPandasWithState (same surface as stream_score/stream_dedup), so
+y_i = (1-a)*y_{i-1} + a*x_i continues exactly where the previous batch
+stopped; the y_{-1} = 0 convention matches the batch operator.
+
+Ordering contract: samples must arrive per series in non-decreasing ts
+order across micro-batches (within a batch they are sorted by
+(ts, value), the batch operator's tie order).  A batch whose earliest ts
+precedes the carried last ts raises rather than emitting silently wrong
+values — arbitrarily late data belongs to the batch OoO path, the same
+Lambda split every streaming op here uses.  Equal timestamps split
+ACROSS micro-batches process in delivery order (the batch engine's
+(ts, value) tie order cannot see batch boundaries); keep tie groups in
+one batch for bit-parity.
+
+Scale shape: O(1) state per series (three scalars), partitioned by
+series; hot series are a throughput concern only (state does not grow).
+At 100 TB state belongs in the RocksDB provider.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "series_id string, ts timestamp, value double, ewma double"
+STATE_SCHEMA = "last double, n long, last_ts double"
+
+
+def streaming_ewma(
+    points: DataFrame,
+    alpha: float,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming (series_id, ts, value) -> same rows + ewma, append mode."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("require 0 < alpha <= 1")
+
+    def fn(key, pdfs, state: GroupState):
+        series_id = key[0]
+        if state.exists:
+            last, n, last_ts = state.get
+        else:
+            last, n, last_ts = 0.0, 0, float("-inf")
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values([ts_col, value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts_sec = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+        if n > 0 and ts_sec[0] < last_ts:
+            raise ValueError(
+                f"series {series_id!r}: batch starts at ts {ts_sec[0]} before "
+                f"carried last ts {last_ts}; late data must go through the "
+                "batch OoO merge path"
+            )
+        x = pdf[value_col].to_numpy(np.float64)
+        # continue the recurrence from the carried value: seed the pandas
+        # ewm with `last` (0.0 for a fresh series = the y_{-1}=0
+        # convention), then drop the seed row
+        z = pd.Series(np.concatenate([[last], x]))
+        y = z.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+        state.update((float(y[-1]), int(n + len(x)), float(ts_sec[-1])))
+        yield pd.DataFrame(
+            {
+                "series_id": series_id,
+                "ts": pdf[ts_col],
+                "value": x,
+                "ewma": y,
+            }
+        )
+
+    src = points.select(
+        F.col(series_col).cast("string").alias(series_col), ts_col, value_col
+    )
+    return src.groupBy(series_col).applyInPandasWithState(
+        fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_ewma_stream_to_memory(
+    spark,
+    source_dir: str,
+    schema: str,
+    alpha: float,
+    checkpoint_dir: str,
+    query_name: str = "ewma_stream",
+):
+    """File-source stream -> per-row EWMA -> in-memory sink (append)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = streaming_ewma(stream, alpha)
+    return (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

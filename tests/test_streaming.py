@@ -362,3 +362,65 @@ def test_stream_sessions_match_batch(spark, tmpdir):
     }
     assert got == want
     assert len(want) == 4 + 3  # a: 4 sessions, b: 3 sessions
+
+
+def test_stream_ewma_matches_batch_and_sequential(spark, tmpdir):
+    """Streaming EWMA continues the recurrence across micro-batch cuts:
+    bit-exact vs a sequential numpy loop (it IS the sequential
+    recurrence), and == the batch chunk-decomposed operator at its
+    documented rtol 1e-12."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.tsanalytics import ewma
+    from afspark.streaming.stream_ewma import run_ewma_stream_to_memory
+
+    alpha = 0.11
+    t0 = dtm.datetime(2024, 1, 1)
+    rng = np.random.default_rng(21)
+    rows = []
+    for sid in ("a", "b"):
+        for i in range(100):
+            rows.append(
+                (sid, t0 + dtm.timedelta(seconds=int(i * 37)), float(rng.normal()))
+            )
+    pts = spark.createDataFrame(rows, SCHEMA)
+    cut = t0 + dtm.timedelta(seconds=50 * 37)
+    src, ckpt = f"{tmpdir}/in", f"{tmpdir}/ckpt"
+    pts.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = run_ewma_stream_to_memory(
+        spark, src, SCHEMA, alpha, ckpt, query_name="t_ewma_stream"
+    )
+    try:
+        q.processAllAvailable()
+        pts.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.series_id, r.ts): r.ewma
+            for r in spark.sql("select * from t_ewma_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == len(rows)
+
+    # bit-exact vs the sequential recurrence (pandas ewm with the
+    # prepend-zero seed — the identical arithmetic the operators use)
+    import pandas as pd
+
+    for sid in ("a", "b"):
+        seq = sorted((t, v) for s, t, v in rows if s == sid)
+        vals = [v for _, v in seq]
+        y = (
+            pd.Series([0.0] + vals)
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()[1:]
+        )
+        for (t, _), yi in zip(seq, y):
+            assert got[(sid, t)] == yi, (sid, t)
+
+    # == batch operator at its documented tolerance
+    for r in ewma(pts, alpha, chunk_seconds=600).collect():
+        assert got[(r.series_id, r.ts)] == pytest.approx(r.ewma, rel=1e-12)
