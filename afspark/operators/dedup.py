@@ -204,11 +204,39 @@ def lsh_candidate_pairs(
     )
 
 
+def _jaccard_verify_rows(
+    pairs: DataFrame, pruned: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Row-join Jaccard (the round-3 form): joins exploded (id, sh) rows
+    and re-aggregates matches.  More shuffles than the array form but no
+    per-row memory bound — kept as the fallback for oversized docs."""
+    sa = pruned.select(F.col("id").alias("id_a"), "sh")
+    sb = pruned.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("_za"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("_zb"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard", F.col("_i") / (F.col("_za") + F.col("_zb") - F.col("_i"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame,
     shingles: DataFrame,
     threshold: float = 0.7,
     distinct_shingles: bool = True,
+    max_array_shingles: int = 1 << 20,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the LSH contract).
 
@@ -222,6 +250,13 @@ def jaccard_verify(
     exploded shingle ROWS on (id, sh) and re-aggregated the matches —
     same bytes, three more shuffles.
 
+    The packed array introduces a per-ROW memory shape the row join did
+    not have, so docs with more than ``max_array_shingles`` distinct
+    shingles (default 2^20 ~ 8 MB of longs — an outlier multi-MB page
+    that slipped through the LSH band filter) are routed through the
+    row-join fallback instead; pairs touching no oversized doc keep the
+    array path.  Results are identical either way.
+
     ``distinct_shingles=False`` declares the input may hold duplicate
     (id, sh) rows (char_shingles distinct=False); the distinct then runs
     AFTER the prune, on candidate docs only.
@@ -234,23 +269,57 @@ def jaccard_verify(
     pruned = shingles.join(F.broadcast(ids), "id", "left_semi")
     if not distinct_shingles:
         pruned = pruned.distinct()
-    arrs = pruned.groupBy("id").agg(
-        F.sort_array(F.collect_list("sh")).alias("shs")
-    )
-    aa = arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("_sa"))
-    ab = arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (
-        candidates.join(aa, "id_a")
-        .join(ab, "id_b")
-        .withColumn("_i", inter)
-        .withColumn(
-            "jaccard",
-            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+    # pruned feeds sizes, the array build, AND both sides of the row-join
+    # fallback — without a persist each branch re-scans the FULL shingle
+    # table for the semi-join.  It holds candidate docs only (tiny next
+    # to the corpus); lifetime is the caller's materialization, reclaimed
+    # by the ContextCleaner afterwards (minhash_lsh_dedup_pairs
+    # localCheckpoints its result, releasing this promptly).
+    from pyspark import StorageLevel
+
+    pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # the oversized-doc check is an ACTUAL (cheap) action over the cached
+    # candidate-doc sizes rather than a speculative plan branch: carrying
+    # an always-present fallback subplan (union + anti/semi joins) taxed
+    # the common no-big-docs case ~2-3x in wall time, and AQE cannot
+    # prune it early enough
+    big_ids = [
+        r.id
+        for r in sizes.filter(F.col("sz") > max_array_shingles)
+        .select("id")
+        .collect()
+    ]
+
+    def _array_path(pairs: DataFrame, docs_shingles: DataFrame) -> DataFrame:
+        arrs = docs_shingles.groupBy("id").agg(
+            F.sort_array(F.collect_list("sh")).alias("shs")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        aa = arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("_sa"))
+        ab = arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("_sb"))
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        return (
+            pairs.join(aa, "id_a")
+            .join(ab, "id_b")
+            .withColumn("_i", inter)
+            .withColumn(
+                "jaccard",
+                F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if not big_ids:
+        return _array_path(candidates, pruned)
+    is_big = F.col("id_a").isin(big_ids) | F.col("id_b").isin(big_ids)
+    out_small = _array_path(
+        candidates.filter(~is_big), pruned.filter(~F.col("id").isin(big_ids))
     )
+    out_big = _jaccard_verify_rows(
+        candidates.filter(is_big), pruned, sizes, threshold
+    )
+    return out_small.unionByName(out_big)
 
 
 def minhash_lsh_dedup_pairs(
@@ -370,11 +439,25 @@ def simhash64(
 
     def _fnv_tokens(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         """FNV-1a 64-bit of each token (slice of buf), padded-matrix sweep
-        over a length-sorted slice at a time (<= ~32 MB padded)."""
+        over a length-sorted slice at a time.
+
+        Transient memory is bounded per slice at allocator-arena scale
+        (~0.5 MB pad matrix, int32 gather indices — batch text buffers
+        are far below 2^31 bytes), so peak transients stay a few MB per
+        task regardless of batch size or the longest token, and the
+        allocations recycle arena pages instead of faulting fresh mmap
+        pages (this host's first-touch bandwidth drops to ~10 MB/s under
+        pressure; see simhash64's vote-chunk comment).  Length-sorted
+        slicing keeps the per-slice column sweep short for the
+        normal-token bulk while isolating pathological long tokens in
+        their own tiny slices.  (A fully matrix-free column-at-a-time
+        gather was tried and measured ~4x slower: one O(live)-sized
+        allocation per column per BATCH loses to the slice-local
+        matrix's locality.)"""
         n = len(starts)
         hs = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
         order = np.argsort(lengths, kind="stable")
-        budget = 32 * 1024 * 1024
+        budget = 512 * 1024
         i = 0
         with np.errstate(over="ignore"):
             while i < n:
@@ -385,7 +468,10 @@ def simhash64(
                 sl = order[i:j]
                 L = int(lengths[sl].max()) if len(sl) else 0
                 arr = np.zeros((len(sl), L), dtype=np.uint8)
-                idx = starts[sl, None] + np.arange(L)[None, :]
+                idx = (
+                    starts[sl, None].astype(np.int32)
+                    + np.arange(L, dtype=np.int32)[None, :]
+                )
                 m = np.arange(L)[None, :] < lengths[sl, None]
                 arr[m] = buf[idx[m]]
                 h = np.full(len(sl), 0xCBF29CE484222325, dtype=np.uint64)
@@ -418,15 +504,19 @@ def simhash64(
                 lengths = ends - starts
                 hs = _fnv_tokens(buf, starts, lengths)
                 # votes = 2*sum(bits) - n_tokens, doc segments reduced in
-                # bounded chunks: the (tokens x 64) bit matrix for a whole
-                # Arrow batch can reach GBs (10k docs x hundreds of
-                # tokens), so expand at most ~128k tokens at a time,
-                # aligned to doc boundaries.
+                # SMALL chunks (~8k tokens, aligned to doc boundaries).
+                # Chunk size is deliberately arena-scale, not cache-scale:
+                # the (tokens x 64) expansion allocates the same TOTAL
+                # bytes regardless of chunking, but ~4 MB chunks reuse
+                # allocator arena pages while ~64 MB chunks go to fresh
+                # mmap pages — and on this host first-touch faults run as
+                # low as 10 MB/s (measured: the 128k-token version was 4x
+                # slower under memory pressure, equal when healthy).
                 nn = len(nonempty)
                 bounds = np.concatenate(([0], np.cumsum(tok_counts[nonempty])))
                 S = np.zeros((nn, 64), dtype=np.int64)
                 bitpos = np.arange(64, dtype=np.uint64)
-                CH = 1 << 17
+                CH = 1 << 13
                 i = 0
                 while i < nn:
                     j = int(np.searchsorted(bounds, bounds[i] + CH, side="right")) - 1

@@ -251,8 +251,11 @@ def ivf_topk(
 def _hash_uniform(ids: np.ndarray, salt: int) -> np.ndarray:
     """Deterministic per-id uniform [0,1) from a splitmix64 finalizer —
     position- and partitioning-independent, vectorized over the batch."""
-    z = (ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(salt + 1))
     with np.errstate(over="ignore"):
+        z = (
+            ids.astype(np.uint64)
+            + np.uint64(0x9E3779B97F4A7C15) * np.uint64(salt + 1)
+        )
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
@@ -378,9 +381,21 @@ def _kmeans_parallel_seeds(
     sel = [heavy]
     d2 = ((C - C[heavy]) ** 2).sum(axis=1)
     while len(sel) < n_cells:
-        nxt = int(np.argmax(weights * d2))
+        score = weights * d2
+        if score.max() > 0:
+            nxt = int(np.argmax(score))
+        elif d2.max() > 0:
+            # every positive-weight candidate already selected: fall back
+            # to the farthest DISTINCT unselected candidate rather than
+            # argmax-of-zeros (which would duplicate C[0] silently)
+            nxt = int(np.argmax(d2))
+        else:
+            break  # no distinct candidates left; pad below
         sel.append(nxt)
         d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+    base = len(sel)
+    while len(sel) < n_cells:  # degenerate: fewer distinct points than cells
+        sel.append(sel[len(sel) % base])
     cents = C[sel].copy()
     # GEMM distance form (_sq_dists) — the broadcast-tensor form is
     # O(|C| * k * dim) memory, catastrophic at |C|~l*rounds, k~4096.

@@ -64,7 +64,13 @@ def counter_increase(
             "_chunk", bucket_ts(F.col(ts_col), chunk_seconds)
         )
         wloc = W.partitionBy(*keys, "_chunk").orderBy(ts_col, value_col)
-        local_prev = F.lag(value_col).over(wloc)
+        # the lag and the cross-chunk carry are wrapped in STRUCTS so that
+        # "no previous row" (struct null -> consult the carry / yield the
+        # single-window null) stays distinguishable from "previous row's
+        # VALUE is a legitimate NULL" (struct non-null, field null) — a
+        # bare-column coalesce would substitute the carry for mid-chunk
+        # null values and diverge from the single-window form (tested)
+        local_prev = F.lag(F.struct(F.col(value_col).alias("v"))).over(wloc)
         last_per_chunk = points.groupBy(*keys, "_chunk").agg(
             F.max(F.struct(ts_col, value_col)).alias("_last")
         )
@@ -72,12 +78,14 @@ def counter_increase(
         carries = last_per_chunk.select(
             *keys,
             "_chunk",
-            F.lag(F.col(f"_last.{value_col}")).over(wser).alias("_carry"),
+            F.lag(F.col("_last")).over(wser).alias("_carry"),
         )
         points = points.withColumn("_lp", local_prev).join(
             carries, [*keys, "_chunk"]
         )
-        prev = F.coalesce(F.col("_lp"), F.col("_carry"))
+        prev = F.when(
+            F.col("_lp").isNotNull(), F.col("_lp.v")
+        ).otherwise(F.col(f"_carry.{value_col}"))
     delta = F.col(value_col) - prev
     inc = F.when(prev.isNull(), F.lit(None).cast("double")).when(
         delta < 0, F.col(value_col)

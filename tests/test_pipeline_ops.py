@@ -595,3 +595,22 @@ def test_simhash64_unicode_and_edge_tokens(spark):
     assert a == b
     assert a[2] == 0 and a[3] == 0  # empty / whitespace-only -> 0
     assert len(a) == len(texts)
+
+
+def test_jaccard_verify_big_doc_fallback_identical(spark, docs):
+    """Docs exceeding max_array_shingles route through the row-join
+    fallback; the combined result must equal the pure array path."""
+    sub = docs.limit(40)
+    sh = dedup.char_shingles(sub)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(sh, 16), bands=4, n_hashes=16
+    )
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_verify(cand, sh, threshold=0.2).collect()}
+    # force EVERY doc through the fallback, then a mixed split
+    for cap in (1, 500):
+        mixed = {(r.id_a, r.id_b): r.jaccard
+                 for r in dedup.jaccard_verify(
+                     cand, sh, threshold=0.2, max_array_shingles=cap
+                 ).collect()}
+        assert mixed == full, cap

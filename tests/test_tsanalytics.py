@@ -144,9 +144,16 @@ def test_counter_increase_chunked_equals_single_window(spark):
                 rows.append((sid, t(ts), v + 1.0))  # duplicate timestamp
     # boundary-exact rows: ts at an exact multiple of the chunk size
     rows += [("a", t(40), 100.0), ("a", t(80), 2.0)]
+    # legitimate NULL values, mid-chunk AND as a chunk's last row: the
+    # row after a null-valued row must get increase=null in BOTH paths
+    # (a bare coalesce(_lp, _carry) would wrongly substitute the carry)
+    rows += [("a", t(121), None), ("a", t(122), 6.0),
+             ("a", t(159), None), ("a", t(161), 9.0)]
     pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
 
-    key = lambda r: (r.series_id, r.ts, r.value)  # noqa: E731
+    key = lambda r: (  # noqa: E731
+        r.series_id, r.ts, r.value is not None, r.value or 0.0
+    )
     chunked = sorted(counter_increase(pts, chunk_seconds=40).collect(), key=key)
     single = sorted(counter_increase(pts, chunk_seconds=None).collect(), key=key)
     assert [r.increase for r in chunked] == [r.increase for r in single]
