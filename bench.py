@@ -121,7 +121,11 @@ def main() -> None:
     # fault bandwidth swings 10 MB/s..1 GB/s between minutes (see
     # host_memory_health), and min-of-N is the same noise discipline the
     # scaling harness already uses; every run's wall time is reported.
-    repeats = int(os.environ.get("AFSPARK_BENCH_REPEATS", "2"))
+    # adaptive reps: on a degraded host (documented 10 MB/s..4 GB/s
+    # cold-fault swings) one extra best-of rep materially improves the
+    # chance of sampling a sane window for the recorded number
+    default_reps = 3 if host["cold_fault_mbps"] < 300 else 2
+    repeats = int(os.environ.get("AFSPARK_BENCH_REPEATS", str(default_reps)))
     headline_runs = []
     for _ in range(max(1, repeats)):
         t0 = time.time()
@@ -181,7 +185,9 @@ def main() -> None:
         with timed("q_simhash64"):
             dedup.simhash64(docs).count()
 
-    sec_reps = int(os.environ.get("AFSPARK_BENCH_SECONDARY_REPEATS", "2"))
+    sec_reps = int(
+        os.environ.get("AFSPARK_BENCH_SECONDARY_REPEATS", str(default_reps))
+    )
     merged: dict[str, float] = {}
     for _ in range(max(1, sec_reps)):
         run_secondaries()
