@@ -192,3 +192,22 @@ def test_ewma_no_window_and_broadcast_carry(spark, sf_dir):
     assert "WindowExec" not in plan and "Window " not in plan
     assert "BroadcastExchange" in plan  # carry table is the small side
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_minhash_signature_path_skips_set_shuffle(spark, sf_dir):
+    """Round-4 contract: signatures read the shingle MULTISET (min is
+    duplicate-invariant), so the only exchanges under the signature
+    aggregate are the explicit pre-explode repartition and the aggregate's
+    own partial->final shuffle — NO set-semantics (distinct) shuffle of
+    the full exploded shingle table."""
+    from afspark.operators.dedup import char_shingles, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = char_shingles(docs, hashed=True, distinct=False)
+    sig = minhash_signatures(sh, 16)
+    plan = _plan(sig)
+    # one RoundRobin (explicit spread) + one hash exchange (the agg);
+    # a distinct would add a second hashpartitioning over (id, sh)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange RoundRobinPartitioning") == 1, plan
+    assert "partial_min" in plan  # map-side combine of the lanes
