@@ -225,10 +225,19 @@ def rand_symmetric_alpha_stable(
 def rand_alpha_stable(
     rng: np.random.Generator, alpha: float, beta: float, scale: float, size: int
 ) -> np.ndarray:
-    """General CMS sampler, S1 parameterization (alpha != 1 branch only;
-    used for skewed test fixtures)."""
+    """General CMS sampler, S1 parameterization (both branches; used for
+    skewed test fixtures).  alpha == 1 uses the Chambers–Mallows–Stuck
+    logarithmic form x = (2/pi)[(pi/2 + b*u)tan(u)
+    - b*ln((pi/2*w*cos u)/(pi/2 + b*u))]."""
     if abs(alpha - 1.0) < 1e-9:
-        raise NotImplementedError("alpha == 1 not needed for fixtures")
+        u = rng.uniform(-np.pi / 2, np.pi / 2, size)
+        w = rng.exponential(1.0, size)
+        hp = np.pi / 2.0
+        x = (1.0 / hp) * (
+            (hp + beta * u) * np.tan(u)
+            - beta * np.log((hp * w * np.cos(u)) / (hp + beta * u))
+        )
+        return scale * x
     u = rng.uniform(-np.pi / 2, np.pi / 2, size)
     w = rng.exponential(1.0, size)
     t = beta * np.tan(np.pi * alpha / 2.0)

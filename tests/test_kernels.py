@@ -544,3 +544,24 @@ def test_alpha_stable_fit_cauchy_adjacent():
         _, _, vm = K.score_local(K.Myriad(), x)
         sqk = myriad_constant(float(a_full), float(c_full))
         assert vm[0, 0] == pytest.approx(float(np.sum(np.log(sqk + x * x))))
+
+
+def test_cms_sampler_alpha_one_skewed_branch():
+    """The alpha==1 CMS branch (logarithmic form): skewed Cauchy draws
+    recover (alpha ~ 1, beta, scale) through the full McCulloch fit, and
+    beta=0 degenerates to the symmetric sampler's tan(u) law."""
+    from afspark.functions.alphastable import (
+        fit_alpha_stable_full,
+        rand_alpha_stable,
+    )
+
+    rng = np.random.default_rng(23)
+    x = rand_alpha_stable(rng, alpha=1.0, beta=0.5, scale=2.0, size=300_000)
+    alpha, beta, scale, _ = fit_alpha_stable_full(x)
+    assert alpha == pytest.approx(1.0, abs=0.1)
+    assert beta == pytest.approx(0.5, abs=0.2)
+    assert scale == pytest.approx(2.0, abs=0.2)
+    # beta=0 at alpha=1 is standard Cauchy: IQR of scale*tan(u) is 2*scale
+    x0 = rand_alpha_stable(rng, alpha=1.0, beta=0.0, scale=1.0, size=300_000)
+    q75, q25 = np.percentile(x0, [75, 25])
+    assert (q75 - q25) == pytest.approx(2.0, abs=0.05)
