@@ -185,15 +185,28 @@ def main() -> None:
         with timed("q_simhash64"):
             dedup.simhash64(docs).count()
 
-    sec_reps = int(
-        os.environ.get("AFSPARK_BENCH_SECONDARY_REPEATS", str(default_reps))
-    )
+    # re-probe BETWEEN reps: the host can collapse mid-run after a healthy
+    # pre-run probe (observed: derive 33 s / minhash 22 s in a run whose
+    # start probe read 5.4 GB/s), so the rep count extends to 3 whenever
+    # any probe during the run reads degraded
+    sec_env = os.environ.get("AFSPARK_BENCH_SECONDARY_REPEATS")
     merged: dict[str, float] = {}
-    for _ in range(max(1, sec_reps)):
+    probes = [host]
+    rep = 0
+    while True:
+        rep += 1
         run_secondaries()
         for k, v in timings.items():
             if k.startswith("q_") and k != "q_score_rollup_fused":
                 merged[k] = min(merged.get(k, v), v)
+        if sec_env is not None:
+            if rep >= max(1, int(sec_env)):
+                break
+        else:
+            probes.append(host_memory_health())
+            degraded = any(p["cold_fault_mbps"] < 300 for p in probes)
+            if rep >= (3 if degraded else 2):
+                break
     timings.update(merged)
 
     samples.unpersist()
