@@ -412,6 +412,57 @@ def _kmeans_parallel_seeds(
     return cents
 
 
+def ivf_topk_distributed(
+    corpus_cells: DataFrame,
+    codebook: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """ivf_topk for LARGE query sets (ANN-dedup-style workloads where the
+    queries are themselves a corpus): probe-cell assignment runs as a
+    narrow Arrow pass over the query DataFrame — no driver collect, no
+    max_driver_queries bound — and candidates come from an equi-join on
+    ``cell``.
+
+    Trade-off vs ivf_topk: the probed-cell set is not known on the
+    driver, so there is no static isin partition prune; with a
+    cell-partitioned store the prune can still happen at runtime via
+    dynamic partition pruning when the probe side broadcasts, and with
+    query sets large enough to probe most cells the prune is moot anyway
+    (that is the regime this variant exists for).  Results are identical
+    to ivf_topk for the same inputs (tested).
+    """
+    cb = codebook.astype(np.float64)
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(query_vec_col).alias("qv")
+    )
+
+    def probes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qv"].to_numpy())
+            d2 = _sq_dists(Q, cb)
+            npb = min(n_probe, d2.shape[1])
+            order = np.argsort(d2, axis=1)[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(), npb),
+                    "qv": np.repeat(pdf["qv"].to_numpy(), npb),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    qcells = q.mapInPandas(probes, "qid long, qv array<double>, cell int")
+    joined = corpus_cells.join(qcells, "cell")
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    scored = joined.select("qid", F.col("id").alias("cid"), cos.alias("cos_sim"))
+    return _topk_per_query(scored, k)
+
+
 def train_codebook_distributed(
     corpus: DataFrame,
     n_cells: int = 16,

@@ -614,3 +614,35 @@ def test_jaccard_verify_big_doc_fallback_identical(spark, docs):
                      cand, sh, threshold=0.2, max_array_shingles=cap
                  ).collect()}
         assert mixed == full, cap
+
+
+def test_ivf_topk_distributed_equals_driver_variant(spark, emb):
+    """The no-driver-collect IVF variant must return exactly the rows of
+    ivf_topk for the same codebook/queries (same argsort probe order,
+    same two-phase top-k tie rules)."""
+    from afspark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        ivf_topk_distributed,
+        train_codebook,
+    )
+
+    cb = train_codebook(emb.orderBy("vec_id"), n_cells=8, sample=400)
+    cells = assign_cells(emb, cb)
+    qpdf = emb.orderBy("vec_id").limit(5).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": qpdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in qpdf["embedding"]],
+            }
+        )
+    )
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    a = sorted(ivf_topk(cells, cb, queries, k=5, n_probe=3).collect(), key=key)
+    b = sorted(
+        ivf_topk_distributed(cells, cb, queries, k=5, n_probe=3).collect(), key=key
+    )
+    assert [(r.qid, r.cid, r.rank) for r in a] == [(r.qid, r.cid, r.rank) for r in b]
+    for x, y in zip(a, b):
+        assert x.cos_sim == pytest.approx(y.cos_sim, rel=1e-12)
