@@ -111,3 +111,95 @@ def run_ewma_stream_to_memory(
         .queryName(query_name)
         .start()
     )
+
+
+COUNTER_OUT_SCHEMA = (
+    "series_id string, ts timestamp, value double, increase double"
+)
+COUNTER_STATE_SCHEMA = "last double, has_last boolean, last_ts double"
+
+
+def streaming_counter_increase(
+    points: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of tsanalytics.counter_increase: PromQL increase
+    with reset handling over a live stream, O(1) state per series (the
+    previous sample's value, carried across micro-batches).
+
+    Same ordering contract as streaming_ewma: per-series non-decreasing
+    ts across batches (raises otherwise — late data belongs to the batch
+    OoO path); rows sort by (ts, value) within a batch, the batch
+    operator's tie order.  State distinguishes 'no previous sample yet'
+    (has_last=False -> null increase, the batch first-row rule) from a
+    carried NULL-safe value, mirroring the batch path's struct-wrapped
+    lag.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        series_id = key[0]
+        if state.exists:
+            last, has_last, last_ts = state.get
+        else:
+            last, has_last, last_ts = 0.0, False, float("-inf")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values([ts_col, value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts_sec = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+        if has_last and ts_sec[0] < last_ts:
+            raise ValueError(
+                f"series {series_id!r}: batch starts at ts {ts_sec[0]} before "
+                f"carried last ts {last_ts}; late data must go through the "
+                "batch OoO merge path"
+            )
+        x = pdf[value_col].to_numpy(np.float64)  # NaN where SQL NULL
+        prev = np.concatenate([[last if has_last else np.nan], x[:-1]])
+        delta = x - prev
+        inc = np.where(delta < 0, x, delta)  # NaN propagates from prev/x
+        # nullable Float64 so NaN round-trips to SQL NULL (the batch
+        # operator yields NULL for the first sample and around NULL
+        # values; a raw float64 column would emit NaN instead)
+        inc_arr = pd.array(inc, dtype="Float64")
+        state.update((float(x[-1]), True, float(ts_sec[-1])))
+        yield pd.DataFrame(
+            {
+                "series_id": series_id,
+                "ts": pdf[ts_col],
+                "value": pdf[value_col],
+                "increase": inc_arr,
+            }
+        )
+
+    src = points.select(
+        F.col(series_col).cast("string").alias(series_col), ts_col, value_col
+    )
+    return src.groupBy(series_col).applyInPandasWithState(
+        fn, COUNTER_OUT_SCHEMA, COUNTER_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_counter_stream_to_memory(
+    spark,
+    source_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    query_name: str = "counter_stream",
+):
+    """File-source stream -> per-row counter increase -> memory sink."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = streaming_counter_increase(stream)
+    return (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -424,3 +424,46 @@ def test_stream_ewma_matches_batch_and_sequential(spark, tmpdir):
     # == batch operator at its documented tolerance
     for r in ewma(pts, alpha, chunk_seconds=600).collect():
         assert got[(r.series_id, r.ts)] == pytest.approx(r.ewma, rel=1e-12)
+
+
+def test_stream_counter_increase_matches_batch(spark, tmpdir):
+    """Streaming counter increase == batch counter_increase across
+    micro-batch cuts, including a reset landing exactly on the cut, the
+    first-sample null, and a NULL value row (null increase around it)."""
+    import datetime as dtm
+
+    from afspark.operators.tsanalytics import counter_increase
+    from afspark.streaming.stream_ewma import run_counter_stream_to_memory
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dtm.timedelta(seconds=s), v)
+        for s, v in [
+            (0, 5.0), (10, 7.0), (20, 3.0), (30, 10.0),   # batch 1 (reset at 20)
+            (40, 1.0), (50, 4.0), (60, None), (70, 9.0),  # batch 2 (reset ON cut, null)
+        ]
+    ] + [("b", t0 + dtm.timedelta(seconds=s), float(s)) for s in range(0, 80, 10)]
+    pts = spark.createDataFrame(rows, SCHEMA)
+    cut = t0 + dtm.timedelta(seconds=40)
+    src, ckpt = f"{tmpdir}/in", f"{tmpdir}/ckpt"
+    pts.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+    q = run_counter_stream_to_memory(
+        spark, src, SCHEMA, ckpt, query_name="t_counter_stream"
+    )
+    try:
+        q.processAllAvailable()
+        pts.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.series_id, r.ts): (r.value, r.increase)
+            for r in spark.sql("select * from t_counter_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.series_id, r.ts): (r.value, r.increase)
+        for r in counter_increase(pts).collect()
+    }
+    assert got == want
+    assert want[("a", t0 + dtm.timedelta(seconds=40))][1] == 1.0  # reset on cut
+    assert want[("a", t0 + dtm.timedelta(seconds=70))][1] is None  # after null
