@@ -646,3 +646,30 @@ def test_ivf_topk_distributed_equals_driver_variant(spark, emb):
     assert [(r.qid, r.cid, r.rank) for r in a] == [(r.qid, r.cid, r.rank) for r in b]
     for x, y in zip(a, b):
         assert x.cos_sim == pytest.approx(y.cos_sim, rel=1e-12)
+
+
+def test_embedding_neardup_banded_recall(spark):
+    """Banded hyperplane LSH: planted near-dup pairs at cos ~0.9 that the
+    single 16-bit signature usually misses are recovered by 4x8 banding;
+    output pairs are unique (multi-band matches dedup) and every emitted
+    pair clears the exact-cosine threshold."""
+    rng = np.random.default_rng(31)
+    dim = 32
+    base = rng.normal(size=(20, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup: small perturbation -> cos ~ 0.97-0.99
+        rows.append((100 + i, [float(x) for x in v + rng.normal(0, 0.07, dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    banded = dedup.embedding_neardup_pairs(
+        emb, threshold=0.9, n_planes=8, bands=4, dim=dim
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in banded}
+    assert len(pairs) == len(banded)  # multi-band matches dedup
+    planted = {(i, 100 + i) for i in range(20)}
+    found = planted & pairs
+    assert len(found) >= 18, f"banding should recover ~all planted pairs: {len(found)}"
+    for r in banded:
+        assert r.cos_sim >= 0.9
