@@ -2064,6 +2064,284 @@ SQL_SALTED_DOMAIN_STATS = """
 """
 
 
+def q_counter_resets_1h(spark, sf_dir):
+    """PromQL `resets` per (series, 1h bucket): count of counter decreases.
+
+    Rides the same chunk-parallel lag as counter_rate_1h (one shared
+    series shuffle); the reset flag is null on series heads so bucket
+    sums skip them exactly like `increase` does.
+    """
+    from .operators.tsanalytics import rate_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = rate_per_bucket(pts, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n_samples",
+        F.col("reset_count").cast("long").alias("resets"),
+    )
+
+
+SQL_COUNTER_RESETS = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    l AS (SELECT user_id, ts, v,
+                 lag(v) OVER (PARTITION BY user_id ORDER BY ts, v) AS pv FROM c),
+    r AS (SELECT user_id, ts,
+                 CASE WHEN pv IS NULL THEN NULL
+                      WHEN v < pv THEN 1 ELSE 0 END AS rs FROM l)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+           count(*) AS n_samples,
+           CAST(sum(rs) AS BIGINT) AS resets
+    FROM r GROUP BY 1, 2
+"""
+
+
+def q_idelta_1h(spark, sf_dir):
+    """PromQL idelta/irate per (series, 1h bucket): last-two-sample delta.
+
+    The row_number window partitions by BUCKET (parallel across time, no
+    per-series sort task); ties on (ts, value) are broken descending on
+    both so duplicate timestamps are engine-independent.  gap_s is the
+    second-resolution timestamp gap; irate divides cents by it.
+    """
+    from .operators.tsanalytics import instant_delta_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = instant_delta_per_bucket(pts, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("idelta").cast("long").alias("idelta_c"),
+        "gap_s",
+        _r(F.col("irate") / 100.0, 6).alias("irate"),
+    )
+
+
+SQL_IDELTA = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    r AS (SELECT user_id, ts, v,
+                 row_number() OVER (PARTITION BY user_id, floor(epoch(ts)/3600)
+                                    ORDER BY ts DESC, v DESC) AS rk
+          FROM c),
+    a AS (SELECT user_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+                 count(*) AS n2,
+                 max(CASE WHEN rk = 1 THEN v END) AS lv,
+                 max(CASE WHEN rk = 2 THEN v END) AS pv,
+                 max(CASE WHEN rk = 1 THEN floor(epoch(ts))::BIGINT END) AS lt,
+                 max(CASE WHEN rk = 2 THEN floor(epoch(ts))::BIGINT END) AS pt
+          FROM r WHERE rk <= 2 GROUP BY 1, 2)
+    SELECT CAST(user_id AS VARCHAR) AS series_id, bucket_epoch,
+           CAST(CASE WHEN n2 < 2 THEN NULL
+                     WHEN lv - pv < 0 THEN lv ELSE lv - pv END AS BIGINT)
+             AS idelta_c,
+           (lt - pt)::BIGINT AS gap_s,
+           CASE WHEN lt - pt > 0 THEN
+             floor(((CASE WHEN lv - pv < 0 THEN lv ELSE lv - pv END)
+                    / (lt - pt) / 100.0) * 1000000.0 + 0.5) / 1000000.0
+           END AS irate
+    FROM a
+"""
+
+
+def q_deriv_1h(spark, sf_dir):
+    """PromQL deriv + predict_linear per (series, 1h bucket).
+
+    Pure algebraic regression sums over integer (seconds, cents) — exact,
+    commutative, map-side combined; only the final slope/intercept
+    division is float, computed by the identical expression in both
+    engines.
+    """
+    from .operators.tsanalytics import deriv_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = deriv_per_bucket(pts, 3600, horizon_seconds=7200)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n",
+        _r(F.col("slope_per_sec"), 9).alias("slope"),
+        _r(F.col("predict") / 100.0, 6).alias("predict"),
+    )
+
+
+SQL_DERIV = """
+    WITH c AS (SELECT user_id, ts,
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+    b AS (SELECT user_id, v,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                 floor(epoch(ts))::BIGINT
+                   - (floor(epoch(ts)/3600)*3600)::BIGINT AS t
+          FROM c),
+    a AS (SELECT user_id, be, count(*) AS n,
+                 sum(t) AS st, sum(v) AS sv,
+                 sum(t*v) AS stv, sum(t*t) AS stt
+          FROM b GROUP BY 1, 2)
+    SELECT CAST(user_id AS VARCHAR) AS series_id, be AS bucket_epoch, n,
+           CASE WHEN n >= 2 AND n*stt - st*st > 0 THEN
+             floor(((n*stv - st*sv) / (n*stt - st*st)) * 1000000000.0 + 0.5)
+               / 1000000000.0
+           END AS slope,
+           CASE WHEN n >= 2 AND n*stt - st*st > 0 THEN
+             floor((((sv - ((n*stv - st*sv) / (n*stt - st*st)) * st) / n
+                     + ((n*stv - st*sv) / (n*stt - st*st)) * 7200.0) / 100.0)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS predict
+    FROM a
+"""
+
+
+def q_seasonal_anomaly_1h(spark, sf_dir):
+    """Seasonal z-score anomalies: each 1h bucket vs the same hour-of-day
+    in the prior 7 days (phase-partitioned baseline), explicit
+    engine-exact variance like anomaly_zscore_1h.
+    """
+    from .operators.tsanalytics import seasonal_zscore
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = seasonal_zscore(
+        tier, 3600, season_buckets=24, n_periods=7, value_col="sum"
+    )
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("sum").cast("long").alias("sum_c"),
+        F.col("baseline_n").alias("n_base"),
+        _r(F.col("zscore"), 6).alias("z"),
+        F.col("is_anomaly").cast("int").alias("anom"),
+    )
+
+
+SQL_SEASONAL_ANOMALY = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+                 sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    p AS (SELECT series_id, bucket_epoch, s,
+                 CAST(CAST(floor(bucket_epoch/3600.0) AS BIGINT) % 24
+                      AS INTEGER) AS ph
+          FROM t),
+    wn AS (SELECT series_id, bucket_epoch, s,
+                  count(s) OVER w AS n,
+                  sum(s) OVER w AS bs,
+                  sum(s*s) OVER w AS bss
+           FROM p
+           WINDOW w AS (PARTITION BY series_id, ph ORDER BY bucket_epoch
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT series_id, bucket_epoch, CAST(s AS BIGINT) AS sum_c, n AS n_base,
+           CASE WHEN n >= 2 AND (bss - bs*bs/n)/(n-1) > 0
+                THEN floor(((s - bs/n)/sqrt((bss - bs*bs/n)/(n-1)))*1000000.0
+                           + 0.5)/1000000.0 END AS z,
+           CASE WHEN n >= 2 AND (bss - bs*bs/n)/(n-1) > 0
+                     AND abs((s - bs/n)/sqrt((bss - bs*bs/n)/(n-1))) > 3.0
+                THEN 1 ELSE 0 END AS anom
+    FROM wn
+"""
+
+
+def q_distinct_users_1h(spark, sf_dir):
+    """Exact distinct-user counts per (event_type, 1h): counts read off
+    the mergeable distinct tier (distinct tuples, not counts)."""
+    from .operators.distinct import distinct_counts, distinct_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    tier = distinct_rollup(ev, 3600)
+    out = distinct_counts(tier)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n_distinct",
+    )
+
+
+SQL_DISTINCT_USERS_1H = """
+    SELECT event_type,
+           (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+           count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_users_1d_chained(spark, sf_dir):
+    """Daily distinct users derived FROM THE HOURLY TIER (re-bucket +
+    re-distinct over already-deduped tuples) — the incremental-refresh
+    path: the raw stream is scanned once, at the 1h level."""
+    from .operators.distinct import (
+        distinct_counts,
+        distinct_rollup,
+        distinct_tier_rollup,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    tier_1h = distinct_rollup(ev, 3600)
+    tier_1d = distinct_tier_rollup(tier_1h, 86400)
+    out = distinct_counts(tier_1d)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n_distinct",
+    )
+
+
+SQL_DISTINCT_USERS_1D = """
+    SELECT event_type,
+           (floor(epoch(ts)/86400)*86400)::BIGINT AS bucket_epoch,
+           count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_hll_distinct_check(spark, sf_dir):
+    """HLL sketch tier vs exact tier: per (event_type, day), the exact
+    count plus a flag that the 1h-sketch-merged-to-1d HLL estimate lands
+    within 5% of it.
+
+    The sketch path (hll_sketch_agg at 1h, hll_union_agg to 1d) is the
+    100-TB shape — O(groups × 2^lg_k bytes) shuffle regardless of
+    cardinality.  DataSketches HLL is deterministic for a given input
+    set, so the flag is a stable oracle value (lg_k=14 → ~0.8% standard
+    error; 5% ≈ 6σ).
+    """
+    from .operators.distinct import (
+        distinct_counts,
+        distinct_rollup,
+        distinct_tier_rollup,
+        hll_merge_rollup,
+        hll_rollup,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    exact = distinct_counts(distinct_tier_rollup(distinct_rollup(ev, 3600), 86400))
+    est = hll_merge_rollup(hll_rollup(ev, 3600, lg_k=14), 86400)
+    j = exact.join(
+        est.select("event_type", "bucket_ts", "n_estimate"),
+        ["event_type", "bucket_ts"],
+    )
+    ok = (
+        F.abs(F.col("n_estimate") - F.col("n_distinct"))
+        <= 0.05 * F.col("n_distinct")
+    ).cast("int")
+    return j.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("n_distinct").alias("n_exact"),
+        ok.alias("est_ok"),
+    )
+
+
+SQL_HLL_DISTINCT_CHECK = """
+    SELECT event_type,
+           (floor(epoch(ts)/86400)*86400)::BIGINT AS bucket_epoch,
+           count(DISTINCT user_id) AS n_exact,
+           1 AS est_ok
+    FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2140,6 +2418,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
+    "counter_resets_1h": (q_counter_resets_1h, SQL_COUNTER_RESETS),
+    "idelta_1h": (q_idelta_1h, SQL_IDELTA),
+    "deriv_1h": (q_deriv_1h, SQL_DERIV),
+    "seasonal_anomaly_1h": (q_seasonal_anomaly_1h, SQL_SEASONAL_ANOMALY),
+    "distinct_users_1h": (q_distinct_users_1h, SQL_DISTINCT_USERS_1H),
+    "distinct_users_1d_chained": (
+        q_distinct_users_1d_chained,
+        SQL_DISTINCT_USERS_1D,
+    ),
+    "hll_distinct_check": (q_hll_distinct_check, SQL_HLL_DISTINCT_CHECK),
 }
 
 

@@ -90,7 +90,13 @@ def counter_increase(
     inc = F.when(prev.isNull(), F.lit(None).cast("double")).when(
         delta < 0, F.col(value_col)
     ).otherwise(delta)
-    out = points.withColumn("increase", inc)
+    # reset flag (PromQL `resets`): previous sample exists and the counter
+    # went DOWN.  Null when there is no previous sample, so bucket-level
+    # sums skip series heads exactly like increase does.
+    is_reset = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+        (delta < 0).cast("int")
+    )
+    out = points.withColumn("increase", inc).withColumn("is_reset", is_reset)
     if chunk_seconds is not None:
         out = out.drop("_chunk", "_lp", "_carry")
     return out
@@ -119,7 +125,167 @@ def rate_per_bucket(
             F.count(F.lit(1)).alias("n_samples"),
             F.sum("increase").alias("increase_sum"),
             (F.sum("increase") / F.lit(float(bucket_seconds))).alias("rate_per_sec"),
+            F.sum("is_reset").alias("reset_count"),
         )
+    )
+
+
+def instant_delta_per_bucket(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL idelta/irate per (series, bucket): delta of the LAST TWO samples.
+
+    For each (series, bucket) the two most recent samples (ordered by
+    (ts, value) — the value tiebreak makes duplicate timestamps
+    engine-independent) yield ``idelta`` (reset-aware: a negative delta
+    means a counter reset, so the raw last value is used, PromQL irate
+    semantics) and ``irate`` = idelta / gap seconds.  Buckets with one
+    sample emit nulls.
+
+    Plan shape: one shuffle by (keys, bucket); the row_number window is
+    PARTITIONED BY BUCKET, so parallelism grows with time — a hot series
+    splits across its buckets and never serializes into one sort task.
+    The top-2 filter feeds a tiny algebraic pivot aggregation (one row
+    per series-bucket enters it).
+    """
+    from .rollup import bucket_ts
+
+    src = points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), bucket_seconds))
+    w = W.partitionBy(*keys, "bucket_ts").orderBy(
+        F.col(ts_col).desc(), F.col(value_col).desc()
+    )
+    top2 = src.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 2)
+    last_v = F.max(F.when(F.col("_rk") == 1, F.col(value_col)))
+    prev_v = F.max(F.when(F.col("_rk") == 2, F.col(value_col)))
+    last_t = F.max(F.when(F.col("_rk") == 1, F.unix_timestamp(F.col(ts_col))))
+    prev_t = F.max(F.when(F.col("_rk") == 2, F.unix_timestamp(F.col(ts_col))))
+    agg = top2.groupBy(*keys, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("_n2"),
+        last_v.alias("_lv"),
+        prev_v.alias("_pv"),
+        last_t.alias("_lt"),
+        prev_t.alias("_pt"),
+    )
+    delta = F.col("_lv") - F.col("_pv")
+    idelta = F.when(F.col("_n2") < 2, F.lit(None).cast("double")).when(
+        delta < 0, F.col("_lv")
+    ).otherwise(delta)
+    gap = F.col("_lt") - F.col("_pt")
+    irate = F.when(gap > 0, idelta / gap)
+    return agg.select(
+        *keys,
+        "bucket_ts",
+        idelta.alias("idelta"),
+        gap.alias("gap_s"),
+        irate.alias("irate"),
+    )
+
+
+def deriv_per_bucket(
+    points: DataFrame,
+    bucket_seconds: int,
+    horizon_seconds: int = 3600,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL deriv + predict_linear per (series, bucket): least-squares slope.
+
+    Simple linear regression of value on time within each bucket, from
+    the five algebraic sums (n, Σt, Σv, Σtv, Σt²) — one map-side-combined
+    aggregation, no window functions, no ordering sensitivity (the sums
+    are commutative).  ``t`` is INTEGER SECONDS since the bucket start
+    and callers pass integer-valued samples (cents), so every sum is an
+    exact integer (engine-independent); only the final slope/intercept
+    division is float.  Exactness bound: n·Σt² < 2^63 holds up to ~8e5
+    samples per series-bucket at 1h granularity — far above any real
+    scrape cadence.
+
+    ``predict`` is the regression value ``horizon_seconds`` after the
+    bucket START (PromQL predict_linear with the bucket as the range).
+    Buckets with <2 samples or zero time spread emit null slope/predict.
+    """
+    from .rollup import bucket_ts
+
+    src = points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), bucket_seconds))
+    t = (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("bucket_ts"))
+    ).cast("long")
+    v = F.col(value_col).cast("long")
+    agg = src.groupBy(*keys, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("_st"),
+        F.sum(v).alias("_sv"),
+        F.sum(t * v).alias("_stv"),
+        F.sum(t * t).alias("_stt"),
+    )
+    n, st, sv, stv, stt = (F.col(c) for c in ("n", "_st", "_sv", "_stv", "_stt"))
+    det = n * stt - st * st
+    slope = F.when((n >= 2) & (det > 0), (n * stv - st * sv) / det)
+    intercept = (sv - slope * st) / n
+    predict = intercept + slope * F.lit(float(horizon_seconds))
+    return agg.select(
+        *keys,
+        "bucket_ts",
+        "n",
+        slope.alias("slope_per_sec"),
+        predict.alias("predict"),
+    )
+
+
+def seasonal_zscore(
+    tier: DataFrame,
+    tier_seconds: int,
+    season_buckets: int = 24,
+    n_periods: int = 7,
+    threshold: float = 3.0,
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "sum",
+) -> DataFrame:
+    """Seasonal anomaly: z-score against the SAME PHASE in prior periods.
+
+    A 17:00 bucket is compared to the last ``n_periods`` 17:00 buckets,
+    not to the immediately preceding hours — the baseline window
+    partitions on (series, phase) where phase = bucket_index mod
+    ``season_buckets``.  Catches diurnal-pattern violations that the
+    rolling z-score (rolling_zscore) smears over.
+
+    Same engine-exact explicit variance form as rolling_zscore
+    ((ss−s²/n)/(n−1) over integer tier sums); the window frame is BOUNDED
+    (≤ n_periods rows of state) and partitions on (series, phase) — finer
+    than per-series, so seasonal analysis of a hot series fans out over
+    ``season_buckets`` tasks.
+    """
+    epoch = F.unix_timestamp(F.col(bucket_col))
+    phase = (F.floor(epoch / tier_seconds) % season_buckets).cast("int")
+    src = tier.withColumn("_phase", phase)
+    w = (
+        W.partitionBy(*keys, "_phase")
+        .orderBy(bucket_col)
+        .rowsBetween(-n_periods, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    z = (v - mean) / F.sqrt(var)
+    return (
+        src.withColumn("baseline_n", n)
+        .withColumn("seasonal_mean", mean)
+        .withColumn("zscore", F.when((F.col("baseline_n") >= 2) & (var > 0), z))
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("zscore").isNotNull(), F.abs(F.col("zscore")) > threshold)
+            .otherwise(F.lit(False)),
+        )
+        .drop("_phase")
     )
 
 

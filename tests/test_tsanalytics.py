@@ -180,3 +180,113 @@ def test_counter_increase_plan_is_chunked(spark):
     for s in specs:
         if "_chunk" not in s.split("windowspecdefinition", 1)[1].split(",")[1]:
             assert "_last" in s, f"series-only window over raw rows:\n{s}"
+
+
+def test_counter_resets_flag(spark):
+    """[5, 7, 3, 10]: is_reset = [null, 0, 1, 0]; bucket sums skip heads."""
+    pts = spark.createDataFrame(
+        [("s", t(0), 5.0), ("s", t(10), 7.0), ("s", t(20), 3.0), ("s", t(30), 10.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    rows = sorted(counter_increase(pts).collect(), key=lambda r: r.ts)
+    assert [r.is_reset for r in rows] == [None, 0, 1, 0]
+    b = rate_per_bucket(pts, 3600).collect()[0]
+    assert b.reset_count == 1
+
+
+def test_instant_delta_last_two_and_reset(spark):
+    """Bucket [5@0, 7@10, 3@20]: last two are 3 and 7 -> reset -> idelta=3,
+    gap 10s, irate 0.3; a single-sample bucket emits nulls."""
+    from afspark.operators.tsanalytics import instant_delta_per_bucket
+
+    pts = spark.createDataFrame(
+        [
+            ("s", t(0), 5.0),
+            ("s", t(10), 7.0),
+            ("s", t(20), 3.0),
+            ("s", t(4000), 9.0),
+        ],
+        "series_id string, ts timestamp, value double",
+    )
+    out = {
+        int(r["bucket_ts"].timestamp()) % 86400: r
+        for r in instant_delta_per_bucket(pts, 3600).collect()
+    }
+    b0, b1 = out[0], out[3600]
+    assert (b0.idelta, b0.gap_s) == (3.0, 10)
+    assert abs(b0.irate - 0.3) < 1e-12
+    assert (b1.idelta, b1.gap_s, b1.irate) == (None, None, None)
+
+
+def test_instant_delta_monotone_counter(spark):
+    """No reset: idelta is the plain last-two delta."""
+    from afspark.operators.tsanalytics import instant_delta_per_bucket
+
+    pts = spark.createDataFrame(
+        [("s", t(0), 5.0), ("s", t(100), 8.0), ("s", t(200), 13.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    r = instant_delta_per_bucket(pts, 3600).collect()[0]
+    assert (r.idelta, r.gap_s, r.irate) == (5.0, 100, 0.05)
+
+
+def test_deriv_exact_line(spark):
+    """Points ON a line recover its slope exactly; predict extrapolates
+    from the bucket start."""
+    from afspark.operators.tsanalytics import deriv_per_bucket
+
+    pts = spark.createDataFrame(
+        [("s", t(0), 1.0), ("s", t(10), 3.0), ("s", t(20), 5.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    r = deriv_per_bucket(pts, 3600, horizon_seconds=100).collect()[0]
+    assert r.n == 3
+    assert r.slope_per_sec == 0.2
+    assert r.predict == 1.0 + 0.2 * 100
+
+
+def test_deriv_degenerate_buckets(spark):
+    """<2 samples or zero time spread -> null slope (det == 0 guard)."""
+    from afspark.operators.tsanalytics import deriv_per_bucket
+
+    pts = spark.createDataFrame(
+        [("a", t(0), 1.0), ("b", t(5), 1.0), ("b", t(5), 9.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    rows = {r.series_id: r for r in deriv_per_bucket(pts, 3600).collect()}
+    assert rows["a"].slope_per_sec is None
+    assert rows["b"].slope_per_sec is None  # both samples at t=5 -> det=0
+
+
+def test_seasonal_zscore_same_phase_baseline(spark):
+    """The 10:00 bucket is judged against prior 10:00 buckets only: a
+    spike vs a [10, 12, 14] same-hour history is anomalous, while an
+    identical value at a different hour with flat history stays null."""
+    from afspark.operators.rollup import rollup_points
+    from afspark.operators.tsanalytics import seasonal_zscore
+
+    day = 86400
+    rows = []
+    # hour 10 on days 0..2: values 10, 12, 14; day 3: spike 100
+    for d, v in [(0, 10.0), (1, 12.0), (2, 14.0), (3, 100.0)]:
+        rows.append(("s", t(d * day + 10 * 3600), v))
+    # hour 5, flat history: variance 0 -> z must stay null
+    for d in range(4):
+        rows.append(("s", t(d * day + 5 * 3600), 7.0))
+    pts = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    tier = rollup_points(pts, 3600)
+    out = seasonal_zscore(tier, 3600, season_buckets=24, n_periods=3)
+    got = {
+        (r["bucket_ts"].day - 1, r["bucket_ts"].hour): r for r in out.collect()
+    }
+    spike = got[(3, 10)]
+    # baseline mean 12, sample std 2 -> z = (100-12)/2 = 44
+    assert spike.baseline_n == 3
+    assert abs(spike.zscore - 44.0) < 1e-9
+    assert spike.is_anomaly
+    flat = got[(3, 5)]
+    assert flat.zscore is None and not flat.is_anomaly
+    # first occurrence of a phase has no baseline at all
+    assert got[(0, 10)].baseline_n == 0
