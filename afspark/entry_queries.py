@@ -2243,6 +2243,41 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_holt_forecast_events(spark, sf_dir):
+    """Chunk-parallel Holt linear smoothing over cents samples: per-series
+    final (level, trend) and a 10-step forecast, as micros BIGINTs.
+
+    The oracle is a VALUES-literal golden computed by a sequential numpy
+    twin (tools/gen_goldens.py) — two independent execution paths
+    (distributed 2×2-matrix-carry decomposition vs single-process loop)
+    through the driver's hash gate.  The +1e-9 bias before flooring
+    absorbs the ~1e-15-relative reassociation difference between them.
+    """
+    from .operators.tsanalytics import holt_linear
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = holt_linear(pts, 0.3, 0.1, chunk_seconds=86400)
+    agg = out.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by(
+            F.struct("ts", "value", "level", "trend"), F.struct("ts", "value")
+        ).alias("_e"),
+    )
+    lvl = F.col("_e.level") / 100.0
+    tr = F.col("_e.trend") / 100.0
+
+    def micros(c):
+        return F.floor((c + F.lit(1e-9)) * 1e6 + 0.5).cast("long")
+
+    return agg.select(
+        "series_id",
+        "n",
+        micros(lvl).alias("level_u"),
+        micros(tr).alias("trend_u"),
+        micros(lvl + 10.0 * tr).alias("fc10_u"),
+    )
+
+
 def q_distinct_users_1h(spark, sf_dir):
     """Exact distinct-user counts per (event_type, 1h): counts read off
     the mergeable distinct tier (distinct tuples, not counts)."""
@@ -2419,6 +2454,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
     "counter_resets_1h": (q_counter_resets_1h, SQL_COUNTER_RESETS),
+    "holt_forecast_events": (
+        q_holt_forecast_events,
+        GOLDEN_SQL["holt_forecast_events"],
+    ),
     "idelta_1h": (q_idelta_1h, SQL_IDELTA),
     "deriv_1h": (q_deriv_1h, SQL_DERIV),
     "seasonal_anomaly_1h": (q_seasonal_anomaly_1h, SQL_SEASONAL_ANOMALY),

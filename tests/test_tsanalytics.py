@@ -290,3 +290,55 @@ def test_seasonal_zscore_same_phase_baseline(spark):
     assert flat.zscore is None and not flat.is_anomaly
     # first occurrence of a phase has no baseline at all
     assert got[(0, 10)].baseline_n == 0
+
+
+def test_holt_chunked_equals_sequential(spark):
+    """The 2x2-matrix-carry decomposition matches the single-task
+    sequential recurrence to reassociation round-off."""
+    import numpy as np
+
+    from afspark.operators.tsanalytics import holt_linear
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (sid, t(i * 700 + int(rng.integers(0, 600))), float(round(v, 2)))
+        for sid in ["a", "b"]
+        for i, v in enumerate(rng.normal(50, 10, 300))
+    ]
+    pts = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    key = lambda r: (r.series_id, r.ts, r.value)  # noqa: E731
+    c = sorted(holt_linear(pts, 0.3, 0.1, chunk_seconds=86400).collect(), key=key)
+    s = sorted(holt_linear(pts, 0.3, 0.1, chunk_seconds=None).collect(), key=key)
+    for rc, rs in zip(c, s):
+        assert rc.level == pytest.approx(rs.level, rel=1e-9)
+        assert rc.trend == pytest.approx(rs.trend, rel=1e-9, abs=1e-9)
+
+
+def test_holt_matches_classic_recurrence(spark):
+    """Matrix form == the textbook (l, b) update, and on a pure linear
+    ramp the trend converges to the slope."""
+    from afspark.operators.tsanalytics import holt_linear
+
+    n, slope = 200, 3.0
+    pts = spark.createDataFrame(
+        [("s", t(i * 60), 5.0 + slope * i) for i in range(n)],
+        "series_id string, ts timestamp, value double",
+    )
+    out = sorted(
+        holt_linear(pts, 0.5, 0.3, chunk_seconds=3600).collect(),
+        key=lambda r: r.ts,
+    )
+    # classic twin
+    l = b = 0.0
+    for i in range(n):
+        lp = l
+        x = 5.0 + slope * i
+        l = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l - lp) + 0.7 * b
+    assert out[-1].level == pytest.approx(l, rel=1e-9)
+    assert out[-1].trend == pytest.approx(b, rel=1e-9)
+    # zero-init Holt on a ramp converges to the per-step slope
+    assert out[-1].trend == pytest.approx(slope, rel=1e-6)
+    assert out[-1].level == pytest.approx(5.0 + slope * (n - 1), rel=1e-3)

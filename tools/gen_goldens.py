@@ -209,6 +209,39 @@ def golden_ivf_recall():
     return values_sql(df, set())
 
 
+def golden_holt_events():
+    """Sequential numpy twin of entry_queries.q_holt_forecast_events.
+
+    Same matrix-form recurrence as tsanalytics.holt_linear's local loop,
+    run single-process per series over the full (ts, value)-ordered cents
+    stream; emits per-series micros BIGINTs with the same +1e-9 bias.
+    """
+    al, be = 0.3, 0.1
+    a11, a12 = 1.0 - al, 1.0 - al
+    a21, a22 = -al * be, 1.0 - al * be
+    ca, cb = al, al * be
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"])
+    e["v"] = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    rows = []
+    for uid, g in e.sort_values(["ts", "v"], kind="mergesort").groupby("user_id"):
+        x = g["v"].to_numpy(np.float64)
+        l = b = 0.0
+        for xi in x:
+            l, b = a11 * l + a12 * b + ca * xi, a21 * l + a22 * b + cb * xi
+        lvl, tr = l / 100.0, b / 100.0
+
+        def mic(v):
+            return int(math.floor((v + 1e-9) * 1e6 + 0.5))
+
+        rows.append(
+            (str(uid), len(x), mic(lvl), mic(tr), mic(lvl + 10.0 * tr))
+        )
+    df = pd.DataFrame(
+        rows, columns=["series_id", "n", "level_u", "trend_u", "fc10_u"]
+    )
+    return values_sql(df, {"series_id"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -216,6 +249,7 @@ def main():
         "score_impulse_sas_events": golden_impulse_sas_events(),
         "score_freq_contours_docs": golden_freq_contours_docs(),
         "ivf_recall_check": golden_ivf_recall(),
+        "holt_forecast_events": golden_holt_events(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
