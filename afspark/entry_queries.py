@@ -2243,6 +2243,58 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_pq_recall_check(spark, sf_dir):
+    """PQ/ADC vs exact top-5 recall per query (VALUES golden from the
+    numpy twin in tools/gen_goldens.py; deterministic seeded codebooks).
+
+    The PQ pipeline is the memory/IO scale path: vectors quantize to m=8
+    small codes (32x narrower than raw float32 at dim=64), ADC scores are
+    m table-gathers per row, and the reduction is the same two-phase
+    local-top-k as brute force.
+    """
+    import pandas as pd
+
+    from .operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(emb, m=8, n_codes=16, sample=2048)
+    codes = pq_encode(emb, cb)
+    qpdf = emb.orderBy("vec_id").limit(5).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": qpdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in qpdf["embedding"]],
+            }
+        )
+    )
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "qid", F.col("cid").alias("ecid")
+    )
+    approx = pq_topk(codes, cb, queries, k=5).select(
+        "qid", F.col("cid").alias("acid")
+    )
+    hits = exact.join(
+        approx, (exact.qid == approx.qid) & (exact.ecid == approx.acid)
+    ).groupBy(exact.qid).count()
+    return (
+        exact.groupBy("qid")
+        .count()
+        .select(F.col("qid"), F.col("count").alias("k"))
+        .join(
+            hits.select(F.col("qid").alias("qid2"), F.col("count").alias("hit")),
+            F.col("qid") == F.col("qid2"),
+            "left",
+        )
+        .select("qid", "k", F.coalesce("hit", F.lit(0)).alias("hits"))
+    )
+
+
 def q_holt_forecast_events(spark, sf_dir):
     """Chunk-parallel Holt linear smoothing over cents samples: per-series
     final (level, trend) and a 10-step forecast, as micros BIGINTs.
@@ -2454,6 +2506,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trimmed_mean_1h": (q_trimmed_mean_1h, SQL_TRIMMED_MEAN_1H),
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
     "counter_resets_1h": (q_counter_resets_1h, SQL_COUNTER_RESETS),
+    "pq_recall_check": (q_pq_recall_check, GOLDEN_SQL["pq_recall_check"]),
     "holt_forecast_events": (
         q_holt_forecast_events,
         GOLDEN_SQL["holt_forecast_events"],

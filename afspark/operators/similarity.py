@@ -525,3 +525,150 @@ def train_codebook_distributed(
                 new[c] = total / rows["n"].sum()
         cents = new
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): byte-code ANN — the memory/IO scale path
+# ---------------------------------------------------------------------------
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    n = np.sqrt((X * X).sum(axis=1))
+    return X / np.where(n == 0.0, 1.0, n)[:, None]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks -> (m, n_codes, dim/m).
+
+    Vectors are L2-NORMALIZED first (the PQ pipeline ranks by L2 on the
+    unit sphere, which is cosine order: d2 = 2 - 2*cos).  The training
+    sample is the first ``sample`` vectors BY ID (orderBy + limit — a
+    deterministic TakeOrdered, no full shuffle), so the codebooks are
+    reproducible for the golden twin.  Distances use the naive
+    (x - c)^2 broadcast form — subspace dim is tiny (dim/m), so the GEMM
+    expansion's cancellation risk isn't worth it here.
+    """
+    pdf = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .toPandas()
+    )
+    X = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        cents = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < n_codes:  # degenerate tiny sample: pad with copies
+            books[j, len(cents) :] = cents[0]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` small codes (nearest subspace centroid).
+
+    One Arrow pass, no shuffle.  The output is ``m`` ints per vector
+    instead of ``dim`` floats — a 32x narrower corpus at dim=64/m=8
+    (float32), which is what makes exhaustive ADC scans and in-memory
+    candidate stores viable at 100 TB.  Output: id, code array<int>.
+    """
+    cb = codebooks.astype(np.float64)
+    m, _, dsub = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "code": list(codes)})
+
+    src = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    return src.mapInPandas(encode, "id long, code array<int>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query, a (m x n_codes) lookup table of exact subspace distances
+    to the NORMALIZED query is built once; each corpus code then scores
+    in m table gathers (no float vector math per row).  Scores are
+    emitted as approximate cosine (1 - d2/2, exact on the unit sphere up
+    to quantization) and reduced by the same two-phase local-top-k as
+    brute force — no full-corpus shuffle.  The query side is collected at
+    the driver (bounded, same contract as brute_force_topk's broadcast).
+    """
+    cb = codebooks.astype(np.float64)
+    m, n_codes, dsub = cb.shape
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"), _as_double(query_vec_col).alias("qv")
+        )
+        .collect()
+    )
+    qids = [r["qid"] for r in qrows]
+    Q = _normalize_rows(np.stack([np.asarray(r["qv"], np.float64) for r in qrows]))
+    luts = np.empty((len(qids), m, n_codes))
+    for qi, qv in enumerate(Q):
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            luts[qi, j] = ((cb[j] - qs[None, :]) ** 2).sum(axis=1)
+
+    jj = np.arange(m)
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids):
+                d2 = luts[qi][jj[None, :], C].sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, "cid": ids, "cos_sim": 1.0 - d2 / 2.0}
+                    )
+                )
+            yield pd.concat(frames)
+
+    qid_t = "long" if isinstance(qids[0], (int, np.integer)) else "string"
+    scored = codes.mapInPandas(adc, f"qid {qid_t}, cid long, cos_sim double")
+    return _topk_per_query(scored, k)

@@ -673,3 +673,111 @@ def test_embedding_neardup_banded_recall(spark):
     assert len(found) >= 18, f"banding should recover ~all planted pairs: {len(found)}"
     for r in banded:
         assert r.cos_sim >= 0.9
+
+
+def test_pq_adc_matches_numpy_twin(spark, emb):
+    """Spark PQ pipeline (train -> encode -> ADC top-k) reproduces a
+    single-process numpy twin exactly: same codebooks, same codes, same
+    approximate-cosine ranking."""
+    m, n_codes = 8, 16
+    cb = similarity.train_pq_codebooks(emb, m=m, n_codes=n_codes, sample=2048)
+    codes = similarity.pq_encode(emb, cb).cache()
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = X.shape[1] // m
+
+    # codes parity
+    got_codes = {r.id: list(r.code) for r in codes.collect()}
+    for i, vid in enumerate(ids):
+        want = [
+            int(((Xn[i, j * dsub:(j + 1) * dsub][None, :] - cb[j]) ** 2)
+                .sum(axis=1).argmin())
+            for j in range(m)
+        ]
+        assert got_codes[int(vid)] == want
+
+    # ADC ranking parity for 3 queries
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": ids[:3], "qvec": [list(map(float, v)) for v in X[:3]]}
+        )
+    )
+    got = {}
+    for r in similarity.pq_topk(codes, cb, queries, k=5).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.cid))
+    C = np.stack([got_codes[int(v)] for v in ids])
+    jj = np.arange(m)
+    for qi in range(3):
+        lut = np.stack(
+            [((cb[j] - Xn[qi, j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+             for j in range(m)]
+        )
+        approx = 1.0 - lut[jj[None, :], C].sum(axis=1) / 2.0
+        order = sorted(zip(-approx, ids))
+        want = [int(i) for _, i in order[:5]]
+        have = [cid for _, cid in sorted(got[ids[qi]])]
+        assert have == want
+
+
+def test_pq_recall_beats_chance(spark, emb):
+    """ADC recall on random gaussians is far above the ~0.01 chance
+    level, and self-query always ranks the query itself by construction
+    of the quantizer (its own code is its nearest)."""
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = similarity.pq_encode(emb, cb).cache()
+    pdf = emb.orderBy("vec_id").limit(5).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": pdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in pdf["embedding"]],
+            }
+        )
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.pq_topk(codes, cb, queries, k=5)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.cid)
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.cid)
+    total_hits = sum(len(ex[q] & ap[q]) for q in ex)
+    assert total_hits >= 5  # chance level is 5 queries * 5*5/500 = 0.25
+
+
+def test_ivfpq_composition_prunes_then_adc(spark, emb):
+    """IVF-PQ: codes carry the IVF cell, the probed-cell filter prunes
+    the ADC scan, and results equal running ADC over only those cells."""
+    ivf_cb = similarity.train_codebook(emb.orderBy("vec_id"), n_cells=8, sample=500)
+    cells = similarity.assign_cells(emb, ivf_cb)
+    pq_cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = similarity.pq_encode(emb, pq_cb).join(
+        cells.select(F.col("id"), "cell"), "id"
+    ).cache()
+    pdf = emb.orderBy("vec_id").limit(2).toPandas()
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": pdf["vec_id"],
+                "qvec": [list(map(float, v)) for v in pdf["embedding"]],
+            }
+        )
+    )
+    # probe the 4 closest cells of query 0's vector for both queries
+    qv = np.asarray(pdf["embedding"][0], np.float64)
+    d2 = ((ivf_cb - qv[None, :]) ** 2).sum(axis=1)
+    probed = [int(c) for c in np.argsort(d2)[:4]]
+    pruned = codes.filter(F.col("cell").isin(probed))
+    got = similarity.pq_topk(pruned, pq_cb, queries, k=5)
+    allowed = {r.id for r in pruned.select("id").collect()}
+    rows = got.collect()
+    assert rows and all(r.cid in allowed for r in rows)
+    # parity with ADC over the same subset materialized independently
+    subset = codes.filter(F.col("cell").isin(probed)).select("id", "code")
+    want = {
+        (r.qid, r.rank): r.cid
+        for r in similarity.pq_topk(subset, pq_cb, queries, k=5).collect()
+    }
+    assert {(r.qid, r.rank): r.cid for r in rows} == want

@@ -209,6 +209,71 @@ def golden_ivf_recall():
     return values_sql(df, set())
 
 
+def golden_pq_recall():
+    """Numpy twin of entry_queries.q_pq_recall_check: exact cosine top-5
+    (left-fold dots, matching Spark's F.aggregate) vs PQ/ADC top-5 with
+    the same seeded per-subspace k-means as similarity.train_pq_codebooks
+    (naive (x-c)^2 distances, normalize-then-encode)."""
+    m, n_codes, iters, seed = 8, 16, 8, 42
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    ids = e["vec_id"].to_numpy(np.int64)
+    X = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    Xn = X / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+    dim = X.shape[1]
+    dsub = dim // m
+
+    S_all = Xn[:2048]  # sample: first 2048 by vec_id (>= corpus at sf0.01)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        S = S_all[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        cents = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mk = assign == c
+                if mk.any():
+                    cents[c] = S[mk].mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < n_codes:
+            books[j, len(cents):] = cents[0]
+
+    codes = np.empty((len(Xn), m), dtype=np.int64)
+    for j in range(m):
+        S = Xn[:, j * dsub : (j + 1) * dsub]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+
+    jj = np.arange(m)
+    qidx = np.argsort(ids, kind="stable")[:5]
+    rows = []
+    for qi in qidx:
+        qv = X[qi]
+        qn = math.sqrt(lf_dot(qv, qv))
+        cos = np.array(
+            [lf_dot(X[ci], qv) / (math.sqrt(lf_dot(X[ci], X[ci])) * qn)
+             for ci in range(len(X))]
+        )
+        order = sorted(range(len(X)), key=lambda i: (-cos[i], ids[i]))
+        exact5 = {int(ids[i]) for i in order[:5]}
+
+        qnv = Xn[qi]
+        lut = np.empty((m, n_codes))
+        for j in range(m):
+            qs = qnv[j * dsub : (j + 1) * dsub]
+            lut[j] = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
+        d2 = lut[jj[None, :], codes].sum(axis=1)
+        capprox = 1.0 - d2 / 2.0
+        aorder = sorted(range(len(X)), key=lambda i: (-capprox[i], ids[i]))
+        approx5 = {int(ids[i]) for i in aorder[:5]}
+        rows.append((int(ids[qi]), 5, len(exact5 & approx5)))
+
+    df = pd.DataFrame(rows, columns=["qid", "k", "hits"])
+    return values_sql(df, set())
+
+
 def golden_holt_events():
     """Sequential numpy twin of entry_queries.q_holt_forecast_events.
 
@@ -250,6 +315,7 @@ def main():
         "score_freq_contours_docs": golden_freq_contours_docs(),
         "ivf_recall_check": golden_ivf_recall(),
         "holt_forecast_events": golden_holt_events(),
+        "pq_recall_check": golden_pq_recall(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
