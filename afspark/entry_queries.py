@@ -2243,6 +2243,53 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_cross_corr_1h(spark, sf_dir):
+    """Lagged Pearson cross-correlation between user series over the 1h
+    cents tier (lags 0 and 1 hour, >= 24 common buckets).  Exact integer
+    sums -> identical float corr expression in both engines.
+    """
+    from .operators.tsanalytics import lagged_cross_correlation
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = lagged_cross_correlation(
+        tier, 3600, lags=[0, 1], min_overlap=24, value_col="sum"
+    )
+    return out.select(
+        F.col("a_series_id").alias("sa"),
+        F.col("b_series_id").alias("sb"),
+        "lag",
+        "n",
+        _r(F.col("corr"), 6).alias("corr"),
+    )
+
+
+SQL_CROSS_CORR = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                 sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    l AS (SELECT series_id, be, s, lag
+          FROM t CROSS JOIN (SELECT unnest([0, 1]) AS lag)),
+    j AS (SELECT a.series_id AS sa, b.series_id AS sb, a.lag,
+                 a.s AS x, b.s AS y
+          FROM l a JOIN t b ON a.be + a.lag*3600 = b.be
+          WHERE a.series_id < b.series_id),
+    g AS (SELECT sa, sb, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM j GROUP BY 1, 2, 3)
+    SELECT sa, sb, lag, n,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             floor(((n*sxy - sx*sy)
+                    / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS corr
+    FROM g WHERE n >= 24
+"""
+
+
 def q_pq_recall_check(spark, sf_dir):
     """PQ/ADC vs exact top-5 recall per query (VALUES golden from the
     numpy twin in tools/gen_goldens.py; deterministic seeded codebooks).
@@ -2507,6 +2554,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore_1h": (q_anomaly_zscore_1h, SQL_ANOMALY_ZSCORE),
     "counter_resets_1h": (q_counter_resets_1h, SQL_COUNTER_RESETS),
     "pq_recall_check": (q_pq_recall_check, GOLDEN_SQL["pq_recall_check"]),
+    "cross_corr_1h": (q_cross_corr_1h, SQL_CROSS_CORR),
     "holt_forecast_events": (
         q_holt_forecast_events,
         GOLDEN_SQL["holt_forecast_events"],

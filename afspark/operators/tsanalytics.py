@@ -237,6 +237,83 @@ def deriv_per_bucket(
     )
 
 
+def lagged_cross_correlation(
+    tier: DataFrame,
+    tier_seconds: int,
+    lags: list[int] = [0, 1],
+    min_overlap: int = 12,
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "sum",
+) -> DataFrame:
+    """Pearson cross-correlation between series pairs at bucket lags.
+
+    For each ordered pair (a < b) and each lag L, correlates a's bucket
+    value with b's value L buckets later, over the buckets BOTH series
+    populated (inner join on the shifted bucket).  All five sums are
+    exact integers when the tier carries cents sums, so the final
+    correlation is the identical float expression in Spark and DuckDB.
+
+    Plan shape: the tier self-joins on the shifted bucket key — a plain
+    shuffled equi-join whose per-key fan-out is (series per bucket)², the
+    inherent cost of all-pairs correlation.  At 100 TB you don't run
+    all-pairs across a million series: pre-filter each side to a
+    candidate set (same domain / same metric family / top-k by variance)
+    and this exact operator runs unchanged on the reduced tier — the
+    aggregation itself is algebraic and map-side combined.  Pairs with
+    fewer than ``min_overlap`` common buckets are dropped (their
+    correlation is noise).
+    """
+    epoch = F.unix_timestamp(F.col(bucket_col))
+    base = tier.select(
+        *keys, epoch.alias("_be"), F.col(value_col).alias("_v")
+    )
+    lagged = base.withColumn("lag", F.explode(F.array(*[F.lit(int(x)) for x in lags])))
+    a = lagged.select(
+        *[F.col(k).alias(f"a_{k}") for k in keys],
+        "lag",
+        (F.col("_be") + F.col("lag") * tier_seconds).alias("_join_be"),
+        F.col("_v").alias("_x"),
+    )
+    b = base.select(
+        *[F.col(k).alias(f"b_{k}") for k in keys],
+        F.col("_be").alias("_join_be"),
+        F.col("_v").alias("_y"),
+    )
+    cond = [a["_join_be"] == b["_join_be"]]
+    pair_filter = a[f"a_{keys[0]}"] < b[f"b_{keys[0]}"]
+    joined = a.join(b, cond).filter(pair_filter)
+    x, y = F.col("_x"), F.col("_y")
+    agg = joined.groupBy(
+        *[f"a_{k}" for k in keys], *[f"b_{k}" for k in keys], "lag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return (
+        agg.filter(n >= min_overlap)
+        .select(
+            *[f"a_{k}" for k in keys],
+            *[f"b_{k}" for k in keys],
+            "lag",
+            "n",
+            corr.alias("corr"),
+        )
+    )
+
+
 def holt_linear(
     points: DataFrame,
     alpha: float,

@@ -342,3 +342,52 @@ def test_holt_matches_classic_recurrence(spark):
     # zero-init Holt on a ramp converges to the per-step slope
     assert out[-1].trend == pytest.approx(slope, rel=1e-6)
     assert out[-1].level == pytest.approx(5.0 + slope * (n - 1), rel=1e-3)
+
+
+def test_cross_correlation_planted_signals(spark):
+    """b mirrors a exactly (corr 1 at lag 0); c is a shifted copy of a
+    (corr 1 at lag 1, weaker at lag 0); anti-correlated d hits -1."""
+    from afspark.operators.tsanalytics import lagged_cross_correlation
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(100, 20, 48)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(("a", t(i * 3600), float(round(v, 2))))
+        rows.append(("b", t(i * 3600), float(round(2 * v + 7, 2))))   # affine copy
+        rows.append(("d", t(i * 3600), float(round(-v, 2))))          # anti
+        if i + 1 < len(base):
+            rows.append(("c", t((i + 1) * 3600), float(round(v, 2))))  # a shifted +1h
+    tier = spark.createDataFrame(
+        rows, "series_id string, bucket_ts timestamp, sum double"
+    )
+    out = {
+        (r.a_series_id, r.b_series_id, r.lag): r
+        for r in lagged_cross_correlation(
+            tier, 3600, lags=[0, 1], min_overlap=12, value_col="sum"
+        ).collect()
+    }
+    assert out[("a", "b", 0)].corr == pytest.approx(1.0)
+    assert out[("a", "d", 0)].corr == pytest.approx(-1.0)
+    assert out[("a", "c", 1)].corr == pytest.approx(1.0)
+    # the shifted pair at lag 0 correlates only by chance
+    assert abs(out[("a", "c", 0)].corr) < 0.5
+    # overlap bookkeeping: lag-1 pairs lose one bucket
+    assert out[("a", "b", 1)].n == 47
+
+
+def test_cross_correlation_zero_variance_guard(spark):
+    from afspark.operators.tsanalytics import lagged_cross_correlation
+
+    rows = [("a", t(i * 3600), 5.0) for i in range(20)] + [
+        ("b", t(i * 3600), float(i)) for i in range(20)
+    ]
+    tier = spark.createDataFrame(
+        rows, "series_id string, bucket_ts timestamp, sum double"
+    )
+    out = lagged_cross_correlation(
+        tier, 3600, lags=[0], min_overlap=5, value_col="sum"
+    ).collect()
+    assert len(out) == 1 and out[0].corr is None  # flat series -> null
