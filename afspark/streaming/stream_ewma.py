@@ -203,3 +203,82 @@ def run_counter_stream_to_memory(
         .queryName(query_name)
         .start()
     )
+
+
+HOLT_OUT_SCHEMA = (
+    "series_id string, ts timestamp, value double, level double, trend double"
+)
+HOLT_STATE_SCHEMA = "l double, b double, n long, last_ts double"
+
+
+def streaming_holt(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of tsanalytics.holt_linear: the 2-dim level/trend
+    recurrence continued across micro-batches with O(1) state per series
+    (l, b, n, last_ts — four scalars).
+
+    Same zero-init convention (s_{-1} = (0, 0)) and the same
+    (ts, value) in-batch tie order as the batch operator, so a stream
+    delivered in order reproduces the batch output bit-for-bit per batch
+    prefix (asserted in tests/test_streaming.py across micro-batch
+    cuts).  The ordering contract and late-data ValueError mirror
+    streaming_ewma — arbitrarily late data belongs to the batch OoO
+    path.
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError("require 0 < alpha <= 1 and 0 <= beta <= 1")
+    a11, a12 = 1.0 - alpha, 1.0 - alpha
+    a21, a22 = -alpha * beta, 1.0 - alpha * beta
+    ca, cb = alpha, alpha * beta
+
+    def fn(key, pdfs, state: GroupState):
+        series_id = key[0]
+        if state.exists:
+            l, b, n, last_ts = state.get
+        else:
+            l, b, n, last_ts = 0.0, 0.0, 0, float("-inf")
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values([ts_col, value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts_sec = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+        if n > 0 and ts_sec[0] < last_ts:
+            raise ValueError(
+                f"series {series_id!r}: batch starts at ts {ts_sec[0]} before "
+                f"carried last ts {last_ts}; late data must go through the "
+                "batch OoO merge path"
+            )
+        x = pdf[value_col].to_numpy(np.float64)
+        lv = np.empty(len(x))
+        tv = np.empty(len(x))
+        for i, xi in enumerate(x):
+            l, b = a11 * l + a12 * b + ca * xi, a21 * l + a22 * b + cb * xi
+            lv[i], tv[i] = l, b
+        state.update((float(l), float(b), int(n + len(x)), float(ts_sec[-1])))
+        yield pd.DataFrame(
+            {
+                "series_id": series_id,
+                "ts": pdf[ts_col],
+                "value": x,
+                "level": lv,
+                "trend": tv,
+            }
+        )
+
+    src = points.select(
+        F.col(series_col).cast("string").alias(series_col), ts_col, value_col
+    )
+    return src.groupBy(series_col).applyInPandasWithState(
+        fn, HOLT_OUT_SCHEMA, HOLT_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

@@ -467,3 +467,50 @@ def test_stream_counter_increase_matches_batch(spark, tmpdir):
     assert got == want
     assert want[("a", t0 + dtm.timedelta(seconds=40))][1] == 1.0  # reset on cut
     assert want[("a", t0 + dtm.timedelta(seconds=70))][1] is None  # after null
+
+
+def test_stream_holt_matches_batch(spark, tmpdir):
+    """Streaming Holt == batch holt_linear bit-for-bit across micro-batch
+    cuts: the O(1) (l, b) state continues the 2-dim recurrence exactly."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.tsanalytics import holt_linear
+    from afspark.streaming.stream_ewma import streaming_holt
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rng = np.random.default_rng(13)
+    rows = [
+        (sid, t0 + dtm.timedelta(seconds=i * 7), float(round(v, 2)))
+        for sid in ("a", "b")
+        for i, v in enumerate(rng.normal(50, 10, 120))
+    ]
+    pts = spark.createDataFrame(rows, SCHEMA)
+    cut = t0 + dtm.timedelta(seconds=40 * 7)
+    src, ckpt = f"{tmpdir}/holt_in", f"{tmpdir}/holt_ckpt"
+    pts.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        streaming_holt(stream, 0.3, 0.1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("t_holt_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pts.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.series_id, r.ts): (r.level, r.trend)
+            for r in spark.sql("select * from t_holt_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.series_id, r.ts): (r.level, r.trend)
+        for r in holt_linear(pts, 0.3, 0.1, chunk_seconds=None).collect()
+    }
+    assert got == want  # bit-exact: same sequential arithmetic
