@@ -2243,6 +2243,76 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_retention_7d(spark, sf_dir):
+    """Day-over-day retention matrix (lags 1..7) off the daily distinct
+    tier: entity-keyed self-join over deduped (day, user) tuples."""
+    from .operators.cohorts import retention_matrix
+    from .operators.distinct import distinct_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    tier = distinct_rollup(ev, 86400, entity_col="user_id", keys=[])
+    out = retention_matrix(tier, max_lag_days=7)
+    return out.select(
+        "day_epoch",
+        "lag",
+        "n_active",
+        "n_retained",
+        _r(F.col("retention"), 6).alias("retention"),
+    )
+
+
+SQL_RETENTION_7D = """
+    WITH d AS (SELECT DISTINCT
+                 (floor(epoch(ts)/86400)*86400)::BIGINT AS day,
+                 user_id AS u
+               FROM events),
+    r AS (SELECT a.day AS d0,
+                 CAST((b.day - a.day)/86400 AS BIGINT) AS lag,
+                 count(*) AS n_retained
+          FROM d a JOIN d b ON a.u = b.u
+          WHERE b.day - a.day BETWEEN 86400 AND 604800
+          GROUP BY 1, 2),
+    base AS (SELECT day AS d0, count(*) AS n_active FROM d GROUP BY 1)
+    SELECT d0 AS day_epoch, lag, n_active, n_retained,
+           floor((n_retained/n_active)*1000000.0 + 0.5)/1000000.0 AS retention
+    FROM base JOIN r USING (d0)
+"""
+
+
+def q_funnel_view_click_purchase(spark, sf_dir):
+    """view -> click -> purchase funnel per cohort day (first-view day),
+    7-day horizon: per-entity min aggregates + entity-keyed joins, no
+    event-list collection."""
+    from .operators.cohorts import funnel_conversion
+
+    ev = _read(spark, sf_dir, "events")
+    out = funnel_conversion(
+        ev, ["view", "click", "purchase"], horizon_seconds=604800
+    )
+    return out.select("cohort_epoch", "n_s1", "n_s2", "n_s3")
+
+
+SQL_FUNNEL_VCP = """
+    WITH e AS (SELECT user_id AS u, event_type AS t,
+                      floor(epoch(ts))::BIGINT AS s FROM events),
+    s1 AS (SELECT u, min(s) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+    s2 AS (SELECT e.u, min(t1) AS t1, min(s) AS t2
+           FROM e JOIN s1 ON e.u = s1.u
+           WHERE t = 'click' AND s >= t1 AND s <= t1 + 604800
+           GROUP BY e.u),
+    s3 AS (SELECT e.u, min(s) AS t3
+           FROM e JOIN s2 ON e.u = s2.u
+           WHERE t = 'purchase' AND s >= t2 AND s <= s2.t1 + 604800
+           GROUP BY e.u)
+    SELECT (floor(s1.t1/86400)*86400)::BIGINT AS cohort_epoch,
+           count(*) AS n_s1,
+           count(s2.u) AS n_s2,
+           count(s3.u) AS n_s3
+    FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+    GROUP BY 1
+"""
+
+
 def q_cross_corr_1h(spark, sf_dir):
     """Lagged Pearson cross-correlation between user series over the 1h
     cents tier (lags 0 and 1 hour, >= 24 common buckets).  Exact integer
@@ -2555,6 +2625,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "counter_resets_1h": (q_counter_resets_1h, SQL_COUNTER_RESETS),
     "pq_recall_check": (q_pq_recall_check, GOLDEN_SQL["pq_recall_check"]),
     "cross_corr_1h": (q_cross_corr_1h, SQL_CROSS_CORR),
+    "retention_7d": (q_retention_7d, SQL_RETENTION_7D),
+    "funnel_view_click_purchase": (
+        q_funnel_view_click_purchase,
+        SQL_FUNNEL_VCP,
+    ),
     "holt_forecast_events": (
         q_holt_forecast_events,
         GOLDEN_SQL["holt_forecast_events"],
