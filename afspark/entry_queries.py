@@ -2243,6 +2243,45 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact n-gram span duplication per doc (Lee et al. exact-substring
+    dedup signal), portable md5 twin on the same doc subset as
+    rolling_fingerprints; keep_every=1 = exact (no sampling)."""
+    from .operators.text import duplicated_span_stats
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = duplicated_span_stats(
+        docs.select("doc_id", "text"), hash_mode="md5", keep_every=1
+    )
+    return out.select(
+        "id",
+        "n_windows",
+        "n_dup_windows",
+        _r(F.col("dup_frac"), 6).alias("dup_frac"),
+    )
+
+
+SQL_DUP_SPANS = """
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS ts
+      FROM documents WHERE doc_id < 100
+    ), w AS (
+      SELECT doc_id AS id,
+             md5(array_to_string(ts[i:i+7], ' ')) AS fp
+      FROM toks, unnest(generate_series(1, len(ts) - 7)) AS t(i)
+      WHERE len(ts) >= 8
+    ), d AS (
+      SELECT fp, count(DISTINCT id) AS nd FROM w GROUP BY fp
+    )
+    SELECT id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           floor((sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+    FROM w JOIN d USING (fp) GROUP BY id
+"""
+
+
 def q_retention_7d(spark, sf_dir):
     """Day-over-day retention matrix (lags 1..7) off the daily distinct
     tier: entity-keyed self-join over deduped (day, user) tuples."""
@@ -2626,6 +2665,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pq_recall_check": (q_pq_recall_check, GOLDEN_SQL["pq_recall_check"]),
     "cross_corr_1h": (q_cross_corr_1h, SQL_CROSS_CORR),
     "retention_7d": (q_retention_7d, SQL_RETENTION_7D),
+    "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPANS),
     "funnel_view_click_purchase": (
         q_funnel_view_click_purchase,
         SQL_FUNNEL_VCP,

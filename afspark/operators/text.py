@@ -376,3 +376,57 @@ def containment_pairs(
             (F.col("shared") / F.least("n_a", "n_b")).alias("containment"),
         )
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    hash_mode: str = "xxhash64",
+    keep_every: int = 1,
+) -> DataFrame:
+    """Cross-document exact n-gram span duplication per document.
+
+    The exact-substring dedup signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every
+    ``window_tokens``-token window is hashed; a window is DUPLICATED when
+    its hash occurs in >= 2 distinct documents.  Output per doc:
+    n_windows, n_dup_windows, dup_frac — the per-doc fraction a pipeline
+    thresholds to drop or trim boilerplate/memorized spans.
+
+    Plan shape: one explode to window hashes (rows ≈ token count — the
+    inherent cost of exact-substring analysis), an fp-keyed aggregate
+    counting distinct docs two-level (fp, id) -> fp (both map-side
+    combined, no countDistinct sort state), and an fp-keyed equi-join
+    back — every shuffle keys on the well-distributed hash, never on the
+    document.  ``keep_every`` > 1 switches to 0-mod-p content sampling:
+    recall drops to ~1/keep_every per window but cost drops equally —
+    the standard scale dial at 100 TB; selection stays offset-invariant
+    so sampled duplicates still align across documents.
+    """
+    fps = rolling_hash_fingerprints(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        window_tokens=window_tokens,
+        keep_every=keep_every,
+        hash_mode=hash_mode,
+    )
+    # distinct docs per fp, two-level: dedup (fp, id) then count — both
+    # plain hash aggregates with map-side partials
+    ndocs = (
+        fps.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    joined = fps.join(ndocs, "fp")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .withColumn("dup_frac", F.col("n_dup_windows") / F.col("n_windows"))
+    )

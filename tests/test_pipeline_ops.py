@@ -781,3 +781,56 @@ def test_ivfpq_composition_prunes_then_adc(spark, emb):
         for r in similarity.pq_topk(subset, pq_cb, queries, k=5).collect()
     }
     assert {(r.qid, r.rank): r.cid for r in rows} == want
+
+
+def test_duplicated_span_stats_planted_duplicate(spark):
+    """Two docs sharing an 8-token passage mark exactly the shared
+    windows duplicated; a unique doc reports zero; same-doc repeats do
+    NOT count (cross-document requires >= 2 distinct docs)."""
+    from afspark.operators.text import duplicated_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    uniq_a = "one two three four five six seven"
+    uniq_b = "red orange yellow green blue indigo violet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {shared}"),
+            (2, f"{shared} {uniq_b}"),
+            (3, "solo tokens that repeat repeat repeat nothing shared here ok"),
+            # same-doc repetition of an n-gram, no second doc
+            (4, "x1 x2 x3 x4 x5 x6 x7 x8 pad x1 x2 x3 x4 x5 x6 x7 x8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in duplicated_span_stats(docs).collect()}
+    # doc1: 15 tokens -> 8 windows, only the last (the shared passage) dups
+    assert (out[1].n_windows, out[1].n_dup_windows) == (8, 1)
+    assert (out[2].n_windows, out[2].n_dup_windows) == (8, 1)
+    assert out[3].n_dup_windows == 0
+    assert out[4].n_dup_windows == 0  # 2 occurrences but 1 distinct doc
+    assert out[1].dup_frac == pytest.approx(1 / 8)
+
+
+def test_duplicated_span_sampling_is_offset_invariant(spark):
+    """With keep_every>1, a shared passage at different offsets still
+    yields identical kept fingerprints (content-keyed selection), so
+    every kept shared window is flagged in both docs."""
+    from afspark.operators.text import duplicated_span_stats, rolling_hash_fingerprints
+
+    passage = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "lead tokens here " + passage),
+            (2, passage + " trail bits"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in duplicated_span_stats(docs, keep_every=4).collect()}
+    fps = rolling_hash_fingerprints(docs.select("doc_id", "text"), keep_every=4)
+    kept = {}
+    for r in fps.collect():
+        kept.setdefault(r.fp, set()).add(r.id)
+    n_shared = sum(1 for ids in kept.values() if len(ids) == 2)
+    assert n_shared > 0
+    assert out[1].n_dup_windows == n_shared
+    assert out[2].n_dup_windows == n_shared
