@@ -2243,6 +2243,39 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_tfidf_by_source(spark, sf_dir):
+    """Full (source, term) TF-IDF matrix: doc-frequency tf per source,
+    global idf, broadcast df/N onto the tf rows."""
+    from .operators.text import tfidf_by_source
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_by_source(docs)
+    return out.select(
+        "source",
+        "term",
+        "tf_docs",
+        "df_global",
+        "n_docs",
+        _r(F.col("tfidf"), 6).alias("tfidf"),
+    )
+
+
+SQL_TFIDF_BY_SOURCE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ), t AS (SELECT * FROM toks WHERE length(term) >= 3),
+    tf AS (SELECT source, term, count(*) AS tf_docs FROM t GROUP BY 1, 2),
+    dfg AS (SELECT term, count(DISTINCT doc_id) AS df_global FROM t GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT source, term, tf_docs, df_global, n_docs,
+           floor((tf_docs * ln(n_docs / df_global)) * 1000000.0 + 0.5)
+             / 1000000.0 AS tfidf
+    FROM tf JOIN dfg USING (term) CROSS JOIN n
+"""
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Exact n-gram span duplication per doc (Lee et al. exact-substring
     dedup signal), portable md5 twin on the same doc subset as
@@ -2666,6 +2699,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cross_corr_1h": (q_cross_corr_1h, SQL_CROSS_CORR),
     "retention_7d": (q_retention_7d, SQL_RETENTION_7D),
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPANS),
+    "tfidf_by_source": (q_tfidf_by_source, SQL_TFIDF_BY_SOURCE),
     "funnel_view_click_purchase": (
         q_funnel_view_click_purchase,
         SQL_FUNNEL_VCP,

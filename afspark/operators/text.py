@@ -430,3 +430,45 @@ def duplicated_span_stats(
         )
         .withColumn("dup_frac", F.col("n_dup_windows") / F.col("n_windows"))
     )
+
+
+def tfidf_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-(source, term) TF-IDF over document frequencies.
+
+    tf = docs within the source containing the term; idf = ln(N / df)
+    with df the global containing-doc count.  One token explode feeds
+    BOTH aggregates (per-source tf and global df — each a map-side-
+    combined count over deduped (doc, term) rows); the df table and the
+    corpus size are broadcast back onto the tf rows (vocab-sized and
+    1-row — never a shuffle of the tf side).  Scores are emitted for the
+    full (source, term) matrix; rank/threshold downstream.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+        .distinct()
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf_docs"))
+    dfg = toks.select("_d", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_global")
+    )
+    n = docs.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    out = tf.join(F.broadcast(dfg), "term").crossJoin(F.broadcast(n))
+    score = F.col("tf_docs") * F.log(F.col("n_docs") / F.col("df_global"))
+    return out.select(
+        "source", "term", "tf_docs", "df_global", "n_docs", score.alias("tfidf")
+    )

@@ -834,3 +834,32 @@ def test_duplicated_span_sampling_is_offset_invariant(spark):
     assert n_shared > 0
     assert out[1].n_dup_windows == n_shared
     assert out[2].n_dup_windows == n_shared
+
+
+def test_tfidf_by_source_hand_golden(spark):
+    """3 docs / 2 sources: a source-exclusive term outranks a ubiquitous
+    one (idf of an everywhere-term is ln(1)=0), and the df/N broadcast
+    plan never shuffles the tf side by term twice."""
+    import math
+
+    from afspark.operators.text import tfidf_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark rows common", "s1"),
+            (2, "rows common tables", "s1"),
+            (3, "common tables tables", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source, r.term): r for r in tfidf_by_source(docs).collect()}
+    assert ("s1", "spark") in out
+    r = out[("s1", "spark")]
+    assert (r.tf_docs, r.df_global, r.n_docs) == (1, 1, 3)
+    assert r.tfidf == pytest.approx(math.log(3.0))
+    assert out[("s1", "common")].tfidf == pytest.approx(0.0)  # df == N
+    assert out[("s2", "tables")].tfidf == pytest.approx(math.log(3 / 2))
+    # exclusive term appears for its source only
+    assert ("s2", "spark") not in out
+    plan = tfidf_by_source(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
