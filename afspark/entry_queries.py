@@ -2243,6 +2243,49 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_alert_firing_1h(spark, sf_dir):
+    """Threshold alert with for:3 hysteresis over the 1h cents tier
+    (gaps-and-islands; a missing bucket resets the pending run)."""
+    from .operators.tsanalytics import alert_firing
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = alert_firing(tier, 3600, threshold=5000.0, for_buckets=3)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("sum_c"),
+        F.col("exceeds").cast("int").alias("exceeds"),
+        "pending_n",
+        F.col("firing").cast("int").alias("firing"),
+    )
+
+
+SQL_ALERT_FIRING = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS be, sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    x AS (SELECT series_id, be, s, CAST(be/3600 AS BIGINT) AS idx,
+                 CASE WHEN s > 5000 THEN 1 ELSE 0 END AS ex
+          FROM t),
+    i AS (SELECT series_id, be, s, idx, ex,
+                 CASE WHEN ex = 1 THEN idx - sum(ex) OVER
+                   (PARTITION BY series_id ORDER BY idx) END AS island
+          FROM x),
+    p AS (SELECT series_id, be, s, ex, island,
+                 CASE WHEN ex = 1 THEN
+                   row_number() OVER (PARTITION BY series_id, island
+                                      ORDER BY idx)
+                 ELSE 0 END AS pending_n
+          FROM i)
+    SELECT series_id, be AS bucket_epoch, CAST(s AS BIGINT) AS sum_c,
+           ex AS exceeds, pending_n,
+           CASE WHEN pending_n >= 3 THEN 1 ELSE 0 END AS firing
+    FROM p
+"""
+
+
 def q_tfidf_by_source(spark, sf_dir):
     """Full (source, term) TF-IDF matrix: doc-frequency tf per source,
     global idf, broadcast df/N onto the tf rows."""
@@ -2700,6 +2743,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "retention_7d": (q_retention_7d, SQL_RETENTION_7D),
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPANS),
     "tfidf_by_source": (q_tfidf_by_source, SQL_TFIDF_BY_SOURCE),
+    "alert_firing_1h": (q_alert_firing_1h, SQL_ALERT_FIRING),
     "funnel_view_click_purchase": (
         q_funnel_view_click_purchase,
         SQL_FUNNEL_VCP,

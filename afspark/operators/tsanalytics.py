@@ -237,6 +237,58 @@ def deriv_per_bucket(
     )
 
 
+def alert_firing(
+    tier: DataFrame,
+    tier_seconds: int,
+    threshold: float,
+    for_buckets: int = 3,
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "sum",
+) -> DataFrame:
+    """Prometheus-style threshold alerting with a `for:` duration.
+
+    A bucket EXCEEDS when value > threshold; an alert FIRES on the
+    ``for_buckets``-th consecutive exceeding bucket and stays firing
+    until the run breaks (a non-exceeding bucket OR a missing bucket —
+    contiguity is judged by the bucket INDEX, so a gap in the tier resets
+    the pending counter, the conservative reading of absent data).
+
+    Pure gaps-and-islands Catalyst: island id = bucket_index − rank among
+    exceeding buckets (constant within a consecutive run), position
+    within the island = rank − rank of the island head.  One series-keyed
+    window over TIER rows (already ~3600x smaller than raw samples at
+    1h), bounded state; at extreme per-series tier sizes the same
+    chunk-decomposition as counter_increase applies, but tier cardinality
+    makes that premature here.
+
+    Output: keys + bucket_ts, value, exceeds, pending_n, firing.
+    """
+    idx = (F.unix_timestamp(F.col(bucket_col)) / tier_seconds).cast("long")
+    exceeds = (F.col(value_col) > threshold).cast("int")
+    src = tier.withColumn("_idx", idx).withColumn("exceeds", exceeds)
+    w = W.partitionBy(*keys).orderBy("_idx")
+    # rank among exceeding buckets only; island = _idx - rank is constant
+    # per consecutive exceeding run and changes across gaps
+    rk = F.sum("exceeds").over(w)
+    src = src.withColumn("_island", F.when(F.col("exceeds") == 1, F.col("_idx") - rk))
+    wi = W.partitionBy(*keys, "_island").orderBy("_idx")
+    pending = F.when(F.col("exceeds") == 1, F.row_number().over(wi)).otherwise(
+        F.lit(0)
+    )
+    out = src.withColumn("pending_n", pending).withColumn(
+        "firing", F.col("pending_n") >= for_buckets
+    )
+    return out.select(
+        *keys,
+        bucket_col,
+        F.col(value_col).alias("value"),
+        F.col("exceeds").cast("boolean").alias("exceeds"),
+        "pending_n",
+        "firing",
+    )
+
+
 def lagged_cross_correlation(
     tier: DataFrame,
     tier_seconds: int,

@@ -391,3 +391,28 @@ def test_cross_correlation_zero_variance_guard(spark):
         tier, 3600, lags=[0], min_overlap=5, value_col="sum"
     ).collect()
     assert len(out) == 1 and out[0].corr is None  # flat series -> null
+
+
+def test_alert_firing_hysteresis_and_gap_reset(spark):
+    """for:3 alerting: fires on the 3rd consecutive exceeding bucket,
+    clears on a dip, and a MISSING bucket resets the pending run."""
+    from afspark.operators.tsanalytics import alert_firing
+
+    # hours: 0,1,2 exceed (fires at 2); 3 dips; 4,5 exceed (pending only);
+    # 7,8,9 exceed but hour 6 is MISSING so the gap after 5 resets: fires at 9
+    vals = {0: 9.0, 1: 9.0, 2: 9.0, 3: 1.0, 4: 9.0, 5: 9.0, 7: 9.0, 8: 9.0, 9: 9.0}
+    tier = spark.createDataFrame(
+        [("s", t(h * 3600), v) for h, v in vals.items()],
+        "series_id string, bucket_ts timestamp, sum double",
+    )
+    out = {
+        r.bucket_ts.hour: r
+        for r in alert_firing(tier, 3600, threshold=5.0, for_buckets=3).collect()
+    }
+    assert [out[h].firing for h in (0, 1, 2)] == [False, False, True]
+    assert out[3].firing is False and out[3].pending_n == 0
+    assert [out[h].pending_n for h in (4, 5)] == [1, 2]
+    assert not out[5].firing
+    # gap at hour 6: hours 7-9 are a fresh island even though 5 exceeded
+    assert [out[h].pending_n for h in (7, 8, 9)] == [1, 2, 3]
+    assert [out[h].firing for h in (7, 8, 9)] == [False, False, True]
