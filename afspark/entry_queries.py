@@ -2243,6 +2243,50 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_cusum_1h(spark, sf_dir):
+    """Two-sided CUSUM over the 1h cents tier via the closed form
+    (cumsum − running min): pure window aggregates, integer-exact."""
+    from .operators.tsanalytics import cusum_detect
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = cusum_detect(tier, target=5000.0, slack=500.0, h=20000.0)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("sum_c"),
+        F.col("cusum_hi").cast("long").alias("cusum_hi_c"),
+        F.col("cusum_lo").cast("long").alias("cusum_lo_c"),
+        F.col("alarm").cast("int").alias("alarm"),
+    )
+
+
+SQL_CUSUM_1H = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS be, sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    p AS (SELECT series_id, be, s,
+                 sum(s - 5000.0 - 500.0) OVER w AS ph,
+                 sum(-(s - 5000.0) - 500.0) OVER w AS pl
+          FROM t
+          WINDOW w AS (PARTITION BY series_id ORDER BY be
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (SELECT series_id, be, s, ph, pl,
+                 min(ph) OVER w AS mh, min(pl) OVER w AS ml
+          FROM p
+          WINDOW w AS (PARTITION BY series_id ORDER BY be
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT series_id, be AS bucket_epoch, CAST(s AS BIGINT) AS sum_c,
+           CAST(ph - least(0.0, mh) AS BIGINT) AS cusum_hi_c,
+           CAST(pl - least(0.0, ml) AS BIGINT) AS cusum_lo_c,
+           CASE WHEN ph - least(0.0, mh) > 20000.0
+                  OR pl - least(0.0, ml) > 20000.0
+                THEN 1 ELSE 0 END AS alarm
+    FROM m
+"""
+
+
 def q_alert_firing_1h(spark, sf_dir):
     """Threshold alert with for:3 hysteresis over the 1h cents tier
     (gaps-and-islands; a missing bucket resets the pending run)."""
@@ -2744,6 +2788,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPANS),
     "tfidf_by_source": (q_tfidf_by_source, SQL_TFIDF_BY_SOURCE),
     "alert_firing_1h": (q_alert_firing_1h, SQL_ALERT_FIRING),
+    "cusum_1h": (q_cusum_1h, SQL_CUSUM_1H),
     "funnel_view_click_purchase": (
         q_funnel_view_click_purchase,
         SQL_FUNNEL_VCP,

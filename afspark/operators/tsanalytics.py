@@ -237,6 +237,62 @@ def deriv_per_bucket(
     )
 
 
+def cusum_detect(
+    tier: DataFrame,
+    target: float,
+    slack: float,
+    h: float,
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "sum",
+) -> DataFrame:
+    """Two-sided CUSUM changepoint scores with alarm thresholds.
+
+    Classic reset-at-zero CUSUM (Page 1954):
+        s⁺_i = max(0, s⁺_{i-1} + (x_i − target − slack))
+        s⁻_i = max(0, s⁻_{i-1} − (x_i − target + slack))
+    looks sequential, but the one-sided recurrence has the closed form
+    s_n = P_n − min(0, min_{k≤n} P_k) with P the plain cumulative sum of
+    the deviations — so BOTH sides are a running sum + a running min:
+    two Catalyst window aggregates, whole-stage codegen, no UDF, no
+    sequential pass at all.  With integer (cents) values and integer
+    target/slack every intermediate is exact, making the scores
+    engine-identical for the oracle.
+
+    Alarm: s⁺ > h (upward shift) or s⁻ > h (downward shift).  Output:
+    keys + bucket_ts, value, cusum_hi, cusum_lo, alarm.
+    """
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    d_hi = F.col(value_col) - F.lit(target) - F.lit(slack)
+    d_lo = -(F.col(value_col) - F.lit(target)) - F.lit(slack)
+    p_hi = F.sum(d_hi).over(w)
+    p_lo = F.sum(d_lo).over(w)
+    src = tier.withColumn("_ph", p_hi).withColumn("_pl", p_lo)
+    m_hi = F.min("_ph").over(w)
+    m_lo = F.min("_pl").over(w)
+    s_hi = F.col("_ph") - F.least(F.lit(0.0), m_hi)
+    s_lo = F.col("_pl") - F.least(F.lit(0.0), m_lo)
+    return (
+        src.withColumn("cusum_hi", s_hi)
+        .withColumn("cusum_lo", s_lo)
+        .withColumn(
+            "alarm", (F.col("cusum_hi") > h) | (F.col("cusum_lo") > h)
+        )
+        .select(
+            *keys,
+            bucket_col,
+            F.col(value_col).alias("value"),
+            "cusum_hi",
+            "cusum_lo",
+            "alarm",
+        )
+    )
+
+
 def alert_firing(
     tier: DataFrame,
     tier_seconds: int,

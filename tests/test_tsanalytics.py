@@ -416,3 +416,45 @@ def test_alert_firing_hysteresis_and_gap_reset(spark):
     # gap at hour 6: hours 7-9 are a fresh island even though 5 exceeded
     assert [out[h].pending_n for h in (7, 8, 9)] == [1, 2, 3]
     assert [out[h].firing for h in (7, 8, 9)] == [False, False, True]
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """The (cumsum − running min) closed form == the sequential
+    max(0, s+d) recurrence exactly, and a planted mean shift alarms on
+    the high side only."""
+    from afspark.operators.tsanalytics import cusum_detect
+
+    vals = [10.0, 11.0, 9.0, 10.0, 30.0, 31.0, 29.0, 30.0, 10.0, 9.0]
+    tier = spark.createDataFrame(
+        [("s", t(i * 3600), v) for i, v in enumerate(vals)],
+        "series_id string, bucket_ts timestamp, sum double",
+    )
+    target, slack, h = 10.0, 1.0, 30.0
+    out = sorted(
+        cusum_detect(tier, target, slack, h).collect(), key=lambda r: r.bucket_ts
+    )
+    s_hi = s_lo = 0.0
+    for r, x in zip(out, vals):
+        s_hi = max(0.0, s_hi + (x - target - slack))
+        s_lo = max(0.0, s_lo - (x - target) - slack)
+        assert r.cusum_hi == s_hi and r.cusum_lo == s_lo
+    # alarm from the 2nd shifted bucket; the statistic DECAYS slowly after
+    # the shift ends (that is CUSUM's memory), so the tail stays alarmed
+    assert [r.alarm for r in out] == [False] * 5 + [True] * 5
+    assert all(r.cusum_lo == 0.0 for r in out[:9])
+
+
+def test_cusum_downward_shift_alarms_low_side(spark):
+    from afspark.operators.tsanalytics import cusum_detect
+
+    vals = [10.0] * 4 + [0.0] * 5
+    tier = spark.createDataFrame(
+        [("s", t(i * 3600), v) for i, v in enumerate(vals)],
+        "series_id string, bucket_ts timestamp, sum double",
+    )
+    out = sorted(
+        cusum_detect(tier, 10.0, 1.0, 25.0).collect(), key=lambda r: r.bucket_ts
+    )
+    assert out[-1].cusum_lo == 45.0 - 0.0  # 5 * (10 - 1) after the drop
+    assert not any(r.alarm for r in out[:6])
+    assert out[-1].alarm
