@@ -2243,6 +2243,45 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_histogram_quantile_1h(spark, sf_dir):
+    """PromQL histogram_quantile(0.95) off the 1h histogram tier —
+    mergeable-sketch quantiles with linear in-bin interpolation."""
+    from .operators.rollup import histogram_quantile, histogram_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    hist = histogram_rollup(pts, TIERS["1h"], bin_width=500.0)
+    out = histogram_quantile(hist, q=0.95, bin_width=500.0)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "total",
+        _r(F.col("q_est") / 100.0, 6).alias("p95_est"),
+    )
+
+
+SQL_HISTOGRAM_QUANTILE = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch
+               FROM events),
+    h AS (SELECT series_id, bucket_epoch,
+                 CAST(floor(v/500.0) AS BIGINT) AS bin, count(*) AS n
+          FROM c GROUP BY 1, 2, 3),
+    s AS (SELECT series_id, bucket_epoch, bin, n,
+                 sum(n) OVER (PARTITION BY series_id, bucket_epoch
+                              ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(n) OVER (PARTITION BY series_id, bucket_epoch) AS total
+          FROM h)
+    SELECT series_id, bucket_epoch, CAST(total AS BIGINT) AS total,
+           floor((((bin + (0.95*total - (cum - n))/n) * 500.0) / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p95_est
+    FROM s
+    WHERE cum >= 0.95*total AND (cum - n) < 0.95*total
+"""
+
+
 def q_cusum_1h(spark, sf_dir):
     """Two-sided CUSUM over the 1h cents tier via the closed form
     (cumsum − running min): pure window aggregates, integer-exact."""
@@ -2789,6 +2828,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_by_source": (q_tfidf_by_source, SQL_TFIDF_BY_SOURCE),
     "alert_firing_1h": (q_alert_firing_1h, SQL_ALERT_FIRING),
     "cusum_1h": (q_cusum_1h, SQL_CUSUM_1H),
+    "histogram_quantile_1h": (
+        q_histogram_quantile_1h,
+        SQL_HISTOGRAM_QUANTILE,
+    ),
     "funnel_view_click_purchase": (
         q_funnel_view_click_purchase,
         SQL_FUNNEL_VCP,

@@ -16,7 +16,7 @@ subsequent tier is ~60x smaller than the previous.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 TIERS: dict[str, int] = {
@@ -179,6 +179,50 @@ def histogram_rollup(
         .groupBy(*keys, "bucket_ts", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    bin_width: float,
+    keys: list[str] = ["series_id"],
+) -> DataFrame:
+    """PromQL-style histogram_quantile over the histogram tier.
+
+    Estimates the q-quantile per (keys, bucket_ts) from binned counts:
+    the target rank r = q * total lands in the first bin whose cumulative
+    count reaches it, and the estimate interpolates linearly inside that
+    bin — exactly Prometheus's histogram_quantile contract (bin-width
+    resolution, monotone in q).  Because the tier is MERGEABLE (counts
+    sum), this gives quantiles at any rollup level without keeping raw
+    samples — the scale complement to the exact percentile tier.
+
+    Plan: one bounded window per (keys, bucket_ts) ordered by bin (state
+    = bins in one bucket, typically tens), then a filter to the first
+    covering bin — no raw-data shuffle at all.  Integer counts keep rank
+    arithmetic exact; the interpolation is the identical float expression
+    in the SQL oracle.
+
+    Output: keys + bucket_ts, total, quantile estimate ``q_est``.
+    """
+    on = [*keys, "bucket_ts"]
+    w = W.partitionBy(*on).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(*on)
+    cum = F.sum("n").over(w)
+    total = F.sum("n").over(wall)
+    src = (
+        hist.withColumn("_cum", cum)
+        .withColumn("total", total)
+        .withColumn("_rank", F.lit(float(q)) * F.col("total"))
+    )
+    # first bin whose cumulative count covers the target rank
+    covering = src.filter(
+        (F.col("_cum") >= F.col("_rank"))
+        & ((F.col("_cum") - F.col("n")) < F.col("_rank"))
+    )
+    frac = (F.col("_rank") - (F.col("_cum") - F.col("n"))) / F.col("n")
+    q_est = (F.col("bin") + frac) * F.lit(float(bin_width))
+    return covering.select(*on, "total", q_est.alias("q_est"))
 
 
 def trimmed_mean_rollup(

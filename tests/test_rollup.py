@@ -314,3 +314,64 @@ def test_gapfill_locf_max_gap_staleness(spark):
         assert out[m][0] is None and out[m][1] is True, m
     with pytest.raises(ValueError, match="max_gap"):
         gapfill(sparse, 60, method="linear", max_gap=3).collect()
+
+
+def test_histogram_quantile_hand_golden(spark):
+    """20 values 1..20, bin width 5: p50 lands in bin 2 (10..15) with
+    linear interpolation, p95 in the top bin; estimates bracket the exact
+    percentiles within one bin width; quantile is monotone in q."""
+    import datetime as dtm
+
+    from afspark.operators.rollup import histogram_quantile, histogram_rollup
+
+    t0 = dtm.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("s", t0 + dtm.timedelta(seconds=i), float(i + 1)) for i in range(20)],
+        "series_id string, ts timestamp, value double",
+    )
+    hist = histogram_rollup(pts, 3600, bin_width=5.0)
+    ests = {}
+    for q in (0.25, 0.5, 0.95, 1.0):
+        r = histogram_quantile(hist, q, bin_width=5.0).collect()[0]
+        assert r.total == 20
+        ests[q] = r.q_est
+    # rank 10 of 20 -> bin 2 ([10,15), cum 4+5=9 before): frac 1/5
+    assert ests[0.5] == (2 + (10 - 9) / 5) * 5.0  # == 11.0
+    # rank 19 -> bin 3 ([15,20), cum 14 before): frac 5/5 -> upper edge
+    assert ests[0.95] == 20.0
+    # q=1 -> upper edge of the last occupied bin (Prometheus contract)
+    assert ests[1.0] == 25.0
+    assert ests[0.25] < ests[0.5] < ests[0.95] <= ests[1.0]
+
+
+def test_histogram_quantile_merged_tier_equals_direct(spark):
+    """histogram_quantile over the 1d tier merged FROM 1h == over a 1d
+    histogram built directly from raw (mergeability of binned counts)."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.rollup import histogram_quantile, histogram_rollup
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rng = np.random.default_rng(9)
+    pts = spark.createDataFrame(
+        [
+            ("s", t0 + dtm.timedelta(seconds=int(i * 97)), float(v))
+            for i, v in enumerate(rng.integers(0, 1000, 800))
+        ],
+        "series_id string, ts timestamp, value double",
+    )
+    h1 = histogram_rollup(pts, 3600, bin_width=50.0)
+    from pyspark.sql import functions as F
+    from afspark.operators.rollup import bucket_ts
+
+    merged = (
+        h1.withColumn("bucket_ts", bucket_ts(F.col("bucket_ts"), 86400))
+        .groupBy("series_id", "bucket_ts", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = histogram_rollup(pts, 86400, bin_width=50.0)
+    a = {tuple(r[:3]): r.q_est for r in histogram_quantile(merged, 0.9, 50.0).collect()}
+    b = {tuple(r[:3]): r.q_est for r in histogram_quantile(direct, 0.9, 50.0).collect()}
+    assert a == b and a
