@@ -2243,6 +2243,63 @@ SQL_SEASONAL_ANOMALY = """
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI data-drift per series: first vs last 15 days of the 1h
+    histogram tier.  psi_nanos is the per-bin-rounded exact-integer sum
+    (order-independent cross-engine checksum of the float PSI)."""
+    from .operators.rollup import histogram_rollup, psi_drift
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    hist = histogram_rollup(pts, TIERS["1h"], bin_width=500.0)
+    out = psi_drift(
+        hist,
+        ref_start=1704067200,
+        ref_end=1705363200,
+        cur_start=1705363200,
+        cur_end=1706745600,
+        exact_nanos=True,
+    )
+    return out.select(
+        "series_id",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "n_bins",
+        "psi_nanos",
+    )
+
+
+SQL_PSI_DRIFT = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be
+               FROM events),
+    h AS (SELECT series_id, be, CAST(floor(v/500.0) AS BIGINT) AS bin,
+                 count(*) AS n
+          FROM c GROUP BY 1, 2, 3),
+    r AS (SELECT series_id, bin, sum(n) AS nr FROM h
+          WHERE be >= 1704067200 AND be < 1705363200 GROUP BY 1, 2),
+    u AS (SELECT series_id, bin, sum(n) AS nc FROM h
+          WHERE be >= 1705363200 AND be < 1706745600 GROUP BY 1, 2),
+    j AS (SELECT coalesce(r.series_id, u.series_id) AS series_id,
+                 coalesce(r.bin, u.bin) AS bin,
+                 coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+          FROM r FULL OUTER JOIN u
+            ON r.series_id = u.series_id AND r.bin = u.bin),
+    tot AS (SELECT series_id, sum(nr) AS n_ref, sum(nc) AS n_cur,
+                   count(*) AS n_bins
+            FROM j GROUP BY 1),
+    x AS (SELECT j.series_id, n_ref, n_cur, n_bins,
+                 (nc + 0.5) / (n_cur + 0.5*n_bins) AS p,
+                 (nr + 0.5) / (n_ref + 0.5*n_bins) AS q
+          FROM j JOIN tot USING (series_id))
+    SELECT series_id, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur, n_bins,
+           CAST(sum(CAST(floor((p - q) * ln(p/q) * 1000000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS psi_nanos
+    FROM x GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_histogram_quantile_1h(spark, sf_dir):
     """PromQL histogram_quantile(0.95) off the 1h histogram tier —
     mergeable-sketch quantiles with linear in-bin interpolation."""
@@ -2828,6 +2885,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_by_source": (q_tfidf_by_source, SQL_TFIDF_BY_SOURCE),
     "alert_firing_1h": (q_alert_firing_1h, SQL_ALERT_FIRING),
     "cusum_1h": (q_cusum_1h, SQL_CUSUM_1H),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "histogram_quantile_1h": (
         q_histogram_quantile_1h,
         SQL_HISTOGRAM_QUANTILE,

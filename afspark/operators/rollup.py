@@ -225,6 +225,82 @@ def histogram_quantile(
     return covering.select(*on, "total", q_est.alias("q_est"))
 
 
+def psi_drift(
+    hist: DataFrame,
+    ref_start: int,
+    ref_end: int,
+    cur_start: int,
+    cur_end: int,
+    keys: list[str] = ["series_id"],
+    smooth: float = 0.5,
+    exact_nanos: bool = False,
+) -> DataFrame:
+    """Population Stability Index between two time ranges of the
+    histogram tier — the standard data/feature drift monitor.
+
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i), where p/q are the bin
+    probability masses of the CURRENT and REFERENCE windows.  Bins are
+    additively smoothed (``smooth`` pseudo-counts over the union support)
+    so one-sided-empty bins stay finite — the textbook variant.
+    Conventional reading: PSI < 0.1 stable, 0.1–0.25 moderate shift,
+    > 0.25 major shift.
+
+    Runs entirely off the MERGEABLE histogram tier (counts sum over each
+    range — no raw data touched): two range-filtered algebraic
+    aggregates, one full-outer join on (keys, bin) to form the union
+    support, one final sum per key.  All shuffles are keyed on
+    (keys[, bin]).
+
+    Output: keys + n_ref, n_cur, n_bins, psi.
+    """
+    # epoch-second boundaries: timezone-independent (string->timestamp
+    # casts would shift with the session zone)
+    be = F.unix_timestamp(F.col("bucket_ts"))
+    ref = (
+        hist.filter((be >= F.lit(ref_start)) & (be < F.lit(ref_end)))
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("_nr"))
+    )
+    cur = (
+        hist.filter((be >= F.lit(cur_start)) & (be < F.lit(cur_end)))
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("_nc"))
+    )
+    joined = ref.join(cur, [*keys, "bin"], "full_outer").select(
+        *keys,
+        "bin",
+        F.coalesce("_nr", F.lit(0)).alias("_nr"),
+        F.coalesce("_nc", F.lit(0)).alias("_nc"),
+    )
+    totals = joined.groupBy(*keys).agg(
+        F.sum("_nr").alias("n_ref"),
+        F.sum("_nc").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = joined.join(totals, keys)
+    p = (F.col("_nc") + smooth) / (F.col("n_cur") + smooth * F.col("n_bins"))
+    q = (F.col("_nr") + smooth) / (F.col("n_ref") + smooth * F.col("n_bins"))
+    term = (p - q) * F.log(p / q)
+    aggs = [
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.first("n_bins").alias("n_bins"),
+        F.sum("_t").alias("psi"),
+    ]
+    if exact_nanos:
+        # per-bin terms are engine-deterministic (exact-integer inputs
+        # through identical expressions), but a float SUM is order-
+        # dependent; rounding each term to integer nanos FIRST makes the
+        # total an exact integer sum — the cross-engine checksum form the
+        # driver oracle hashes
+        aggs.append(
+            F.sum(F.floor(F.col("_t") * 1e9 + 0.5).cast("long")).alias(
+                "psi_nanos"
+            )
+        )
+    return j.withColumn("_t", term).groupBy(*keys).agg(*aggs)
+
+
 def trimmed_mean_rollup(
     points: DataFrame,
     tier_seconds: int,

@@ -375,3 +375,37 @@ def test_histogram_quantile_merged_tier_equals_direct(spark):
     a = {tuple(r[:3]): r.q_est for r in histogram_quantile(merged, 0.9, 50.0).collect()}
     b = {tuple(r[:3]): r.q_est for r in histogram_quantile(direct, 0.9, 50.0).collect()}
     assert a == b and a
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """Series with an unchanged distribution scores near 0; a series whose
+    distribution shifts between the windows scores high; the smoothed
+    terms keep one-sided-empty bins finite."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.rollup import histogram_rollup, psi_drift
+
+    t0 = dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc)
+    e0 = int(t0.timestamp())
+    mid, end = e0 + 5 * 86400, e0 + 10 * 86400
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(2000):
+        ts = t0 + dtm.timedelta(seconds=int(rng.integers(0, 10 * 86400)))
+        # stable: N(100, 10) throughout; drift: mean jumps 100 -> 200
+        rows.append(("stable", ts.replace(tzinfo=None), float(rng.normal(100, 10))))
+        mean = 100 if int(ts.timestamp()) < mid else 200
+        rows.append(("drift", ts.replace(tzinfo=None), float(rng.normal(mean, 10))))
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    hist = histogram_rollup(pts, 3600, bin_width=20.0)
+    out = {
+        r.series_id: r
+        for r in psi_drift(hist, e0, mid, mid, end, exact_nanos=True).collect()
+    }
+    assert out["stable"].psi < 0.05
+    assert out["drift"].psi > 1.0
+    for r in out.values():
+        assert np.isfinite(r.psi)
+        assert abs(r.psi_nanos / 1e9 - r.psi) < 1e-6 * max(1.0, abs(r.psi))
