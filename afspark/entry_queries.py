@@ -2801,6 +2801,127 @@ SQL_HLL_DISTINCT_CHECK = """
 """
 
 
+def q_time_weight_1d(spark, sf_dir):
+    """LOCF time-weighted average pieces per (series, day) — TimescaleDB
+    time_weight('locf') + time_bucket parity; exact integer numerator
+    (cents x seconds) and covered duration, twa = twa_num / dur_s."""
+    from .operators.tsanalytics import time_weighted_avg
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = time_weighted_avg(pts, 86400)
+    return out.select(
+        "series_id",
+        "bucket_epoch",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("twa_num").cast("long").alias("twa_num"),
+        F.col("dur_s").cast("long").alias("dur_s"),
+    )
+
+
+_TW_SEGMENTS_CTE = """
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+    s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS seq
+          FROM c),
+    b AS (SELECT series_id, es, v, seq,
+                 (floor(es/86400.0)*86400)::BIGINT AS be FROM s),
+    g AS (SELECT series_id, be, es, v,
+                 coalesce(lead(es) OVER (PARTITION BY series_id, be
+                                         ORDER BY es, seq) - es, 0) AS seg
+          FROM b)
+"""
+
+SQL_TIME_WEIGHT_1D = _TW_SEGMENTS_CTE + """
+    SELECT series_id, be AS bucket_epoch,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(v*seg) AS BIGINT) AS twa_num,
+           CAST(sum(seg) AS BIGINT) AS dur_s
+    FROM g GROUP BY 1, 2
+"""
+
+
+def q_state_durations_1d(spark, sf_dir):
+    """Seconds spent above/below a gauge threshold per (series, day) —
+    TimescaleDB state_agg parity off the same LOCF segment model."""
+    from .operators.tsanalytics import state_durations
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = state_durations(pts, 86400, threshold=5000.0)
+    return out.select(
+        "series_id",
+        "bucket_epoch",
+        "state",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("dur_s").cast("long").alias("dur_s"),
+    )
+
+
+SQL_STATE_DURATIONS_1D = _TW_SEGMENTS_CTE + """
+    SELECT series_id, be AS bucket_epoch,
+           CASE WHEN v > 5000 THEN 'high' ELSE 'low' END AS state,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(seg) AS BIGINT) AS dur_s
+    FROM g GROUP BY 1, 2, 3
+"""
+
+
+def q_coalesced_intervals(spark, sf_dir):
+    """Merge overlapping/adjacent per-user intervals [ts, ts+v_cents s)
+    (range_agg / interval-union via gaps-and-islands)."""
+    from .operators.sessions import coalesce_intervals
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    iv = pts.select(
+        "series_id",
+        "seq",
+        F.unix_timestamp("ts").cast("long").alias("start_es"),
+        (F.unix_timestamp("ts").cast("long") + F.col("value").cast("long")).alias(
+            "end_es"
+        ),
+    )
+    out = coalesce_intervals(iv)
+    return out.select(
+        "series_id",
+        F.col("island_id").cast("long").alias("island_id"),
+        F.col("island_start").cast("long").alias("island_start"),
+        F.col("island_end").cast("long").alias("island_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_COALESCED_INTERVALS = """
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+    s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS seq
+          FROM c),
+    i AS (SELECT series_id, es AS st, es + v AS en, seq FROM s),
+    m AS (SELECT series_id, st, en, seq,
+                 max(en) OVER (PARTITION BY series_id ORDER BY st, seq
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pme
+          FROM i),
+    f AS (SELECT series_id, st, en, seq,
+                 CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END AS ni
+          FROM m),
+    g AS (SELECT series_id, st, en,
+                 sum(ni) OVER (PARTITION BY series_id ORDER BY st, seq
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS isl
+          FROM f)
+    SELECT series_id, CAST(isl AS BIGINT) AS island_id,
+           CAST(min(st) AS BIGINT) AS island_start,
+           CAST(max(en) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2907,6 +3028,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_DISTINCT_USERS_1D,
     ),
     "hll_distinct_check": (q_hll_distinct_check, SQL_HLL_DISTINCT_CHECK),
+    "time_weight_1d": (q_time_weight_1d, SQL_TIME_WEIGHT_1D),
+    "state_durations_1d": (q_state_durations_1d, SQL_STATE_DURATIONS_1D),
+    "coalesced_intervals": (q_coalesced_intervals, SQL_COALESCED_INTERVALS),
 }
 
 

@@ -115,3 +115,44 @@ def session_stats(
         ).alias("duration_s"),
         F.sum(value_col).alias("value_sum"),
     )
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    series_col: str = "series_id",
+    start_col: str = "start_es",
+    end_col: str = "end_es",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Merge overlapping/adjacent intervals per series (range_agg /
+    interval-union: the classic gaps-and-islands merge).
+
+    An interval starts a new island iff its start is strictly greater
+    than the running max end of all PRECEDING intervals (adjacent
+    [a,b) + [b,c) merge).  Running-max-over-preceding + running sum of
+    the island flags — two Catalyst window aggregates over one sort,
+    whole-stage codegen, no UDF.  ``order_col`` breaks start-ts ties so
+    the preceding frame is a total order both engines agree on.
+
+    Output: series + island_start/island_end (epoch seconds) + n_events,
+    exact integers throughout.
+
+    Scale: one shuffle on series_col; like sessionize, the sort task
+    holds one series' history (inherent to ordered-island semantics —
+    the skew bound is the hottest series, same as every production
+    engine's gaps-and-islands).  The final groupBy adds no exchange:
+    island keys are a prefix-function of the window partitioning.
+    """
+    w = W.partitionBy(series_col).orderBy(start_col, order_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    src = intervals.withColumn("_isl", F.sum(new_island).over(w))
+    return src.groupBy(series_col, "_isl").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).withColumnRenamed("_isl", "island_id")

@@ -802,3 +802,86 @@ def ewma(
     out = local.join(carries, key_cols)
     y = F.col("_local") + F.pow(F.lit(one_minus), F.col("_p") + 1) * F.col("_carry")
     return out.withColumn("ewma", y).drop("_chunk", "_p", "_local", "_carry")
+
+
+def time_weighted_avg(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """LOCF time-weighted average per bucket (TimescaleDB ``time_weight
+    ('locf', ...)`` + ``time_bucket`` parity).
+
+    Irregularly-sampled gauges make plain ``avg`` wrong: a value that
+    held for an hour must weigh 3600x one that held a second.  Each
+    sample's value holds until the NEXT sample in the same bucket
+    (last-observation-carried-forward); the bucket's last sample
+    contributes no duration — TimescaleDB's non-interpolated bucket
+    semantics, which keeps every bucket independent (mergeable, and no
+    cross-bucket shuffle dependency).
+
+    Emits the EXACT integer pieces instead of the float ratio:
+    ``twa_num`` = sum(value_i * (t_{i+1} - t_i)) and ``dur_s`` =
+    covered seconds, so with integer (cents) values every output is
+    order-independent-exact (sums of int64-range integers in float64);
+    twa = twa_num / dur_s is the consumer's one division.
+
+    Scale: the window partition is (series, bucket) — bounded by bucket
+    width, never a whole hot series in one task.  One shuffle; the
+    groupBy reuses the window's hash partitioning (no second exchange).
+    ``seq_col`` is the total-order tiebreak for same-timestamp samples
+    (two engines must agree which value "holds" across a tie; max over
+    the preceding frame depends on row order under ties).
+    """
+    es = F.unix_timestamp(ts_col).cast("long")
+    src = points.withColumn("_es", es).withColumn(
+        "_be", (F.floor(F.col("_es") / bucket_seconds) * bucket_seconds).cast("long")
+    )
+    w = W.partitionBy(*keys, "_be").orderBy("_es", seq_col)
+    seg = (F.lead("_es").over(w) - F.col("_es")).cast("long")
+    src = src.withColumn("_seg", F.coalesce(seg, F.lit(0)))
+    return src.groupBy(*keys, "_be").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col(value_col).cast("long") * F.col("_seg")).alias("twa_num"),
+        F.sum("_seg").alias("dur_s"),
+    ).withColumnRenamed("_be", "bucket_epoch")
+
+
+def state_durations(
+    points: DataFrame,
+    bucket_seconds: int,
+    threshold: float,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Seconds spent in each state per bucket (TimescaleDB ``state_agg``
+    parity, with a threshold quantizer as the state function).
+
+    State = 'high' when value > threshold else 'low'; a sample's state
+    holds until the next sample in the same bucket (LOCF), the bucket's
+    last sample contributes no duration — the same within-bucket segment
+    model as :func:`time_weighted_avg`, so the two compose off one scan.
+    Output: keys + bucket_epoch + state -> n_segments, dur_s (exact
+    integer seconds).
+
+    Scale: identical shape to time_weighted_avg — (series, bucket)
+    window partitions, one shuffle, whole-stage codegen throughout.
+    """
+    es = F.unix_timestamp(ts_col).cast("long")
+    src = points.withColumn("_es", es).withColumn(
+        "_be", (F.floor(F.col("_es") / bucket_seconds) * bucket_seconds).cast("long")
+    )
+    w = W.partitionBy(*keys, "_be").orderBy("_es", seq_col)
+    seg = (F.lead("_es").over(w) - F.col("_es")).cast("long")
+    src = src.withColumn("_seg", F.coalesce(seg, F.lit(0))).withColumn(
+        "state", F.when(F.col(value_col) > threshold, "high").otherwise("low")
+    )
+    return src.groupBy(*keys, "_be", "state").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_seg").alias("dur_s"),
+    ).withColumnRenamed("_be", "bucket_epoch")

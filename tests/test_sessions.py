@@ -89,3 +89,53 @@ def test_sessionize_chunked_equals_single_window(spark):
              F.sum("value").alias("value_sum"),
          ).collect()}
     assert a == b
+
+
+def test_coalesce_intervals_merge_semantics(spark):
+    """Overlap and adjacency merge; strict gaps split; series isolate."""
+    from afspark.operators.sessions import coalesce_intervals
+
+    rows = [
+        # u: [0,10) + [5,20) overlap; [20,25) adjacent -> one island
+        ("u", 1, 0, 10),
+        ("u", 2, 5, 20),
+        ("u", 3, 20, 25),
+        # u: [30,40) gap of 5s -> new island
+        ("u", 4, 30, 40),
+        # u: contained interval [31,33) merges into the island
+        ("u", 5, 31, 33),
+        # v: independent
+        ("v", 1, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, seq long, start_es long, end_es long"
+    )
+    got = sorted(
+        coalesce_intervals(df).collect(),
+        key=lambda r: (r.series_id, r.island_start),
+    )
+    flat = [
+        (r.series_id, r.island_id, r.island_start, r.island_end, r.n_events)
+        for r in got
+    ]
+    assert flat == [
+        ("u", 1, 0, 25, 3),
+        ("u", 2, 30, 40, 2),
+        ("v", 1, 0, 1, 1),
+    ]
+
+
+def test_coalesce_intervals_out_of_order_end_containment(spark):
+    """A long interval swallowing later-starting short ones: the running
+    max end (not lag(end)) is what keeps the island open."""
+    from afspark.operators.sessions import coalesce_intervals
+
+    rows = [("u", 1, 0, 100), ("u", 2, 10, 20), ("u", 3, 50, 60), ("u", 4, 101, 110)]
+    df = spark.createDataFrame(
+        rows, "series_id string, seq long, start_es long, end_es long"
+    )
+    got = sorted(coalesce_intervals(df).collect(), key=lambda r: r.island_start)
+    assert [(r.island_start, r.island_end, r.n_events) for r in got] == [
+        (0, 100, 3),
+        (101, 110, 1),
+    ]

@@ -458,3 +458,71 @@ def test_cusum_downward_shift_alarms_low_side(spark):
     assert out[-1].cusum_lo == 45.0 - 0.0  # 5 * (10 - 1) after the drop
     assert not any(r.alarm for r in out[:6])
     assert out[-1].alarm
+
+
+def test_time_weighted_avg_locf_segments(spark):
+    """Hand-computed LOCF integral; the bucket's last point contributes
+    no duration, and buckets are independent (no cross-bucket segment)."""
+    from afspark.operators.tsanalytics import time_weighted_avg
+
+    day = 86400
+    pts = spark.createDataFrame(
+        [
+            # bucket 0: v=10 holds 10s, v=20 holds 20s, v=7 dangles
+            ("s", 1, t(0), 10.0),
+            ("s", 2, t(10), 20.0),
+            ("s", 3, t(30), 7.0),
+            # bucket 1: single point -> zero duration
+            ("s", 4, t(day + 100), 99.0),
+            # other series independent
+            ("u", 1, t(5), 4.0),
+            ("u", 2, t(15), 6.0),
+        ],
+        "series_id string, seq long, ts timestamp, value double",
+    )
+    rows = {
+        (r.series_id, r.bucket_epoch): r
+        for r in time_weighted_avg(pts, day).collect()
+    }
+    base = rows[("s", 1704067200 // day * day)]  # 2024-01-01 bucket
+    assert base.n_points == 3
+    assert base.twa_num == 10 * 10 + 20 * 20  # = 500
+    assert base.dur_s == 30
+    nxt = rows[("s", (1704067200 + day) // day * day)]
+    assert nxt.n_points == 1 and nxt.twa_num == 0 and nxt.dur_s == 0
+    other = rows[("u", 1704067200 // day * day)]
+    assert other.twa_num == 4 * 10 and other.dur_s == 10
+
+
+def test_time_weighted_avg_same_second_tie(spark):
+    """Same-epoch-second samples: seq breaks the tie; the earlier one
+    holds for 0s so only the later value carries forward."""
+    from afspark.operators.tsanalytics import time_weighted_avg
+
+    pts = spark.createDataFrame(
+        [("s", 1, t(0), 100.0), ("s", 2, t(0), 3.0), ("s", 3, t(10), 0.0)],
+        "series_id string, seq long, ts timestamp, value double",
+    )
+    r = time_weighted_avg(pts, 86400).collect()[0]
+    assert r.twa_num == 3 * 10 and r.dur_s == 10
+
+
+def test_state_durations_threshold(spark):
+    """value>5 is 'high'; durations follow the LOCF segments."""
+    from afspark.operators.tsanalytics import state_durations
+
+    pts = spark.createDataFrame(
+        [
+            ("s", 1, t(0), 10.0),   # high, holds 10s
+            ("s", 2, t(10), 2.0),   # low, holds 5s
+            ("s", 3, t(15), 8.0),   # high, holds 15s
+            ("s", 4, t(30), 1.0),   # low, dangles (0s)
+        ],
+        "series_id string, seq long, ts timestamp, value double",
+    )
+    got = {
+        r.state: (r.n_segments, r.dur_s)
+        for r in state_durations(pts, 86400, threshold=5.0).collect()
+    }
+    assert got["high"] == (2, 25)
+    assert got["low"] == (2, 5)
