@@ -50,6 +50,7 @@ def encode_chunks(
     series_col: str = "series_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """points -> one row per (series, chunk) with encoded blobs.
 
@@ -71,7 +72,15 @@ def encode_chunks(
     # overhead dominated the encode by ~10x.)  A chunk's rows can span
     # Arrow batches within the partition, so the tail group of each batch
     # is carried into the next one.
-    n_parts = points.sparkSession.sparkContext.defaultParallelism * 4
+    #
+    # Partition count: sized from the INPUT (scan partitions track bytes),
+    # floored at defaultParallelism so every core gets work.  A blanket
+    # x4 factor here cost +45% wall at sf0.1 (128 near-empty shuffle
+    # partitions for a one-core-second encode — A/B'd interleaved at
+    # matched host probes, tools/ab_regressions.py); at 100 TB the input
+    # partition count is what grows, and this follows it.
+    sc = points.sparkSession.sparkContext
+    n_parts = n_partitions or max(sc.defaultParallelism, points.rdd.getNumPartitions())
     pre = pts.repartition(n_parts, "series_id", "chunk_start").sortWithinPartitions(
         "series_id", "chunk_start", "ts"
     )
