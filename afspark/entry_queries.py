@@ -2922,6 +2922,80 @@ SQL_COALESCED_INTERVALS = """
 """
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC candlestick bars per (series, hour): deterministic open/close
+    via the packed (epoch<<20)+seq ordering key — certifies the first/
+    last-by-time columns the generic rollup oracle has to drop (min_by
+    ties).  TimescaleDB candlestick_agg / kdb+ bar parity."""
+    from .operators.rollup import ohlc_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = ohlc_rollup(pts, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("open").cast("long").alias("open_c"),
+        F.col("high").cast("long").alias("high_c"),
+        F.col("low").cast("long").alias("low_c"),
+        F.col("close").cast("long").alias("close_c"),
+    )
+
+
+_OHLC_CTE = """
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+    s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS seq
+          FROM c),
+    o AS (SELECT series_id, es, v, es * 1048576 + seq AS ord FROM s)
+"""
+
+SQL_OHLC_1H = _OHLC_CTE + """
+    SELECT series_id,
+           (floor(es/3600.0)*3600)::BIGINT AS bucket_epoch,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(arg_min(v, ord) AS BIGINT) AS open_c,
+           CAST(max(v) AS BIGINT) AS high_c,
+           CAST(min(v) AS BIGINT) AS low_c,
+           CAST(arg_max(v, ord) AS BIGINT) AS close_c
+    FROM o GROUP BY 1, 2
+"""
+
+
+def q_ohlc_1d_chained(spark, sf_dir):
+    """1d OHLC bars merged FROM the 1h bars (algebraic merge over the
+    carried open_ord/close_ord keys); the oracle computes 1d straight
+    from raw ticks — passing proves the bar aggregate is mergeable."""
+    from .operators.rollup import ohlc_merge, ohlc_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = ohlc_merge(ohlc_rollup(pts, 3600), 86400)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("open").cast("long").alias("open_c"),
+        F.col("high").cast("long").alias("high_c"),
+        F.col("low").cast("long").alias("low_c"),
+        F.col("close").cast("long").alias("close_c"),
+    )
+
+
+SQL_OHLC_1D = _OHLC_CTE + """
+    SELECT series_id,
+           (floor(es/86400.0)*86400)::BIGINT AS bucket_epoch,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(arg_min(v, ord) AS BIGINT) AS open_c,
+           CAST(max(v) AS BIGINT) AS high_c,
+           CAST(min(v) AS BIGINT) AS low_c,
+           CAST(arg_max(v, ord) AS BIGINT) AS close_c
+    FROM o GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3031,6 +3105,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "time_weight_1d": (q_time_weight_1d, SQL_TIME_WEIGHT_1D),
     "state_durations_1d": (q_state_durations_1d, SQL_STATE_DURATIONS_1D),
     "coalesced_intervals": (q_coalesced_intervals, SQL_COALESCED_INTERVALS),
+    "ohlc_1h": (q_ohlc_1h, SQL_OHLC_1H),
+    "ohlc_1d_chained": (q_ohlc_1d_chained, SQL_OHLC_1D),
 }
 
 

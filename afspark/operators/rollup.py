@@ -115,6 +115,80 @@ def rollup_all_tiers(
     return out
 
 
+def ohlc_rollup(
+    points: DataFrame,
+    tier_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per-(series, bucket) OHLC bars — open/high/low/close (candlestick
+    downsample, TimescaleDB ``candlestick_agg`` / kdb+ bar semantics).
+
+    The generic tier's first/last use ``min_by(value, ts)``, which is
+    NONDETERMINISTIC under duplicate timestamps (ties broken by
+    encounter order — the rollup oracles deliberately drop those columns
+    from the driver hash for that reason).  OHLC instead orders by one
+    packed int64 key ``epoch_seconds * 2^20 + seq`` (``seq`` = the
+    caller's within-series total-order rank): every engine picks the
+    same open/close row, so the columns certify through the value-hash
+    gate.  The pack is exact while seq < 2^20 per series and
+    epoch < 2^43 s (~year 280k); at larger per-series cardinality pass a
+    wider shift — kept narrow so the key also survives DOUBLE-only
+    engines (2^53).
+
+    Carrying ``open_ord``/``close_ord`` keeps the bar ALGEBRAIC:
+    :func:`ohlc_merge` re-aggregates bars into coarser tiers with plain
+    min_by/max_by over the carried keys — map-side combinable, so at
+    100 TB the only shuffle per tier is on (series, bucket) and the 1d
+    tier is built from 1h bars, never from raw ticks.
+    """
+    v = F.col(value_col)
+    ordk = (
+        F.unix_timestamp(F.col(ts_col)).cast("long") * F.lit(1 << 20).cast("long")
+        + F.col(seq_col).cast("long")
+    )
+    return (
+        points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), tier_seconds))
+        .withColumn("_ord", ordk)
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count(v).alias("cnt"),
+            F.min_by(v, F.col("_ord")).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, F.col("_ord")).alias("close"),
+            F.min("_ord").alias("open_ord"),
+            F.max("_ord").alias("close_ord"),
+        )
+    )
+
+
+def ohlc_merge(
+    prev: DataFrame, tier_seconds: int, keys: list[str] = ["series_id"]
+) -> DataFrame:
+    """Re-aggregate OHLC bars into a coarser tier (algebraic merge).
+
+    open = the open of the bar with the smallest carried open_ord (the
+    earliest tick), close symmetric; high/low/cnt are plain max/min/sum.
+    Deterministic because ord keys are globally unique per series.
+    """
+    return (
+        prev.withColumn("bucket_ts", bucket_ts(F.col("bucket_ts"), tier_seconds))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min_by("open", F.col("open_ord")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("close_ord")).alias("close"),
+            F.min("open_ord").alias("open_ord"),
+            F.max("close_ord").alias("close_ord"),
+        )
+    )
+
+
 def percentile_rollup(
     points: DataFrame,
     tier_seconds: int,

@@ -409,3 +409,44 @@ def test_psi_drift_detects_planted_shift(spark):
     for r in out.values():
         assert np.isfinite(r.psi)
         assert abs(r.psi_nanos / 1e9 - r.psi) < 1e-6 * max(1.0, abs(r.psi))
+
+
+def test_ohlc_tie_determinism_and_merge(spark):
+    """Duplicate-timestamp ticks: open/close follow the packed
+    (epoch<<20)+seq order, not encounter order; 1d-from-1h merge ==
+    1d-from-raw bit-for-bit."""
+    import datetime as dtm
+
+    from afspark.operators.rollup import ohlc_merge, ohlc_rollup
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    # 3 ticks at the SAME second (seq breaks the tie), then spread
+    # across two hours of one day and a second day
+    for seq, (off, v) in enumerate(
+        [(0, 5.0), (0, 9.0), (0, 1.0), (1800, 7.0), (3700, 2.0),
+         (5400, 8.0), (90000, 4.0), (93600, 6.0)],
+        start=1,
+    ):
+        rows.append(("s", seq, t0 + dtm.timedelta(seconds=off), v))
+    pts = spark.createDataFrame(
+        rows, "series_id string, seq long, ts timestamp, value double"
+    )
+    h1 = ohlc_rollup(pts, 3600)
+    bars = {r.bucket_ts: r for r in h1.collect()}
+    b0 = bars[t0]
+    # seq=1 (5.0) opens, seq=4 (7.0) closes hour 0 despite ties at open
+    assert (b0.open, b0.high, b0.low, b0.close) == (5.0, 9.0, 1.0, 7.0)
+    d_merged = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.open, r.high, r.low, r.close)
+        for r in ohlc_merge(h1, 86400).collect()
+    }
+    d_direct = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.open, r.high, r.low, r.close)
+        for r in ohlc_rollup(pts, 86400).collect()
+    }
+    assert d_merged == d_direct
+    day1 = d_direct[("s", t0)]
+    assert day1 == (6, 5.0, 9.0, 1.0, 8.0)
+    day2 = d_direct[("s", t0 + dtm.timedelta(days=1))]
+    assert day2 == (2, 4.0, 6.0, 4.0, 6.0)
