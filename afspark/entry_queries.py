@@ -2996,6 +2996,74 @@ SQL_OHLC_1D = _OHLC_CTE + """
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scan + redaction audit over documents (scrub stage of the
+    training-data pipeline).  The synthetic corpus carries no natural
+    PII, so the query SEEDS deterministic email/IP/phone strings into a
+    doc_id-keyed subset with the IDENTICAL expression on both engines —
+    the operator under test (afspark/operators/text.py pii_stats /
+    pii_redact) then has non-trivial counts and byte deltas to certify.
+    Pure Catalyst regexp_count/regexp_replace; no UDF, no shuffle."""
+    from .operators.text import pii_redact, pii_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.concat(F.lit(" reach me at user"),
+                                        d.cast("string"),
+                                        F.lit("@mail.example.com"))).otherwise(""),
+            F.when(d % 11 == 0, F.concat(F.lit(" from 192.168."),
+                                         (d % 256).cast("string"), F.lit("."),
+                                         (d % 100).cast("string"))).otherwise(""),
+            F.when(d % 13 == 0, F.lit(" call +44 207 946 0958")).otherwise(""),
+        ).alias("text"),
+    )
+    stats = pii_stats(seeded)
+    red = pii_redact(seeded).select("doc_id", "len_raw", "len_redacted")
+    return stats.join(red, "doc_id").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_pii",
+        "len_raw", "len_redacted",
+    )
+
+
+SQL_PII_SCRUB = r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +44 207 946 0958' ELSE '' END AS t
+      FROM documents
+    ),
+    pat AS (
+      SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS p_email,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS p_ipv4,
+             '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}\b' AS p_phone
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, p_email)) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, p_ipv4)) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, p_phone)) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, p_email))
+                + len(regexp_extract_all(t, p_ipv4))
+                + len(regexp_extract_all(t, p_phone)) AS BIGINT) AS n_pii,
+           CAST(length(t) AS BIGINT) AS len_raw,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                  t, p_email, '<PII>', 'g'),
+                  p_ipv4, '<PII>', 'g'),
+                  p_phone, '<PII>', 'g')) AS BIGINT) AS len_redacted
+    FROM seeded, pat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3107,6 +3175,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "coalesced_intervals": (q_coalesced_intervals, SQL_COALESCED_INTERVALS),
     "ohlc_1h": (q_ohlc_1h, SQL_OHLC_1H),
     "ohlc_1d_chained": (q_ohlc_1d_chained, SQL_OHLC_1D),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 

@@ -472,3 +472,62 @@ def tfidf_by_source(
     return out.select(
         "source", "term", "tf_docs", "df_global", "n_docs", score.alias("tfidf")
     )
+
+
+# PII patterns shared by pii_stats / pii_redact — deliberately restricted
+# to the regex subset Java (Spark) and RE2 (DuckDB oracle) evaluate
+# identically: character classes, bounded repeats, \b word boundaries; no
+# backreferences, no lookaround, leftmost-longest-irrelevant shapes (the
+# alternation-free patterns match the same spans under both NFA and
+# leftmost-first semantics).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}\b",
+}
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    patterns: dict[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """Per-document PII match counts — the scrub-audit stage of a
+    training-data pipeline (count before you redact; route docs above a
+    threshold to quarantine).
+
+    Pure Catalyst: one `regexp_count` column per pattern, all evaluated
+    in a single whole-stage-codegen projection over one scan — per-doc
+    cost is the regex sweeps, no shuffle at all until a consumer
+    aggregates.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{name}")
+        for name, p in patterns.items()
+    ]
+    total = sum(F.col(f"n_{name}") for name in patterns).alias("n_pii")
+    return docs.select(F.col(id_col).alias("doc_id"), *counts).select(
+        "doc_id", *[f"n_{n}" for n in patterns], total
+    )
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    patterns: dict[str, str] = PII_PATTERNS,
+    placeholder: str = "<PII>",
+) -> DataFrame:
+    """Redact PII in place: chained `regexp_replace`, one per pattern,
+    applied in dict order (order matters only when patterns overlap —
+    email is applied before phone/ipv4 so an address is consumed as one
+    unit).  Still a single codegen projection; emits the redacted text
+    plus before/after lengths so audits can verify bytes-removed without
+    rescanning.
+    """
+    red = F.col(text_col)
+    for p in patterns.values():
+        red = F.regexp_replace(red, p, placeholder)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("text_redacted"),
+        F.length(text_col).cast("long").alias("len_raw"),
+        F.length(red).cast("long").alias("len_redacted"),
+    )

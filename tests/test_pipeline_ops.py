@@ -863,3 +863,32 @@ def test_tfidf_by_source_hand_golden(spark):
     assert ("s2", "spark") not in out
     plan = tfidf_by_source(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+
+
+def test_pii_stats_and_redact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org twice a@b.io done"),
+            (2, "server at 10.0.255.3 and bad 999.999.999.999 still counted"),
+            (3, "call +44 207 946 0958 or +1 555 010 2222"),
+            (4, "clean document, no pii at all"),
+            (5, "not an ip 1.2.3 nor email a@b nor phone +44 20"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in text.pii_stats(docs).collect()}
+    assert (stats[1].n_email, stats[1].n_pii) == (2, 2)
+    # the regex counts dotted quads syntactically (999... included) —
+    # it is a scrub pattern, not a validator
+    assert stats[2].n_ipv4 == 2
+    assert stats[3].n_phone == 2
+    assert stats[4].n_pii == 0
+    assert stats[5].n_pii == 0
+    red = {r.doc_id: r for r in text.pii_redact(docs).collect()}
+    assert "<PII>" not in red[4].text_redacted
+    assert red[1].text_redacted.count("<PII>") == 2
+    assert "bob.smith" not in red[1].text_redacted
+    assert red[4].len_raw == red[4].len_redacted
+    assert red[3].len_redacted == red[3].len_raw - len("+44 207 946 0958") - len(
+        "+1 555 010 2222"
+    ) + 2 * len("<PII>")
