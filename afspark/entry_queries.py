@@ -3064,6 +3064,54 @@ SQL_PII_SCRUB = r"""
 """
 
 
+def q_time_weight_interp_1d(spark, sf_dir):
+    """Cross-bucket LOCF time-weighted average per (series, day): global
+    LOCF segments clipped to day boundaries, so sample-free days inside
+    a gap are still covered — TimescaleDB interpolated_average parity;
+    exact integer numerator/duration pieces."""
+    from .operators.tsanalytics import time_weighted_avg_interpolated
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = time_weighted_avg_interpolated(pts, 86400)
+    return out.select(
+        "series_id",
+        "bucket_epoch",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("twa_num").cast("long").alias("twa_num"),
+        F.col("dur_s").cast("long").alias("dur_s"),
+    )
+
+
+SQL_TIME_WEIGHT_INTERP_1D = """
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+    s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS seq
+          FROM c),
+    seg AS (SELECT series_id, v, es,
+                   lead(es) OVER (PARTITION BY series_id
+                                  ORDER BY es, seq) AS ee
+            FROM s),
+    live AS (SELECT * FROM seg WHERE ee > es),
+    x AS (SELECT series_id, v, es, ee,
+                 unnest(generate_series(
+                     (floor(es/86400.0))::BIGINT,
+                     (floor((ee-1)/86400.0))::BIGINT)) AS b
+          FROM live),
+    o AS (SELECT series_id, b, v,
+                 least(ee, (b+1)*86400) - greatest(es, b*86400) AS ov
+          FROM x)
+    SELECT series_id,
+           CAST(sum(v*ov) AS BIGINT) AS twa_num,
+           CAST(sum(ov) AS BIGINT) AS dur_s,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(b*86400 AS BIGINT) AS bucket_epoch
+    FROM o GROUP BY series_id, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3176,6 +3224,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ohlc_1h": (q_ohlc_1h, SQL_OHLC_1H),
     "ohlc_1d_chained": (q_ohlc_1d_chained, SQL_OHLC_1D),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "time_weight_interp_1d": (q_time_weight_interp_1d, SQL_TIME_WEIGHT_INTERP_1D),
 }
 
 

@@ -885,3 +885,70 @@ def state_durations(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("_seg").alias("dur_s"),
     ).withColumnRenamed("_be", "bucket_epoch")
+
+
+def time_weighted_avg_interpolated(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Cross-bucket LOCF time-weighted average (TimescaleDB
+    ``interpolated_average('locf')`` semantics): a sample's value holds
+    until the series' NEXT sample regardless of bucket boundaries, so
+    buckets that contain no samples are still covered by the segment
+    spanning them.  The series' last sample extrapolates nothing.
+
+    Shape: one lead() per series gives global LOCF segments
+    [es, next_es); each segment is clipped to the buckets it spans via
+    explode(sequence(first_bucket, last_bucket)) — overlap =
+    min(seg_end, bucket_end) - max(seg_start, bucket_start).  Exact
+    integer seconds; ``twa_num``/``dur_s`` are the mergeable pieces
+    (twa = twa_num / dur_s downstream).
+
+    Zero-length segments (duplicate timestamps) are filtered BEFORE the
+    explode: with seg_end == seg_start the bucket sequence would run
+    BACKWARDS (Spark's sequence(lo, hi) descends when hi < lo — the
+    repo's documented three-time bug), and DuckDB's generate_series
+    returns empty for the same input, so the engines would diverge.
+
+    Scale: the lead() sorts each series once (one hot series' history in
+    one task — the same inherent bound as sessionize/asof, documented
+    there); the explode fan-out is proportional to buckets COVERED, i.e.
+    to the gap-filled output spine, exactly like gapfill.  One shuffle
+    on series, one on (series, bucket) for the final merge — at 100 TB
+    the second is map-side combined to the output cardinality.
+    """
+    es = F.unix_timestamp(ts_col).cast("long")
+    w = W.partitionBy(*keys).orderBy("_es", seq_col)
+    src = (
+        points.withColumn("_es", es)
+        .withColumn("_ee", F.lead("_es").over(w))
+        .filter(F.col("_ee") > F.col("_es"))
+    )
+    b0 = F.floor(F.col("_es") / bucket_seconds).cast("long")
+    b1 = F.floor((F.col("_ee") - 1) / bucket_seconds).cast("long")
+    seg = src.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        "_es",
+        "_ee",
+        F.explode(F.sequence(b0, b1)).alias("_b"),
+    )
+    be = F.col("_b") * bucket_seconds
+    overlap = (
+        F.least(F.col("_ee"), be + bucket_seconds) - F.greatest(F.col("_es"), be)
+    ).cast("long")
+    return (
+        seg.withColumn("_ov", overlap)
+        .groupBy(*keys, "_b")
+        .agg(
+            F.sum(F.col("_v").cast("long") * F.col("_ov")).alias("twa_num"),
+            F.sum("_ov").alias("dur_s"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .withColumn("bucket_epoch", (F.col("_b") * bucket_seconds).cast("long"))
+        .drop("_b")
+    )

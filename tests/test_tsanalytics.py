@@ -526,3 +526,44 @@ def test_state_durations_threshold(spark):
     }
     assert got["high"] == (2, 25)
     assert got["low"] == (2, 5)
+
+
+def test_time_weighted_avg_interpolated_spans_gap_buckets(spark):
+    """A segment spanning empty buckets covers them; duplicate-ts
+    zero-length segments are dropped before the bucket explode."""
+    import datetime as dtm
+
+    from afspark.operators.tsanalytics import time_weighted_avg_interpolated
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        # v=10 holds 30s, then a duplicate-ts pair (zero-length segment),
+        # then v=20 holds across 2.5 empty minutes into minute 3
+        ("s", 1, t0, 10.0),
+        ("s", 2, t0 + dtm.timedelta(seconds=30), 20.0),
+        ("s", 3, t0 + dtm.timedelta(seconds=30), 99.0),  # tie: seq 2's segment is zero-length; seq 3 carries
+        ("s", 4, t0 + dtm.timedelta(seconds=210), 5.0),
+        ("s", 5, t0 + dtm.timedelta(seconds=240), 7.0),  # last: extrapolates nothing
+    ]
+    pts = spark.createDataFrame(
+        rows, "series_id string, seq long, ts timestamp, value double"
+    )
+    out = {
+        r.bucket_epoch: r
+        for r in time_weighted_avg_interpolated(pts, 60).collect()
+    }
+    e0 = int(t0.timestamp())
+    # minute 0: 10*30 + (20 or 99)*30 — the tie row's segment is
+    # zero-length so value 99 contributes nothing; 20 holds from :30
+    b0 = out[e0]
+    assert b0.dur_s == 60
+    assert b0.twa_num in (10 * 30 + 20 * 30, 10 * 30 + 99 * 30)
+    # the LOCF carrier across the gap: which of 20/99 holds is the tie's
+    # seq order — seq 3 (99.0) is the later row, so 99 carries
+    assert b0.twa_num == 10 * 30 + 99 * 30
+    # minutes 1 and 2: fully inside the 99-segment (empty buckets covered)
+    assert (out[e0 + 60].twa_num, out[e0 + 60].dur_s) == (99 * 60, 60)
+    assert (out[e0 + 120].twa_num, out[e0 + 120].dur_s) == (99 * 60, 60)
+    # minute 3: 99 holds 30s then 5 holds 30s; last sample (7) adds 0
+    assert (out[e0 + 180].twa_num, out[e0 + 180].dur_s) == (99 * 30 + 5 * 30, 60)
+    assert e0 + 240 not in out
