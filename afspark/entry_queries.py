@@ -3112,6 +3112,36 @@ SQL_TIME_WEIGHT_INTERP_1D = """
 """
 
 
+def q_quota_sample_by_source(spark, sf_dir):
+    """Cap each source at 10 docs, picked by deterministic (md5, id)
+    order — the corpus-balancing stage; two-phase salted ranking so a
+    hot key never sorts its full row set in one task."""
+    from .operators.text import quota_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quota_sample(docs, 10, key_col="source")
+    return out.select(
+        "doc_id", "source", F.col("_rank").cast("long").alias("pick_rank")
+    )
+
+
+SQL_QUOTA_SAMPLE = f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_md5_head32_sql("'afspark:' || CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hh, doc_id) AS pick_rank
+      FROM h
+    )
+    SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM r WHERE pick_rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3225,6 +3255,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ohlc_1d_chained": (q_ohlc_1d_chained, SQL_OHLC_1D),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "time_weight_interp_1d": (q_time_weight_interp_1d, SQL_TIME_WEIGHT_INTERP_1D),
+    "quota_sample_by_source": (q_quota_sample_by_source, SQL_QUOTA_SAMPLE),
 }
 
 

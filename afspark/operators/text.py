@@ -8,7 +8,7 @@ in entry_queries.py mirror these expressions 1:1.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Tiny built-in stopword lists for the n-gram/stopword language heuristic.
@@ -530,4 +530,48 @@ def pii_redact(
         red.alias("text_redacted"),
         F.length(text_col).cast("long").alias("len_raw"),
         F.length(red).cast("long").alias("len_redacted"),
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    quota: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "afspark",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``quota`` docs per key, chosen deterministically —
+    the corpus-balancing stage (cap any one domain/source's share of the
+    training mix).  Selection order is (md5-hash, id): a pure function
+    of the row, so the kept set is stable across runs/engines and
+    subset-monotone in ``quota`` (quota=100's picks contain quota=50's).
+
+    Two-phase for scale: ranking directly per key would sort one hot
+    key's ENTIRE row set in one task (the 100-TB skew killer — a
+    boilerplate mega-domain is exactly the key you're capping).  Phase 1
+    ranks within (key, hash%n_salts) and keeps ``quota`` per salt lane —
+    local pruning that bounds any key to n_salts*quota rows; phase 2
+    ranks the survivors per key and keeps ``quota``.  Lane pruning is
+    sound BECAUSE lanes are disjoint and phase 2's order restores the
+    global (hash, id) rank: a row outside its lane's top-quota is
+    outside the key's top-quota a fortiori.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    h = _id_hash_head32(id_col, salt)
+    src = docs.withColumn("_h", h)
+    lane = F.pmod(F.col("_h"), F.lit(n_salts))
+    pruned = (
+        src.withColumn("_lane", lane)
+        .withColumn("_r1", F.row_number().over(
+            W.partitionBy(key_col, "_lane").orderBy("_h", id_col)
+        ))
+        .filter(F.col("_r1") <= quota)
+    )
+    w2 = W.partitionBy(key_col).orderBy("_h", id_col)
+    return (
+        pruned.withColumn("_rank", F.row_number().over(w2))
+        .filter(F.col("_rank") <= quota)
+        .drop("_h", "_lane", "_r1")
     )

@@ -892,3 +892,35 @@ def test_pii_stats_and_redact(spark):
     assert red[3].len_redacted == red[3].len_raw - len("+44 207 946 0958") - len(
         "+1 555 010 2222"
     ) + 2 * len("<PII>")
+
+
+def test_quota_sample_two_phase_matches_naive_and_is_monotone(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, "hot" if i < 300 else f"s{i % 7}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    picked = text.quota_sample(docs, 20, key_col="source", n_salts=4)
+    got = {(r.doc_id, r.source, r.pick_rank if hasattr(r, "pick_rank") else r._rank)
+           for r in picked.selectExpr("doc_id", "source", "_rank as pick_rank").collect()}
+    # naive single-window reference
+    h = text._id_hash_head32("doc_id", "afspark")
+    w = Window.partitionBy("source").orderBy(F.col("_h"), "doc_id")
+    naive = (
+        docs.withColumn("_h", h)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 20)
+    )
+    want = {(r.doc_id, r.source, r.pick_rank) for r in naive.collect()}
+    assert got == want
+    # every key capped; hot key exactly at quota
+    by_key = {}
+    for _, s, _ in got:
+        by_key[s] = by_key.get(s, 0) + 1
+    assert by_key["hot"] == 20
+    assert all(v <= 20 for v in by_key.values())
+    # subset-monotone in quota
+    small = {(r.doc_id, r.source) for r in
+             text.quota_sample(docs, 5, key_col="source", n_salts=4)
+             .select("doc_id", "source").collect()}
+    assert small <= {(d, s) for d, s, _ in got}
