@@ -3142,6 +3142,51 @@ SQL_QUOTA_SAMPLE = f"""
 """
 
 
+def q_uptime_1d(spark, sf_dir):
+    """Live seconds per (series, day) treating events as heartbeats with
+    a 1h liveness timeout — TimescaleDB heartbeat_agg/uptime parity via
+    disjoint clipped segments."""
+    from .operators.tsanalytics import uptime_rollup
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = uptime_rollup(pts, 86400, 3600)
+    return out.select(
+        "series_id",
+        "bucket_epoch",
+        F.col("up_s").cast("long").alias("up_s"),
+        F.col("n_beats").cast("long").alias("n_beats"),
+    )
+
+
+SQL_UPTIME_1D = """
+    WITH s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS seq
+               FROM events),
+    seg AS (SELECT series_id, es,
+                   least(coalesce(lead(es) OVER (PARTITION BY series_id
+                                                 ORDER BY es, seq),
+                                  es + 3600),
+                         es + 3600) AS ee
+            FROM s),
+    live AS (SELECT * FROM seg WHERE ee > es),
+    x AS (SELECT series_id, es, ee,
+                 unnest(generate_series(
+                     (floor(es/86400.0))::BIGINT,
+                     (floor((ee-1)/86400.0))::BIGINT)) AS b
+          FROM live),
+    o AS (SELECT series_id, b,
+                 least(ee, (b+1)*86400) - greatest(es, b*86400) AS ov
+          FROM x)
+    SELECT series_id,
+           CAST(sum(ov) AS BIGINT) AS up_s,
+           CAST(count(*) AS BIGINT) AS n_beats,
+           CAST(b*86400 AS BIGINT) AS bucket_epoch
+    FROM o GROUP BY series_id, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3256,6 +3301,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "time_weight_interp_1d": (q_time_weight_interp_1d, SQL_TIME_WEIGHT_INTERP_1D),
     "quota_sample_by_source": (q_quota_sample_by_source, SQL_QUOTA_SAMPLE),
+    "uptime_1d": (q_uptime_1d, SQL_UPTIME_1D),
 }
 
 

@@ -952,3 +952,65 @@ def time_weighted_avg_interpolated(
         .withColumn("bucket_epoch", (F.col("_b") * bucket_seconds).cast("long"))
         .drop("_b")
     )
+
+
+def uptime_rollup(
+    heartbeats: DataFrame,
+    bucket_seconds: int,
+    timeout_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Covered (live) seconds per bucket from a heartbeat stream —
+    TimescaleDB ``heartbeat_agg``/``uptime`` semantics: a heartbeat at t
+    proves liveness over [t, t + timeout); overlapping proofs merge; a
+    gap longer than the timeout is downtime.  The last heartbeat still
+    covers its full timeout window (no future sample needed).
+
+    Same clipped-segment shape as time_weighted_avg_interpolated, but
+    the segment end is min(next_es, es + timeout) — capping at the next
+    heartbeat makes segments DISJOINT (each covered second attributed
+    exactly once), so summing clipped overlaps needs no interval-union
+    pass.  Zero-length segments (duplicate timestamps) are filtered
+    before the explode (Spark sequence() descends when hi < lo).
+    Output: keys + bucket_epoch + up_s + n_beats; uptime fraction =
+    up_s / bucket_seconds downstream.
+
+    Scale: one per-series lead() sort (hot-series bound documented at
+    sessionize), explode fan-out = covered buckets (output-spine-sized,
+    bounded by timeout/bucket per beat), map-side-combined final merge.
+    """
+    es = F.unix_timestamp(ts_col).cast("long")
+    w = W.partitionBy(*keys).orderBy("_es", seq_col)
+    src = (
+        heartbeats.withColumn("_es", es)
+        .withColumn(
+            # least() ignores nulls in Spark but engines differ on that;
+            # coalesce first so the last heartbeat's cap is explicit
+            "_ee",
+            F.least(
+                F.coalesce(
+                    F.lead("_es").over(w), F.col("_es") + timeout_seconds
+                ),
+                F.col("_es") + timeout_seconds,
+            ),
+        )
+        .filter(F.col("_ee") > F.col("_es"))
+    )
+    b0 = F.floor(F.col("_es") / bucket_seconds).cast("long")
+    b1 = F.floor((F.col("_ee") - 1) / bucket_seconds).cast("long")
+    seg = src.select(
+        *keys, "_es", "_ee", F.explode(F.sequence(b0, b1)).alias("_b")
+    )
+    be = F.col("_b") * bucket_seconds
+    overlap = (
+        F.least(F.col("_ee"), be + bucket_seconds) - F.greatest(F.col("_es"), be)
+    ).cast("long")
+    return (
+        seg.withColumn("_ov", overlap)
+        .groupBy(*keys, "_b")
+        .agg(F.sum("_ov").alias("up_s"), F.count(F.lit(1)).alias("n_beats"))
+        .withColumn("bucket_epoch", (F.col("_b") * bucket_seconds).cast("long"))
+        .drop("_b")
+    )

@@ -567,3 +567,27 @@ def test_time_weighted_avg_interpolated_spans_gap_buckets(spark):
     # minute 3: 99 holds 30s then 5 holds 30s; last sample (7) adds 0
     assert (out[e0 + 180].twa_num, out[e0 + 180].dur_s) == (99 * 30 + 5 * 30, 60)
     assert e0 + 240 not in out
+
+
+def test_uptime_rollup_timeout_and_overlap(spark):
+    """Overlapping heartbeats attribute each live second once; a gap
+    longer than the timeout is downtime; the last beat covers its full
+    timeout window across a bucket boundary."""
+    import datetime as dtm
+
+    from afspark.operators.tsanalytics import uptime_rollup
+
+    t0 = dtm.datetime(2024, 1, 1)
+    beats = [0, 30, 60, 300]  # dense overlap, then a long gap
+    rows = [("s", i + 1, t0 + dtm.timedelta(seconds=b)) for i, b in enumerate(beats)]
+    # last beat 30s before a minute boundary: timeout spills into next bucket
+    rows.append(("s", 5, t0 + dtm.timedelta(seconds=570)))
+    pts = spark.createDataFrame(rows, "series_id string, seq long, ts timestamp")
+    out = {
+        r.bucket_epoch: r for r in uptime_rollup(pts, 600, 120).collect()
+    }
+    e0 = int(t0.timestamp())
+    # coverage: [0,30)+[30,60)+[60,180) = 180s, [300,420) = 120s,
+    # [570,600) = 30s in bucket 0 -> 330; [600,690) = 90 in bucket 1
+    assert (out[e0].up_s, out[e0].n_beats) == (330, 5)
+    assert (out[e0 + 600].up_s, out[e0 + 600].n_beats) == (90, 1)
