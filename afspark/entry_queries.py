@@ -3187,6 +3187,70 @@ SQL_UPTIME_1D = """
 """
 
 
+def q_burn_rate_alerts(spark, sf_dir):
+    """Multiwindow SLO burn-rate alert (SRE workbook): error ratio over
+    a 24h long window AND a 2h short window both above burn_factor x
+    budget; exact integer window sums certify through the hash gate."""
+    from .operators.tsanalytics import burn_rate_alerts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_id"),
+        "ts",
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
+    )
+    out = burn_rate_alerts(
+        ev, 3600, slo_target=0.75, long_buckets=24, short_buckets=2,
+        burn_factor=1.2, threshold_ratio=(3, 10),  # 1.2 x 0.25 exactly
+    )
+    return out.select(
+        "series_id",
+        F.col("bucket_epoch").cast("long").alias("bucket_epoch"),
+        F.col("errors").cast("long").alias("errors"),
+        F.col("total").cast("long").alias("total"),
+        F.col("err_long").cast("long").alias("err_long"),
+        F.col("tot_long").cast("long").alias("tot_long"),
+        F.col("err_short").cast("long").alias("err_short"),
+        F.col("tot_short").cast("long").alias("tot_short"),
+        "firing",
+    )
+
+
+SQL_BURN_RATE = """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/3600.0))::BIGINT AS idx,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+             count(*) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, idx, errors, total,
+             sum(errors) OVER (PARTITION BY series_id ORDER BY idx
+                               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+                 AS err_long,
+             sum(total) OVER (PARTITION BY series_id ORDER BY idx
+                              RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+                 AS tot_long,
+             sum(errors) OVER (PARTITION BY series_id ORDER BY idx
+                               RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+                 AS err_short,
+             sum(total) OVER (PARTITION BY series_id ORDER BY idx
+                              RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+                 AS tot_short
+      FROM t
+    )
+    SELECT series_id, CAST(idx*3600 AS BIGINT) AS bucket_epoch,
+           CAST(errors AS BIGINT) AS errors, CAST(total AS BIGINT) AS total,
+           CAST(err_long AS BIGINT) AS err_long,
+           CAST(tot_long AS BIGINT) AS tot_long,
+           CAST(err_short AS BIGINT) AS err_short,
+           CAST(tot_short AS BIGINT) AS tot_short,
+           (err_long*10 > tot_long*3 AND err_short*10 > tot_short*3)
+               AS firing
+    FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3302,6 +3366,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "time_weight_interp_1d": (q_time_weight_interp_1d, SQL_TIME_WEIGHT_INTERP_1D),
     "quota_sample_by_source": (q_quota_sample_by_source, SQL_QUOTA_SAMPLE),
     "uptime_1d": (q_uptime_1d, SQL_UPTIME_1D),
+    "burn_rate_alerts": (q_burn_rate_alerts, SQL_BURN_RATE),
 }
 
 

@@ -1014,3 +1014,86 @@ def uptime_rollup(
         .withColumn("bucket_epoch", (F.col("_b") * bucket_seconds).cast("long"))
         .drop("_b")
     )
+
+
+def burn_rate_alerts(
+    events: DataFrame,
+    tier_seconds: int,
+    slo_target: float,
+    long_buckets: int,
+    short_buckets: int,
+    burn_factor: float,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    error_col: str = "is_error",
+    threshold_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Multiwindow SLO burn-rate alert (Google SRE workbook ch. 5): page
+    when the error RATIO burns budget ``burn_factor`` times faster than
+    the SLO allows over a long window AND a short window simultaneously
+    (the short window gates stale alerts after the incident ends; the
+    long one suppresses blips).
+
+    Input is raw request/error events; the op first rolls them into a
+    per-(series, bucket) (errors, total) tier — map-side combinable, the
+    only raw-data shuffle — then evaluates both rolling ratios with
+    range frames over the BUCKET INDEX (missing buckets contribute
+    nothing, matching rate() over sparse series), on rows ~tier_seconds
+    x smaller than raw.  budget = 1 - slo_target; alert when
+    ratio_long > burn_factor*budget AND ratio_short > burn_factor*budget.
+
+    Emits the exact integer numerators/denominators for both windows
+    plus the boolean, so engines agree bit-for-bit and consumers can
+    re-derive the ratios.
+    """
+    idx = (F.floor(F.unix_timestamp(F.col(ts_col)) / tier_seconds)).cast("long")
+    tier = (
+        events.withColumn("_idx", idx)
+        .groupBy(*keys, "_idx")
+        .agg(
+            F.sum(F.col(error_col).cast("long")).alias("errors"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    budget = 1.0 - slo_target
+
+    def _win(n: int):
+        return (
+            W.partitionBy(*keys)
+            .orderBy("_idx")
+            .rangeBetween(-(n - 1), 0)
+        )
+
+    out = (
+        tier.withColumn("err_long", F.sum("errors").over(_win(long_buckets)))
+        .withColumn("tot_long", F.sum("total").over(_win(long_buckets)))
+        .withColumn("err_short", F.sum("errors").over(_win(short_buckets)))
+        .withColumn("tot_short", F.sum("total").over(_win(short_buckets)))
+    )
+    if threshold_ratio is not None:
+        # exact rational threshold num/den: integer cross-multiplication
+        # avoids float boundary flapping (err == thr*tot rows) AND keeps
+        # the predicate engine-portable (SQL decimals vs float64 round
+        # the product differently exactly at those boundaries)
+        num, den = threshold_ratio
+        firing = (
+            (F.col("err_long") * den > F.col("tot_long") * num)
+            & (F.col("err_short") * den > F.col("tot_short") * num)
+        )
+    else:
+        thr = F.lit(burn_factor * budget)
+        firing = (
+            (F.col("err_long") > thr * F.col("tot_long"))
+            & (F.col("err_short") > thr * F.col("tot_short"))
+        )
+    return out.select(
+        *keys,
+        (F.col("_idx") * tier_seconds).alias("bucket_epoch"),
+        "errors",
+        "total",
+        "err_long",
+        "tot_long",
+        "err_short",
+        "tot_short",
+        firing.alias("firing"),
+    )
