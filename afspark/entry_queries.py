@@ -2570,7 +2570,8 @@ SQL_FUNNEL_VCP = """
 
 def q_cross_corr_1h(spark, sf_dir):
     """Lagged Pearson cross-correlation between user series over the 1h
-    cents tier (lags 0 and 1 hour, >= 24 common buckets).  Exact integer
+    cents tier (lags 0 and 1 hour, >= 8 common buckets — low enough
+    that the sparse sf0.001 fixture still produces pairs).  Exact integer
     sums -> identical float corr expression in both engines.
     """
     from .operators.tsanalytics import lagged_cross_correlation
@@ -2578,7 +2579,7 @@ def q_cross_corr_1h(spark, sf_dir):
     pts = events_samples(spark, sf_dir, cents=True)
     tier = rollup_points(pts, TIERS["1h"])
     out = lagged_cross_correlation(
-        tier, 3600, lags=[0, 1], min_overlap=24, value_col="sum"
+        tier, 3600, lags=[0, 1], min_overlap=8, value_col="sum"
     )
     return out.select(
         F.col("a_series_id").alias("sa"),
@@ -2611,7 +2612,7 @@ SQL_CROSS_CORR = """
                     / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
                    * 1000000.0 + 0.5) / 1000000.0
            END AS corr
-    FROM g WHERE n >= 24
+    FROM g WHERE n >= 8
 """
 
 
