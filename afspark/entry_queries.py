@@ -3252,6 +3252,97 @@ SQL_BURN_RATE = """
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-100 for query {merge, spark, window}: one token-explode
+    aggregation (dl + per-term tf in the same groupBy), broadcast corpus
+    stats, rounded-score top-k — no posting-list join anywhere."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["merge", "spark", "window"], k=100)
+
+
+_BM25_TERMS = ["merge", "spark", "window"]
+_BM25_TF = "\n".join(
+    f", sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+    for i, t in enumerate(sorted(_BM25_TERMS))
+)
+_BM25_DF = "\n".join(
+    f", sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE = " + ".join(
+    f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+    f" * tf_{i} * 2.2 / (tf_{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+SQL_BM25 = f"""
+    WITH ft AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, count(*) AS dl
+             {_BM25_TF}
+      FROM ft WHERE length(term) >= 3 GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT d.doc_id, coalesce(g.dl, 0) AS dl,
+             coalesce(g.tf_0, 0) AS tf_0, coalesce(g.tf_1, 0) AS tf_1,
+             coalesce(g.tf_2, 0) AS tf_2
+      FROM documents d LEFT JOIN g USING (doc_id)
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl
+             {_BM25_DF}
+      FROM perdoc
+    )
+    SELECT p.doc_id, CAST(p.dl AS BIGINT) AS dl,
+           CAST((tf_0 > 0)::INT + (tf_1 > 0)::INT + (tf_2 > 0)::INT AS BIGINT)
+               AS n_matched,
+           floor(({_BM25_SCORE}) * 1e6 + 0.5) / 1e6 AS score6
+    FROM perdoc p CROSS JOIN stats
+    WHERE tf_0 + tf_1 + tf_2 > 0
+    ORDER BY score6 DESC, p.doc_id LIMIT 100
+"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (d=4, w=64, md5 lanes) term counts vs exact
+    truth: the sketch CELLS and estimates reproduce bit-for-bit in SQL,
+    certifying the mergeable fixed-size counter path itself."""
+    from .operators.sketch import cms_heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, depth=4, width=64)
+
+
+_CMS_LANE = _md5_head32_sql("'cms' || CAST(r AS VARCHAR) || ':' || term")
+SQL_CMS = f"""
+    WITH ft AS (
+      SELECT t.term FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents) t
+      WHERE length(t.term) >= 3
+    ),
+    rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+    lanes AS (
+      SELECT term, r, {_CMS_LANE} % 64 AS bucket FROM ft CROSS JOIN rs
+    ),
+    cells AS (SELECT r, bucket, count(*) AS cnt FROM lanes GROUP BY 1, 2),
+    exact AS (SELECT term, count(*) AS true_count FROM ft GROUP BY 1),
+    cand AS (
+      SELECT term, true_count, r, {_CMS_LANE} % 64 AS bucket
+      FROM exact CROSS JOIN rs
+    )
+    SELECT c.term, CAST(max(c.true_count) AS BIGINT) AS true_count,
+           CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_count
+    FROM cand c LEFT JOIN cells ON cells.r = c.r AND cells.bucket = c.bucket
+    GROUP BY c.term
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3368,6 +3459,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quota_sample_by_source": (q_quota_sample_by_source, SQL_QUOTA_SAMPLE),
     "uptime_1d": (q_uptime_1d, SQL_UPTIME_1D),
     "burn_rate_alerts": (q_burn_rate_alerts, SQL_BURN_RATE),
+    "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
 }
 
 

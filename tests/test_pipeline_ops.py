@@ -924,3 +924,74 @@ def test_quota_sample_two_phase_matches_naive_and_is_monotone(spark):
              text.quota_sample(docs, 5, key_col="source", n_salts=4)
              .select("doc_id", "source").collect()}
     assert small <= {(d, s) for d, s, _ in got}
+
+
+def test_bm25_hand_golden(spark):
+    import math
+
+    from afspark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "merge merge spark"),       # dl=3, tf(merge)=2, tf(spark)=1
+        (2, "merge table table table"), # dl=4, tf(merge)=1
+        (3, "table scan scan"),         # no query term
+        (4, "spark"),                   # dl=1, tf(spark)=1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_topk(
+        docs, ["merge", "spark"], k=10, min_len=3).collect()}
+
+    n, avgdl = 4, (3 + 4 + 3 + 1) / 4.0
+    def idf(df):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def ts(tf, dl, df, k1=1.2, b=0.75):
+        return idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert set(out) == {1, 2, 4}  # doc 3 matches nothing
+    assert out[1].n_matched == 2 and out[2].n_matched == 1
+    assert out[1].score6 == pytest.approx(r6(ts(2, 3, 2) + ts(1, 3, 2)), abs=2e-6)
+    assert out[2].score6 == pytest.approx(r6(ts(1, 4, 2)), abs=2e-6)
+    assert out[4].score6 == pytest.approx(r6(ts(1, 1, 2)), abs=2e-6)
+    # term repeated in a shorter doc must outrank one hit in a longer doc
+    assert out[1].score6 > out[2].score6
+
+
+def test_bm25_partitioning_invariant(spark):
+    from afspark.operators.retrieval import bm25_topk
+
+    rows = [(i, ("merge " * (i % 5)) + ("scan " * (i % 3)) + "table")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = bm25_topk(docs, ["merge", "scan"], k=50).collect()
+    b = bm25_topk(docs.repartition(13), ["merge", "scan"], k=50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cms_overestimates_and_is_exact_at_wide_width(spark):
+    from afspark.operators.sketch import cms_heavy_hitters
+
+    rows = [(i, f"w{i % 17} w{i % 17} filler{i % 5}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # narrow sketch: collisions allowed, but never an underestimate
+    narrow = cms_heavy_hitters(docs, depth=4, width=8)
+    for r in narrow.collect():
+        assert r.est_count >= r.true_count
+    # wide sketch: 22 distinct terms into 4x4096 lanes -> no collisions
+    wide = cms_heavy_hitters(docs, depth=4, width=4096)
+    for r in wide.collect():
+        assert r.est_count == r.true_count
+
+
+def test_cms_merge_equals_single_build(spark):
+    from afspark.operators.sketch import cms_build, cms_merge
+
+    rows = [(i, f"t{i % 9}") for i in range(500)]
+    items = spark.createDataFrame(rows, "i long, term string")
+    whole = cms_build(items, depth=3, width=16)
+    half_a = cms_build(items.filter("i < 250"), depth=3, width=16)
+    half_b = cms_build(items.filter("i >= 250"), depth=3, width=16)
+    merged = cms_merge(half_a, half_b)
+    as_set = lambda df: {(r.row, r.bucket, r.cnt) for r in df.collect()}
+    assert as_set(merged) == as_set(whole)
