@@ -3308,6 +3308,77 @@ SQL_BM25 = f"""
 """
 
 
+def q_overlap_error_bursts(spark, sf_dir):
+    """Interval x interval overlap join: 30-min activity sessions vs
+    1h-gap error bursts per user — bucketed claim-bucket equi-join (no
+    nested-loop), DuckDB runs the plain inequality join as the oracle."""
+    from .operators.rangejoin import interval_overlap_join
+    from .operators.sessions import sessionize
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "event_type"
+    )
+
+    def intervals(points, gap, sid, lo, hi):
+        s = sessionize(points.select("series_id", "ts"), gap)
+        return s.groupBy("series_id", "session_id").agg(
+            F.unix_timestamp(F.min("ts")).alias(lo),
+            F.unix_timestamp(F.max("ts")).alias(hi),
+        ).withColumnRenamed("session_id", sid)
+
+    a = intervals(ev, 1800, "l_sid", "l_start_s", "l_end_s")
+    b = intervals(
+        ev.filter(F.col("event_type") == "error"), 3600,
+        "r_sid", "r_start_s", "r_end_s",
+    )
+    out = interval_overlap_join(a, b, 86400, keys=["series_id"])
+    return out.select(
+        "series_id",
+        F.col("l_sid").cast("long").alias("l_sid"),
+        F.col("r_sid").cast("long").alias("r_sid"),
+        F.col("l_start_s").cast("long").alias("l_start_s"),
+        F.col("l_end_s").cast("long").alias("l_end_s"),
+        F.col("r_start_s").cast("long").alias("r_start_s"),
+        F.col("r_end_s").cast("long").alias("r_end_s"),
+        F.col("overlap_s").cast("long").alias("overlap_s"),
+    )
+
+
+def _sql_sessions_intervals(filt: str, gap: int, sid: str, lo: str, hi: str) -> str:
+    return f"""
+      SELECT series_id, session_id AS {sid},
+             floor(epoch(min(ts)))::BIGINT AS {lo},
+             floor(epoch(max(ts)))::BIGINT AS {hi}
+      FROM (
+        SELECT series_id, ts, sum(opener) OVER (
+                 PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM (
+          SELECT series_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {gap}
+                      THEN 1 ELSE 0 END AS opener
+          FROM (SELECT CAST(user_id AS VARCHAR) AS series_id, ts
+                FROM events {filt}) p
+          WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+        ) f
+      ) s GROUP BY series_id, session_id
+    """
+
+
+SQL_OVERLAP_BURSTS = f"""
+    WITH a AS ({_sql_sessions_intervals("", 1800, "l_sid", "l_start_s", "l_end_s")}),
+    b AS ({_sql_sessions_intervals("WHERE event_type = 'error'", 3600,
+                                   "r_sid", "r_start_s", "r_end_s")})
+    SELECT a.series_id, CAST(l_sid AS BIGINT) AS l_sid,
+           CAST(r_sid AS BIGINT) AS r_sid,
+           l_start_s, l_end_s, r_start_s, r_end_s,
+           least(l_end_s, r_end_s) - greatest(l_start_s, r_start_s) AS overlap_s
+    FROM a JOIN b ON a.series_id = b.series_id
+     AND l_start_s <= r_end_s AND r_start_s <= l_end_s
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min sketch (d=4, w=64, md5 lanes) term counts vs exact
     truth: the sketch CELLS and estimates reproduce bit-for-bit in SQL,
@@ -3460,6 +3531,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "uptime_1d": (q_uptime_1d, SQL_UPTIME_1D),
     "burn_rate_alerts": (q_burn_rate_alerts, SQL_BURN_RATE),
     "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "overlap_error_bursts": (q_overlap_error_bursts, SQL_OVERLAP_BURSTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
 }
 

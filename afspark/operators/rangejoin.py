@@ -47,3 +47,65 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_seconds: int = 86400,
+    keys: list[str] = [],
+    left_bounds: tuple[str, str] = ("l_start_s", "l_end_s"),
+    right_bounds: tuple[str, str] = ("r_start_s", "r_end_s"),
+) -> DataFrame:
+    """Interval x interval overlap join (closed epoch-second bounds).
+
+    The inequality predicate ``l.start <= r.end AND r.start <= l.end``
+    compiles to a nested-loop join in every engine — quadratic per key
+    group.  Scale rewrite: explode BOTH sides into the fixed-width
+    buckets they span, equi-join on (keys, bucket), post-filter the
+    exact overlap, and keep each pair only in its CLAIM bucket — the
+    first bucket both intervals occupy, ``floor(max(starts)/bucket)`` —
+    so overlapping pairs that share several buckets emit exactly once
+    without a distinct shuffle.  Replication is span/bucket per row
+    (pick the bucket near the median span); hot keys split across
+    buckets instead of one nested-loop task.
+
+    Bounds columns must be pre-projected epoch-second longs with
+    distinct names on the two sides; zero-length intervals (end ==
+    start) participate (closed semantics).  Rows with end < start are
+    dropped — Spark's sequence() DESCENDS for hi < lo.
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    lb = left.filter(F.col(le) >= F.col(ls)).withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(ls) / bucket_seconds),
+                F.floor(F.col(le) / bucket_seconds),
+            )
+        ),
+    )
+    rb = right.filter(F.col(re_) >= F.col(rs)).withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(rs) / bucket_seconds),
+                F.floor(F.col(re_) / bucket_seconds),
+            )
+        ),
+    )
+    claim = F.floor(F.greatest(F.col(ls), F.col(rs)) / bucket_seconds)
+    return (
+        lb.join(rb, keys + ["_b"])
+        .filter(
+            (F.col(ls) <= F.col(re_))
+            & (F.col(rs) <= F.col(le))
+            & (F.col("_b") == claim)
+        )
+        .withColumn(
+            "overlap_s",
+            F.least(F.col(le), F.col(re_)) - F.greatest(F.col(ls), F.col(rs)),
+        )
+        .drop("_b")
+    )
