@@ -3414,6 +3414,62 @@ SQL_CMS = f"""
 """
 
 
+def q_m4_downsample_1h(spark, sf_dir):
+    """M4 visualization downsample (first/last/min/max + timestamps per
+    1h pixel bucket) over cents samples — algebraic min_by/max_by
+    rollup, deterministic (value, seq) tie witnesses."""
+    from .operators.lttb import m4_downsample
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = m4_downsample(pts, 3600)
+    return out.select(
+        "series_id", "bucket_epoch", "n",
+        *[
+            c
+            for tag in ("first", "last", "min", "max")
+            for c in (
+                F.col(f"t_{tag}"),
+                F.col(f"v_{tag}").cast("long").alias(f"v_{tag}"),
+            )
+        ],
+    )
+
+
+SQL_M4_1H = """
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS seq,
+             floor(epoch(ts))::BIGINT AS es,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT series_id, (es // 3600) * 3600 AS bucket_epoch, es, v,
+             row_number() OVER (PARTITION BY series_id, es // 3600
+                                ORDER BY seq) AS rf,
+             row_number() OVER (PARTITION BY series_id, es // 3600
+                                ORDER BY seq DESC) AS rl,
+             row_number() OVER (PARTITION BY series_id, es // 3600
+                                ORDER BY v, seq) AS rmin,
+             row_number() OVER (PARTITION BY series_id, es // 3600
+                                ORDER BY v DESC, seq DESC) AS rmax
+      FROM s
+    )
+    SELECT series_id, CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+           count(*) AS n,
+           max(CASE WHEN rf = 1 THEN es END) AS t_first,
+           max(CASE WHEN rf = 1 THEN v END) AS v_first,
+           max(CASE WHEN rl = 1 THEN es END) AS t_last,
+           max(CASE WHEN rl = 1 THEN v END) AS v_last,
+           max(CASE WHEN rmin = 1 THEN es END) AS t_min,
+           max(CASE WHEN rmin = 1 THEN v END) AS v_min,
+           max(CASE WHEN rmax = 1 THEN es END) AS t_max,
+           max(CASE WHEN rmax = 1 THEN v END) AS v_max
+    FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3533,6 +3589,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "overlap_error_bursts": (q_overlap_error_bursts, SQL_OVERLAP_BURSTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
+    "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
 }
 
 

@@ -109,3 +109,55 @@ def lttb(
             yield select(carry)
 
     return pre.mapInPandas(run, OUT_SCHEMA)
+
+
+def m4_downsample(
+    points: DataFrame,
+    bucket_seconds: int,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """M4 downsampling: per (series, pixel bucket) keep first / last /
+    min / max with their timestamps (Jugel et al., VLDB 2014) — the
+    error-free line-visualization downsample every TSDB pairs with LTTB.
+
+    Unlike LTTB this is a pure algebraic aggregation: min_by/max_by over
+    one groupBy — map-side combined, one shuffle on (series, bucket), no
+    per-series sequential pass at all, so it scales like any rollup
+    tier.  Ties are broken by (value, seq) / seq total orders so every
+    engine and partitioning picks the same witness rows.
+
+    Returns one row per bucket: *_epoch BIGINT timestamps and the four
+    values at the kept points.
+    """
+    us = F.unix_timestamp(F.col(ts_col))
+    b = (F.floor(us / bucket_seconds) * bucket_seconds).alias("bucket_epoch")
+    pt = F.struct(us.alias("es"), F.col(value_col).alias("v"))
+    g = points.select(
+        F.col(series_col), b, pt.alias("_p"),
+        F.col(seq_col).alias("_seq"), F.col(value_col).alias("_v"),
+    ).groupBy(series_col, "bucket_epoch")
+    vs = F.struct("_v", "_seq")
+    agg = g.agg(
+        F.min_by("_p", "_seq").alias("_first"),
+        F.max_by("_p", "_seq").alias("_last"),
+        F.min_by("_p", vs).alias("_min"),
+        F.max_by("_p", vs).alias("_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = agg.select(
+        series_col,
+        F.col("bucket_epoch").cast("long").alias("bucket_epoch"),
+        F.col("n").cast("long").alias("n"),
+        *[
+            c
+            for tag in ("first", "last", "min", "max")
+            for c in (
+                F.col(f"_{tag}.es").cast("long").alias(f"t_{tag}"),
+                F.col(f"_{tag}.v").alias(f"v_{tag}"),
+            )
+        ],
+    )
+    return out

@@ -57,3 +57,42 @@ def test_lttb_threshold_below_3_raises(spark):
         lttb(spark.range(1).selectExpr(
             "'s' as series_id", "current_timestamp() as ts", "1.0 as value"
         ), 2)
+
+
+def test_m4_downsample_hand_golden_with_ties(spark):
+    from datetime import datetime, timezone
+
+    from afspark.operators.lttb import m4_downsample
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    # one series, one 1h bucket; min value 1.0 appears twice (seq 2, 4),
+    # max value 9.0 appears twice (seq 1, 3)
+    rows = [
+        ("a", 1, ts(10), 9.0),
+        ("a", 2, ts(20), 1.0),
+        ("a", 3, ts(30), 9.0),
+        ("a", 4, ts(40), 1.0),
+        ("a", 5, ts(50), 5.0),
+        ("b", 1, ts(4000), 7.0),  # second bucket, other series
+    ]
+    pts = spark.createDataFrame(
+        rows, "series_id string, seq long, ts timestamp, value double"
+    )
+    out = {(r.series_id, r.bucket_epoch): r
+           for r in m4_downsample(pts, 3600).collect()}
+    ra = out[("a", 0)]
+    assert (ra.t_first, ra.v_first) == (10, 9.0)
+    assert (ra.t_last, ra.v_last) == (50, 5.0)
+    assert (ra.t_min, ra.v_min) == (20, 1.0)   # tie -> smallest seq
+    assert (ra.t_max, ra.v_max) == (30, 9.0)   # tie -> largest seq
+    assert ra.n == 5
+    rb = out[("b", 3600)]
+    assert (rb.t_first, rb.v_first) == (rb.t_last, rb.v_last) == (4000, 7.0)
+    assert len(out) == 2
+
+    # partitioning invariance (witness determinism)
+    again = {(r.series_id, r.bucket_epoch): tuple(r)
+             for r in m4_downsample(pts.repartition(7), 3600).collect()}
+    assert again == {k: tuple(v) for k, v in out.items()}
