@@ -3414,6 +3414,43 @@ SQL_CMS = f"""
 """
 
 
+def q_seasonal_holt_events(spark, sf_dir):
+    """Seasonal Holt (classical additive decomposition, 24 hour-of-day
+    phases) over cents samples: per-series final (level, trend), the
+    next-phase seasonal index, and the 1-step forecast, as micros
+    BIGINTs.  Oracle is a VALUES-literal golden from the sequential
+    numpy twin (tools/gen_goldens.py) — distributed matrix-carry vs
+    single-process loop through the hash gate; +1e-9 bias absorbs
+    reassociation round-off as in holt_forecast_events."""
+    from .operators.tsanalytics import seasonal_holt
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    sm, idx = seasonal_holt(pts, 0.3, 0.1, 86400, 24)
+    last = sm.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by(F.struct("level", "trend"), F.struct("ts", "value")).alias("_e"),
+        F.max(F.unix_timestamp("ts")).alias("_les"),
+    )
+    j = last.withColumn(
+        "_fp", F.floor(((F.col("_les") + 3600) % 86400) / 3600)
+    ).join(idx.withColumnRenamed("_phase", "_fp"), ["series_id", "_fp"])
+
+    def micros(c):
+        return F.floor((c + F.lit(1e-9)) * 1e6 + 0.5).cast("long")
+
+    lvl = F.col("_e.level") / 100.0
+    tr = F.col("_e.trend") / 100.0
+    sx = F.col("seasonal_index") / 100.0
+    return j.select(
+        "series_id",
+        "n",
+        micros(lvl).alias("level_u"),
+        micros(tr).alias("trend_u"),
+        micros(sx).alias("sidx_u"),
+        micros(lvl + tr + sx).alias("fc1_u"),
+    )
+
+
 def q_m4_downsample_1h(spark, sf_dir):
     """M4 visualization downsample (first/last/min/max + timestamps per
     1h pixel bucket) over cents samples — algebraic min_by/max_by
@@ -3590,6 +3627,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "overlap_error_bursts": (q_overlap_error_bursts, SQL_OVERLAP_BURSTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
+    "seasonal_holt_events": (
+        q_seasonal_holt_events,
+        GOLDEN_SQL.get("seasonal_holt_events"),
+    ),
 }
 
 

@@ -1097,3 +1097,61 @@ def burn_rate_alerts(
         "tot_short",
         firing.alias("firing"),
     )
+
+
+def seasonal_holt(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    period_seconds: int = 86400,
+    n_phases: int = 24,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    chunk_seconds: int | None = 86400,
+) -> tuple[DataFrame, DataFrame]:
+    """Seasonal Holt forecast via classical additive decomposition:
+    per-(series, phase) seasonal indices (phase mean minus series mean)
+    plus chunk-parallel Holt on the deseasonalized stream — additive
+    Holt-Winters with batch-estimated, non-adaptive seasonals (the
+    gamma=0 limit), the classical-decomposition forecast.
+
+    Scale shape: the index fit is two exact integer-sum groupBys (the
+    index table is n_series x n_phases rows), deseasonalizing is ONE
+    co-partitioned (keys, phase) equi-join, and the smoother is
+    holt_linear's 2x2 matrix-carry decomposition — no per-series
+    sequential task anywhere.  With cents-integer values all means are
+    exact-rational, so the decomposition is bit-deterministic across
+    partitionings.
+
+    Returns (smoothed, indices): smoothed = (keys, ts, value=ADJUSTED,
+    level, trend) rows; indices = (keys, _phase, seasonal_index).
+    Forecast h phase-steps ahead: level + h*trend +
+    seasonal_index(phase(last_ts + h*phase_width)).
+    """
+    if period_seconds % n_phases:
+        raise ValueError("period_seconds must be divisible by n_phases")
+    pw = period_seconds // n_phases
+    es = F.unix_timestamp(F.col(ts_col))
+    p = points.withColumn("_phase", F.floor((es % period_seconds) / pw))
+    ph = p.groupBy(*keys, "_phase").agg(
+        F.sum(value_col).alias("_ps"), F.count(F.lit(1)).alias("_pn")
+    )
+    tot = ph.groupBy(*keys).agg(
+        F.sum("_ps").alias("_ts"), F.sum("_pn").alias("_tn")
+    )
+    indices = ph.join(tot, keys).select(
+        *keys,
+        "_phase",
+        (F.col("_ps") / F.col("_pn") - F.col("_ts") / F.col("_tn")).alias(
+            "seasonal_index"
+        ),
+    )
+    adj = p.join(indices, [*keys, "_phase"]).select(
+        *keys, ts_col, (F.col(value_col) - F.col("seasonal_index")).alias(value_col)
+    )
+    smoothed = holt_linear(
+        adj, alpha, beta, keys=keys, ts_col=ts_col, value_col=value_col,
+        chunk_seconds=chunk_seconds,
+    )
+    return smoothed, indices

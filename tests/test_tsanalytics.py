@@ -655,3 +655,45 @@ def test_burn_rate_multiwindow_gating(spark):
     ).collect()[0]
     assert (r3.err_long, r3.tot_long) == (5, 10)
     assert not r3.firing
+
+
+def test_seasonal_holt_indices_and_chunk_equivalence(spark):
+    from afspark.operators.tsanalytics import seasonal_holt
+
+    # 6 days, 4 phases of 6h; value = series base + planted phase offset
+    base = {"u1": 100.0, "u2": 40.0}
+    offs = [10.0, -5.0, 0.0, -5.0]  # mean 0 per series
+    rows = []
+    for sid, b in base.items():
+        for d in range(6):
+            for p in range(4):
+                t = dtm.datetime(2024, 1, 1 + d, 6 * p, 30)
+                rows.append((sid, t, b + offs[p] + 0.01 * d))
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+
+    sm, idx = seasonal_holt(pts, 0.3, 0.1, 86400, 4, chunk_seconds=86400)
+    got_idx = {(r.series_id, r._phase): r.seasonal_index for r in idx.collect()}
+    # planted offsets recovered exactly (trend part is phase-constant:
+    # every phase sees the same 0.01*d drift, so it cancels in the index)
+    for sid in base:
+        for p in range(4):
+            assert got_idx[(sid, p)] == pytest.approx(offs[p], abs=1e-12)
+
+    seq_sm, _ = seasonal_holt(pts, 0.3, 0.1, 86400, 4, chunk_seconds=None)
+    a = {(r.series_id, r.ts): (r.level, r.trend) for r in sm.collect()}
+    b = {(r.series_id, r.ts): (r.level, r.trend) for r in seq_sm.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == pytest.approx(b[k][0], rel=1e-9, abs=1e-9)
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-9, abs=1e-9)
+
+
+def test_seasonal_holt_rejects_bad_phase_split(spark):
+    from afspark.operators.tsanalytics import seasonal_holt
+
+    pts = spark.createDataFrame(
+        [("a", dtm.datetime(2024, 1, 1), 1.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError):
+        seasonal_holt(pts, 0.3, 0.1, period_seconds=86400, n_phases=7)

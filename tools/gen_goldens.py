@@ -307,6 +307,59 @@ def golden_holt_events():
     return values_sql(df, {"series_id"})
 
 
+def golden_seasonal_holt_events():
+    """Sequential numpy twin of entry_queries.q_seasonal_holt_events.
+
+    Classical additive decomposition (24 hour-of-day phases; exact
+    integer cents sums make the indices exact rationals) + the same
+    Holt recurrence as golden_holt_events on the DESEASONALIZED stream,
+    sorted per series by (ts, adjusted) — mirroring holt_linear's
+    in-chunk sort key on the adjusted value column.
+    """
+    al, be = 0.3, 0.1
+    a11, a12 = 1.0 - al, 1.0 - al
+    a21, a22 = -al * be, 1.0 - al * be
+    ca, cb = al, al * be
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"])
+    e["v"] = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    e["es"] = e["ts"].astype("datetime64[s]").astype("int64")
+    e["phase"] = (e["es"] % 86400) // 3600
+
+    def mic(v):
+        return int(math.floor((v + 1e-9) * 1e6 + 0.5))
+
+    rows = []
+    for uid, g in e.groupby("user_id"):
+        ps = g.groupby("phase")["v"].sum()
+        pn = g.groupby("phase")["v"].count()
+        smean = float(g["v"].sum()) / len(g)
+        idx = {int(p): float(ps[p]) / int(pn[p]) - smean for p in ps.index}
+        g = g.assign(adj=g["v"] - g["phase"].map(idx))
+        g = g.sort_values(["ts", "adj"], kind="mergesort")
+        l = b = 0.0
+        for xi in g["adj"].to_numpy(np.float64):
+            l, b = a11 * l + a12 * b + ca * xi, a21 * l + a22 * b + cb * xi
+        last_es = int(g["es"].max())
+        fp = ((last_es + 3600) % 86400) // 3600
+        sx = idx.get(fp)
+        if sx is None:
+            continue  # inner join in the query drops unseen forecast phases
+        rows.append(
+            (
+                str(uid),
+                len(g),
+                mic(l / 100.0),
+                mic(b / 100.0),
+                mic(sx / 100.0),
+                mic((l + b + sx) / 100.0),
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["series_id", "n", "level_u", "trend_u", "sidx_u", "fc1_u"]
+    )
+    return values_sql(df, {"series_id"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -315,6 +368,7 @@ def main():
         "score_freq_contours_docs": golden_freq_contours_docs(),
         "ivf_recall_check": golden_ivf_recall(),
         "holt_forecast_events": golden_holt_events(),
+        "seasonal_holt_events": golden_seasonal_holt_events(),
         "pq_recall_check": golden_pq_recall(),
     }
     path = os.path.join(
