@@ -3414,6 +3414,42 @@ SQL_CMS = f"""
 """
 
 
+def q_changes_1h(spark, sf_dir):
+    """PromQL changes() per (series, 1h bucket) over cents samples —
+    chunk-parallel lag (no per-series sort task), bucket sums; the
+    oracle runs the single-window lag form."""
+    from .operators.tsanalytics import changes_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = changes_per_bucket(pts, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+SQL_CHANGES_1H = """
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, ts,
+             floor(value * 100 + 0.5) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT series_id, ts, v,
+             lag(v) OVER (PARTITION BY series_id ORDER BY ts, v) AS pv
+      FROM s
+    )
+    SELECT series_id,
+           (floor(epoch(ts) / 3600.0) * 3600)::BIGINT AS bucket_epoch,
+           sum(CASE WHEN pv IS NULL THEN NULL
+                    WHEN v <> pv THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+           count(*)::BIGINT AS n_samples
+    FROM l GROUP BY 1, 2
+"""
+
+
 def q_seasonal_holt_events(spark, sf_dir):
     """Seasonal Holt (classical additive decomposition, 24 hour-of-day
     phases) over cents samples: per-series final (level, trend), the
@@ -3627,6 +3663,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "overlap_error_bursts": (q_overlap_error_bursts, SQL_OVERLAP_BURSTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
+    "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "seasonal_holt_events": (
         q_seasonal_holt_events,
         GOLDEN_SQL.get("seasonal_holt_events"),

@@ -1155,3 +1155,42 @@ def seasonal_holt(
         chunk_seconds=chunk_seconds,
     )
     return smoothed, indices
+
+
+def changes_per_bucket(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    chunk_seconds: int | None = 3600,
+) -> DataFrame:
+    """PromQL ``changes()`` rolled to buckets: how many consecutive-sample
+    transitions inside each (series, bucket) changed the value.
+
+    Rides counter_increase's chunk-parallel lag: a transition changed the
+    value iff the counter reset (went down) or the non-reset increase is
+    nonzero — ``increase`` alone is NOT enough, a reset to the previous
+    value's own magnitude can emit increase == 0 with the value changed.
+    Series heads (null prev) contribute nothing, matching PromQL's
+    within-range pairing.  One data shuffle (shared with the lag), then
+    a map-side-combinable bucket sum.
+    """
+    from .rollup import bucket_ts
+
+    inc = counter_increase(
+        points, keys=keys, ts_col=ts_col, value_col=value_col,
+        chunk_seconds=chunk_seconds,
+    )
+    changed = (
+        (F.col("is_reset") == 1) | (F.col("increase") != 0.0)
+    ).cast("int")
+    return (
+        inc.withColumn("_bucket", bucket_ts(F.col(ts_col), bucket_seconds))
+        .groupBy(*keys, "_bucket")
+        .agg(
+            F.sum(changed).alias("n_changes"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .withColumnRenamed("_bucket", "bucket_ts")
+    )

@@ -211,3 +211,48 @@ def test_minhash_signature_path_skips_set_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange RoundRobinPartitioning") == 1, plan
     assert "partial_min" in plan  # map-side combine of the lanes
+
+
+def test_bm25_single_doc_shuffle_and_broadcast_stats(spark, sf_dir):
+    """BM25 must not build a posting-list join: one aggregation keyed on
+    doc_id, corpus stats re-entering broadcast-side, top-k through
+    TakeOrderedAndProject (no global sort)."""
+    from afspark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["merge", "spark"], k=10))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # exactly one exchange keyed on doc_id feeds both dl/tf and stats
+    assert plan.count("hashpartitioning(doc_id") <= 2
+
+
+def test_cms_cells_broadcast_into_estimate(spark, sf_dir):
+    """The d x w cell table joins broadcast-side; candidates never
+    shuffle through a sort-merge join."""
+    from afspark.operators.sketch import cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cms_heavy_hitters(docs, depth=4, width=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """The overlap predicate must ride an equi-join on (key, bucket) —
+    a nested-loop/cartesian plan is the quadratic shape this operator
+    exists to avoid."""
+    from afspark.operators.rangejoin import interval_overlap_join
+
+    a = spark.range(1000).selectExpr(
+        "CAST(id % 7 AS STRING) AS k", "id * 100 AS l_start_s",
+        "id * 100 + 500 AS l_end_s", "id AS l_id",
+    )
+    b = spark.range(1000).selectExpr(
+        "CAST(id % 7 AS STRING) AS k", "id * 90 AS r_start_s",
+        "id * 90 + 400 AS r_end_s", "id AS r_id",
+    )
+    plan = _plan(interval_overlap_join(a, b, 3600, keys=["k"]))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning(k" in plan or "BroadcastHashJoin" in plan

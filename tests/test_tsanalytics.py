@@ -697,3 +697,34 @@ def test_seasonal_holt_rejects_bad_phase_split(spark):
     )
     with pytest.raises(ValueError):
         seasonal_holt(pts, 0.3, 0.1, period_seconds=86400, n_phases=7)
+
+
+def test_changes_per_bucket_reset_to_zero_counts_as_change(spark):
+    from afspark.operators.tsanalytics import changes_per_bucket
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0 + dtm.timedelta(seconds=10), 5.0),   # head: no pair
+        ("a", t0 + dtm.timedelta(seconds=20), 5.0),   # unchanged
+        ("a", t0 + dtm.timedelta(seconds=30), 0.0),   # reset, increase==0.0 -> CHANGED
+        ("a", t0 + dtm.timedelta(seconds=40), 3.0),   # up -> changed
+        ("a", t0 + dtm.timedelta(seconds=3700), 3.0), # 2nd bucket, unchanged pair
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    got = {
+        (r.series_id, r.bucket_ts.minute + 60 * r.bucket_ts.hour): (
+            r.n_changes, r.n_samples)
+        for r in changes_per_bucket(pts, 3600).collect()
+    }
+    assert got[("a", 0)] == (2, 4)
+    assert got[("a", 60)] == (0, 1)
+    # chunked == single-window
+    seq = {
+        (r.series_id, r.bucket_ts): (r.n_changes, r.n_samples)
+        for r in changes_per_bucket(pts, 3600, chunk_seconds=None).collect()
+    }
+    chk = {
+        (r.series_id, r.bucket_ts): (r.n_changes, r.n_samples)
+        for r in changes_per_bucket(pts, 3600, chunk_seconds=15).collect()
+    }
+    assert seq == chk
