@@ -3414,6 +3414,61 @@ SQL_CMS = f"""
 """
 
 
+def q_rolling_p95_24h(spark, sf_dir):
+    """Moving exact p95 of hourly cents-means over the trailing 24
+    hours per series — RANGE frame on the bucket index (gap-correct),
+    DuckDB quantile_cont as the twin."""
+    from .operators.tsanalytics import rolling_percentile
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = (
+        pts.groupBy(
+            "series_id",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 3600) * 3600
+            ).alias("bucket_ts"),
+        )
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("value"))
+    )
+    out = rolling_percentile(tier, 0.95, 24, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        (F.floor(F.col("value") * 1e6 + 0.5) / 1e6).alias("mean_cents6"),
+        (F.floor(F.col("rolling_p") * 1e6 + 0.5) / 1e6).alias("p95_cents6"),
+        F.col("n_window").cast("long").alias("n_window"),
+    )
+
+
+SQL_ROLLING_P95 = """
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts) / 3600.0))::BIGINT AS idx,
+             floor(value * 100 + 0.5) AS v
+      FROM events
+    ),
+    t AS (
+      SELECT series_id, idx, sum(v) / count(*) AS value
+      FROM s GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT series_id, idx, value,
+             quantile_cont(value, 0.95) OVER (
+               PARTITION BY series_id ORDER BY idx
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS rolling_p,
+             count(*) OVER (
+               PARTITION BY series_id ORDER BY idx
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS n_window
+      FROM t
+    )
+    SELECT series_id, (idx * 3600)::BIGINT AS bucket_epoch,
+           floor(value * 1e6 + 0.5) / 1e6 AS mean_cents6,
+           floor(rolling_p * 1e6 + 0.5) / 1e6 AS p95_cents6,
+           n_window::BIGINT AS n_window
+    FROM r
+"""
+
+
 def q_changes_1h(spark, sf_dir):
     """PromQL changes() per (series, 1h bucket) over cents samples —
     chunk-parallel lag (no per-series sort task), bucket sums; the
@@ -3664,6 +3719,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
+    "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),
     "seasonal_holt_events": (
         q_seasonal_holt_events,
         GOLDEN_SQL.get("seasonal_holt_events"),

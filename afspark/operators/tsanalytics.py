@@ -1194,3 +1194,39 @@ def changes_per_bucket(
         )
         .withColumnRenamed("_bucket", "bucket_ts")
     )
+
+
+def rolling_percentile(
+    tier: DataFrame,
+    p: float,
+    window_buckets: int,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Moving exact percentile over the trailing ``window_buckets``
+    tier buckets (e.g. p95 of hourly means over the last 24 h) — the
+    sliding-SLO indicator dashboards pair with burn-rate alerts.
+
+    RANGE frame on the integer bucket INDEX, not ROWS: a series with
+    missing buckets still windows over \"the last N hours\" rather than
+    silently stretching to N observed rows.  Runs on the ROLLED tier —
+    one row per (series, bucket) — so the per-series window sorts tier
+    rows, not raw points; skew is bounded by the series' bucket count,
+    the same bound every tier window op here documents.  Percentile is
+    Spark's exact linear-interpolation aggregate (DuckDB quantile_cont
+    twin); on exact-rational bucket means the two engines agree to ulp.
+    """
+    idx = F.floor(F.unix_timestamp(F.col(bucket_col)) / bucket_seconds)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_idx")
+        .rangeBetween(-(window_buckets - 1), 0)
+    )
+    return (
+        tier.withColumn("_idx", idx)
+        .withColumn("rolling_p", F.percentile(value_col, p).over(w))
+        .withColumn("n_window", F.count(F.lit(1)).over(w))
+        .drop("_idx")
+    )

@@ -728,3 +728,28 @@ def test_changes_per_bucket_reset_to_zero_counts_as_change(spark):
         for r in changes_per_bucket(pts, 3600, chunk_seconds=15).collect()
     }
     assert seq == chk
+
+
+def test_rolling_percentile_range_frame_respects_gaps(spark):
+    from afspark.operators.tsanalytics import rolling_percentile
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dtm.timedelta(hours=0), 10.0),
+        ("a", t0 + dtm.timedelta(hours=1), 20.0),
+        ("a", t0 + dtm.timedelta(hours=2), 40.0),
+        ("a", t0 + dtm.timedelta(hours=30), 7.0),  # > 24h after the rest
+    ]
+    tier = spark.createDataFrame(
+        rows, "series_id string, bucket_ts timestamp, value double"
+    )
+    out = {r.bucket_ts.hour + 24 * (r.bucket_ts.day - 1): r
+           for r in rolling_percentile(tier, 0.95, 24, 3600).collect()}
+    assert out[0].rolling_p == pytest.approx(10.0)
+    assert out[1].rolling_p == pytest.approx(
+        np.percentile([10.0, 20.0], 95, method="linear"))
+    assert out[2].rolling_p == pytest.approx(
+        np.percentile([10.0, 20.0, 40.0], 95, method="linear"))
+    # gap: the stale buckets fell OUT of the 24-bucket range frame
+    assert out[30].rolling_p == pytest.approx(7.0)
+    assert out[30].n_window == 1
