@@ -3414,6 +3414,42 @@ SQL_CMS = f"""
 """
 
 
+def q_lm_unigram_scores(spark, sf_dir):
+    """Per-doc mean unigram log-probability (add-0.5 smoothed
+    self-corpus model) — the LM-quality-filter proxy; equi-joins only,
+    scalars broadcast."""
+    from .operators.text import lm_unigram_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lm_unigram_score(docs, smoothing=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("avg_logp") * 1e6 + 0.5) / 1e6).alias("avg_logp6"),
+    )
+
+
+SQL_LM_UNIGRAM = """
+    WITH toks AS (
+      SELECT doc_id, t.term FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents) t
+      WHERE t.term <> ''
+    ),
+    dt AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    freq AS (SELECT term, sum(tf) AS cnt FROM dt GROUP BY 1),
+    sc AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM freq),
+    lp AS (
+      SELECT term, ln((cnt + 0.5) / (total + 0.5 * vocab)) AS logp
+      FROM freq CROSS JOIN sc
+    )
+    SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           floor((sum(tf * logp) / sum(tf)) * 1e6 + 0.5) / 1e6 AS avg_logp6
+    FROM dt JOIN lp USING (term) GROUP BY doc_id
+"""
+
+
 def q_rolling_p95_24h(spark, sf_dir):
     """Moving exact p95 of hourly cents-means over the trailing 24
     hours per series — RANGE frame on the bucket index (gap-correct),
@@ -3720,6 +3756,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),
+    "lm_unigram_scores": (q_lm_unigram_scores, SQL_LM_UNIGRAM),
     "seasonal_holt_events": (
         q_seasonal_holt_events,
         GOLDEN_SQL.get("seasonal_holt_events"),

@@ -575,3 +575,56 @@ def quota_sample(
         .filter(F.col("_rank") <= quota)
         .drop("_h", "_lane", "_r1")
     )
+
+
+def lm_unigram_score(
+    docs: DataFrame,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean unigram log-probability — the cheap stand-in for the
+    LM-perplexity quality filter (CCNet-style) a training-data pipeline
+    runs before the expensive model pass.  Documents whose tokens are
+    corpus-typical score high; gibberish / rare-token salads score low.
+
+    Add-a smoothed self-corpus model: p(t) = (cnt_t + a) / (total + a*V).
+    Two aggregations + two equi-joins, all Catalyst: token counts shuffle
+    by term (map-side combined), token->logp re-join is co-partitioned
+    on term, per-doc mean shuffles back by doc id.  The (total, V)
+    scalars re-enter broadcast-side.  At web scale the frequency table
+    is the heavy-tailed vocabulary — the term join stays an equi-join
+    (no broadcast assumption); salting hot terms is unnecessary because
+    the probe side is pre-aggregated per (doc, term) first, bounding any
+    one term's rows by the doc count.
+
+    Returns (doc_id, n_tokens, avg_logp): avg over the doc's token
+    OCCURRENCES (repeats weighted), natural log.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    # (doc, term) pre-aggregation: bounds the term-join probe rows per
+    # term by n_docs and shrinks both shuffles
+    dt = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = dt.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    scalars = freq.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logp = freq.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        F.log(
+            (F.col("cnt") + smoothing)
+            / (F.col("total") + smoothing * F.col("vocab"))
+        ).alias("_logp"),
+    )
+    return (
+        dt.join(logp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("_logp")) / F.sum("tf")).alias("avg_logp"),
+        )
+        .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"), "avg_logp")
+    )

@@ -995,3 +995,31 @@ def test_cms_merge_equals_single_build(spark):
     merged = cms_merge(half_a, half_b)
     as_set = lambda df: {(r.row, r.bucket, r.cnt) for r in df.collect()}
     assert as_set(merged) == as_set(whole)
+
+
+def test_lm_unigram_score_hand_golden_and_ranking(spark):
+    import math
+
+    from afspark.operators.text import lm_unigram_score
+
+    # 'common' appears 8x, 'rare' once: docs of common tokens must
+    # outscore the rare-token doc
+    rows = [
+        (1, "common common common"),
+        (2, "common common common common"),
+        (3, "rare common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_unigram_score(docs, smoothing=0.5).collect()}
+
+    total, vocab = 9, 2
+    lp = {
+        "common": math.log((8 + 0.5) / (total + 0.5 * vocab)),
+        "rare": math.log((1 + 0.5) / (total + 0.5 * vocab)),
+    }
+    assert out[1].n_tokens == 3
+    assert out[1].avg_logp == pytest.approx(lp["common"], rel=1e-12)
+    assert out[2].avg_logp == pytest.approx(lp["common"], rel=1e-12)
+    assert out[3].avg_logp == pytest.approx(
+        (lp["rare"] + lp["common"]) / 2, rel=1e-12)
+    assert out[3].avg_logp < out[1].avg_logp
