@@ -514,3 +514,53 @@ def test_stream_holt_matches_batch(spark, tmpdir):
         for r in holt_linear(pts, 0.3, 0.1, chunk_seconds=None).collect()
     }
     assert got == want  # bit-exact: same sequential arithmetic
+
+
+def test_stream_m4_matches_batch_across_cuts(spark, sf_dir, tmpdir):
+    """Streaming struct-ordered witnesses == batch min_by/max_by M4,
+    including ties split across micro-batches."""
+    from afspark.operators.lttb import m4_downsample
+    from afspark.streaming.stream_m4 import stream_m4
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = __import__("pyspark").sql.Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    )
+    pts = ev.select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value"),
+        F.col("event_id"),
+    )
+    src = f"{tmpdir}/m4in"
+    pts.filter(F.col("event_id") % 2 == 0).drop("event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "series_id string, seq long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        stream_m4(stream, 3600, watermark="365 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_m4_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pts.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.series_id, r.bucket_epoch): tuple(r)[2:]
+            for r in spark.sql("select * from t_m4_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.series_id, r.bucket_epoch): tuple(r)[2:]
+        for r in m4_downsample(pts.drop("event_id"), 3600).collect()
+    }
+    assert got == want
