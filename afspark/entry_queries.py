@@ -3414,6 +3414,39 @@ SQL_CMS = f"""
 """
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Length-weighted deterministic sample (Efraimidis-Spirakis keys
+    from ID-hash uniforms): top-100 by ln(u)/n_chars — reproducible
+    importance sampling, two-phase top-k at scale."""
+    from .operators.text import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 100, "n_chars")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.floor(F.col("_rank") * 1e9 + 0.5) / 1e9).alias("rank9"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             {_md5_head32_sql("'afspark-ws:' || CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             ln((hh + 1) / 4294967297.0) / n_chars AS rank_raw
+      FROM h
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           floor(rank_raw * 1e9 + 0.5) / 1e9 AS rank9
+    FROM r ORDER BY rank_raw DESC, doc_id LIMIT 100
+"""
+
+
 def q_lm_unigram_scores(spark, sf_dir):
     """Per-doc mean unigram log-probability (add-0.5 smoothed
     self-corpus model) — the LM-quality-filter proxy; equi-joins only,
@@ -3757,6 +3790,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),
     "lm_unigram_scores": (q_lm_unigram_scores, SQL_LM_UNIGRAM),
+    "weighted_sample_docs": (q_weighted_sample_docs, SQL_WEIGHTED_SAMPLE),
     "seasonal_holt_events": (
         q_seasonal_holt_events,
         GOLDEN_SQL.get("seasonal_holt_events"),

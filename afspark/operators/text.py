@@ -628,3 +628,46 @@ def lm_unigram_score(
         )
         .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"), "avg_logp")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "afspark-ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): rank = ln(u)/w with u a pure ID-hash
+    uniform in (0,1); the k largest ranks are a weighted sample — a doc
+    with twice the weight is twice as likely to make the cut.  The
+    pipeline use is importance-weighted corpus selection (by length,
+    quality score, domain prior) that is REPRODUCIBLE: a pure function
+    of (salt, id, weight), invariant to partitioning and engine, and
+    mergeable — the top-k of unioned shards is the top-k of the union,
+    so per-shard local top-k composes (TakeOrderedAndProject here).
+
+    ln(u)/w is the log of the classic u^(1/w) key — same order, one
+    transcendental.  Rows with weight <= 0 or null are excluded (their
+    inclusion probability is 0).  Ties (impossible under distinct ids)
+    break on id.  Returns the sampled rows + ``_rank``.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    u = (h + 1) / F.lit(4294967297.0)  # (0, 1): never ln(0)
+    rank = F.log(u) / F.col(weight_col)
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_rank", rank)
+        .orderBy(F.col("_rank").desc(), F.col(id_col))
+        .limit(k)
+    )

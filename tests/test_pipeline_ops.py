@@ -1023,3 +1023,31 @@ def test_lm_unigram_score_hand_golden_and_ranking(spark):
     assert out[3].avg_logp == pytest.approx(
         (lp["rare"] + lp["common"]) / 2, rel=1e-12)
     assert out[3].avg_logp < out[1].avg_logp
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    import math
+
+    from afspark.operators.text import weighted_sample
+
+    rows = [(i, 10 if i < 50 else 1000) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(docs, 20, "w").collect()
+    # rank formula matches the reference implementation exactly
+    import hashlib
+    for r in got[:5]:
+        hh = int(hashlib.md5(f"afspark-ws:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        want = math.log((hh + 1) / 4294967297.0) / r.w
+        assert r._rank == pytest.approx(want, rel=1e-12)
+    # partitioning invariance
+    again = weighted_sample(docs.repartition(11), 20, "w").collect()
+    assert [(r.doc_id, r._rank) for r in got] == [(r.doc_id, r._rank) for r in again]
+    # heavy rows (100x weight) dominate the sample
+    heavy = sum(1 for r in got if r.w == 1000)
+    assert heavy >= 15
+    # subset-monotone in k (prefix property of a total order)
+    small = [r.doc_id for r in weighted_sample(docs, 5, "w").collect()]
+    assert small == [r.doc_id for r in got[:5]]
+    # zero/negative weights excluded
+    bad = spark.createDataFrame([(1, 0), (2, -5)], "doc_id long, w long")
+    assert weighted_sample(bad, 10, "w").count() == 0
