@@ -26,6 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from afspark.functions import kernels as K  # noqa: E402
@@ -184,6 +185,24 @@ def main() -> None:
 
         with timed("q_simhash64"):
             dedup.simhash64(docs).count()
+
+        with timed("q_m4_downsample_1h"):
+            from afspark.operators.lttb import m4_downsample
+
+            m4_downsample(
+                events.withColumn(
+                    "seq",
+                    F.row_number().over(
+                        Window.partitionBy("series_id").orderBy("ts", "value")
+                    ).cast("long"),
+                ),
+                3600,
+            ).count()
+
+        with timed("q_bm25_topk"):
+            from afspark.operators.retrieval import bm25_topk
+
+            bm25_topk(docs, ["merge", "spark", "window"], k=100).count()
 
     # re-probe BETWEEN reps: the host can collapse mid-run after a healthy
     # pre-run probe (observed: derive 33 s / minhash 22 s in a run whose
