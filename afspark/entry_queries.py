@@ -3611,6 +3611,35 @@ def q_seasonal_holt_events(spark, sf_dir):
     )
 
 
+def q_holt_winters_events(spark, sf_dir):
+    """Full additive Holt-Winters (adaptive seasonals, gamma=0.2, 24
+    hour-of-day phases) over cents samples: per-series final level,
+    trend, next-phase seasonal, and 1-step forecast as micros BIGINTs.
+    Chunk-parallel (m+2)-dim matrix carries vs a sequential numpy twin
+    (tools/gen_goldens.py) through the hash gate."""
+    from .operators.tsanalytics import holt_winters_fit
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    fit = holt_winters_fit(pts, 0.3, 0.1, 0.2, 86400, 24)
+
+    def micros(c):
+        return F.floor((c + F.lit(1e-9)) * 1e6 + 0.5).cast("long")
+
+    fp = F.floor(((F.col("last_es") + 3600) % 86400) / 3600).cast("int")
+    s_next = F.element_at(F.col("seasonals"), fp + 1)
+    lvl = F.col("level") / 100.0
+    tr = F.col("trend") / 100.0
+    sx = s_next / 100.0
+    return fit.select(
+        "series_id",
+        "n",
+        micros(lvl).alias("level_u"),
+        micros(tr).alias("trend_u"),
+        micros(sx).alias("snext_u"),
+        micros(lvl + tr + sx).alias("fc1_u"),
+    )
+
+
 def q_m4_downsample_1h(spark, sf_dir):
     """M4 visualization downsample (first/last/min/max + timestamps per
     1h pixel bucket) over cents samples — algebraic min_by/max_by
@@ -3794,6 +3823,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_holt_events": (
         q_seasonal_holt_events,
         GOLDEN_SQL.get("seasonal_holt_events"),
+    ),
+    "holt_winters_events": (
+        q_holt_winters_events,
+        GOLDEN_SQL.get("holt_winters_events"),
     ),
 }
 

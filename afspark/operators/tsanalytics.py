@@ -1230,3 +1230,151 @@ def rolling_percentile(
         .withColumn("n_window", F.count(F.lit(1)).over(w))
         .drop("_idx")
     )
+
+
+def holt_winters_fit(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period_seconds: int = 86400,
+    n_phases: int = 24,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    chunk_seconds: int | None = 86400,
+) -> DataFrame:
+    """Full additive Holt-Winters (ADAPTIVE seasonals, gamma > 0) —
+    per-series final state, chunk-parallel.
+
+    Hyndman's additive form with the seasonal slot selected by the
+    TIMESTAMP phase (hour-of-day style), zero-init state like ewma/holt:
+
+        l_t = a (y_t - s_phi) + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B (l_t - l_{t-1}) + (1-B) b_{t-1}
+        s_phi' = g (y_t - l_{t-1} - b_{t-1}) + (1-g) s_phi
+
+    The state u = (l, b, s_0..s_{m-1}) obeys u_t = A_phi u_{t-1} +
+    c_phi y_t — a LINEAR recurrence in dimension m+2, so the same
+    two-level decomposition as holt_linear applies with (m+2)x(m+2)
+    MATRIX carries: each (series, time-chunk) runs one numpy pass
+    emitting its zero-init end state v and its cumulative operator M
+    (A_phi is 3-row sparse, so accumulating M costs O(m) per row, not
+    O(m^2)); the cross-chunk scan u_k = M_k u_{k-1} + v_k runs over ONE
+    ROW PER CHUNK.  Unlike holt_linear no per-row carry re-entry is
+    attempted — per-row corrected output would need the full M_i per
+    row; the FIT (final state + forecast) only needs chunk ends, which
+    keeps the shuffle at one (m+2)(m+3)-double row per series-chunk.
+
+    Returns one row per series: n, level, trend, seasonals
+    (array<double>, phase-indexed), last_es (epoch of the last sample).
+    Forecast h phase-steps out: level + h*trend +
+    seasonals[phase(last_es + h*phase_width)].
+    """
+    import numpy as np
+    import pandas as pd
+
+    if period_seconds % n_phases:
+        raise ValueError("period_seconds must be divisible by n_phases")
+    pw = period_seconds // n_phases
+    m = n_phases
+    n_dim = m + 2
+
+    def phases_of(es: "np.ndarray") -> "np.ndarray":
+        return ((es % period_seconds) // pw).astype(np.int64)
+
+    def local_pass_np(y: "np.ndarray", ph: "np.ndarray"):
+        """Zero-init response v and cumulative operator M for one run."""
+        M = np.eye(n_dim)
+        v = np.zeros(n_dim)
+        for yi, phi in zip(y, ph):
+            j = 2 + int(phi)
+            l, b, s = v[0], v[1], v[j]
+            # A_phi touches rows (l, b, s_phi) only
+            nl = (1 - alpha) * (l + b) + alpha * (yi - s)
+            nb = beta * (nl - l) + (1 - beta) * b
+            ns = gamma * (yi - l - b) + (1 - gamma) * s
+            v[0], v[1], v[j] = nl, nb, ns
+            rl, rb, rs = M[0].copy(), M[1].copy(), M[j].copy()
+            M[0] = (1 - alpha) * (rl + rb) - alpha * rs
+            M[1] = beta * (M[0] - rl) + (1 - beta) * rb
+            M[j] = -gamma * (rl + rb) + (1 - gamma) * rs
+        return v, M
+
+    fields = points.schema
+    key_schema = ", ".join(f"{k} {fields[k].dataType.simpleString()}" for k in keys)
+
+    if chunk_seconds is None:
+        out_schema = (
+            f"{key_schema}, n long, level double, trend double, "
+            "seasonals array<double>, last_es long"
+        )
+
+        def seq_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            es = pdf["_es"].to_numpy(np.int64)
+            v, _ = local_pass_np(
+                pdf[value_col].to_numpy(np.float64), phases_of(es)
+            )
+            head = pdf.iloc[:1][keys].reset_index(drop=True)
+            head["n"] = len(pdf)
+            head["level"], head["trend"] = v[0], v[1]
+            head["seasonals"] = [list(v[2:])]
+            head["last_es"] = int(es.max())
+            return head
+
+        src = points.withColumn("_es", F.unix_timestamp(F.col(ts_col)))
+        return src.select(*keys, ts_col, value_col, "_es").groupBy(*keys).applyInPandas(
+            lambda pdf: seq_fit(pdf), out_schema
+        )
+
+    from .rollup import bucket_ts
+
+    src = points.withColumn("_chunk", bucket_ts(F.col(ts_col), chunk_seconds))
+    src = src.withColumn("_es", F.unix_timestamp(F.col(ts_col)))
+    chunk_schema = (
+        f"{key_schema}, _chunk timestamp, _n long, _last_es long, "
+        "_v array<double>, _m array<double>"
+    )
+
+    def chunk_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        es = pdf["_es"].to_numpy(np.int64)
+        v, M = local_pass_np(
+            pdf[value_col].to_numpy(np.float64), phases_of(es)
+        )
+        head = pdf.iloc[:1][[*keys, "_chunk"]].reset_index(drop=True)
+        head["_n"] = len(pdf)
+        head["_last_es"] = int(es.max())
+        head["_v"] = [list(v)]
+        head["_m"] = [list(M.reshape(-1))]
+        return head
+
+    per_chunk = (
+        src.select(*keys, "_chunk", ts_col, value_col, "_es")
+        .groupBy(*keys, "_chunk")
+        .applyInPandas(lambda pdf: chunk_pass(pdf), chunk_schema)
+    )
+
+    out_schema = (
+        f"{key_schema}, n long, level double, trend double, "
+        "seasonals array<double>, last_es long"
+    )
+
+    def series_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_chunk").reset_index(drop=True)
+        u = np.zeros(n_dim)
+        for _, row in pdf.iterrows():
+            M = np.asarray(row["_m"], dtype=np.float64).reshape(n_dim, n_dim)
+            v = np.asarray(row["_v"], dtype=np.float64)
+            u = M @ u + v
+        head = pdf.iloc[:1][keys].reset_index(drop=True)
+        head["n"] = int(pdf["_n"].sum())
+        head["level"], head["trend"] = u[0], u[1]
+        head["seasonals"] = [list(u[2:])]
+        head["last_es"] = int(pdf["_last_es"].max())
+        return head
+
+    return per_chunk.groupBy(*keys).applyInPandas(
+        lambda pdf: series_scan(pdf), out_schema
+    )

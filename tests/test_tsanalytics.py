@@ -753,3 +753,74 @@ def test_rolling_percentile_range_frame_respects_gaps(spark):
     # gap: the stale buckets fell OUT of the 24-bucket range frame
     assert out[30].rolling_p == pytest.approx(7.0)
     assert out[30].n_window == 1
+
+
+def test_holt_winters_chunked_equals_sequential(spark):
+    """The (m+2)-dim matrix-carry decomposition matches the single-task
+    sequential Holt-Winters recurrence to reassociation round-off."""
+    from afspark.operators.tsanalytics import holt_winters_fit
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (sid, t(i * 700 + int(rng.integers(0, 600))), float(round(v, 2)))
+        for sid in ["a", "b"]
+        for i, v in enumerate(rng.normal(50, 10, 400))
+    ]
+    pts = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    c = {r.series_id: r
+         for r in holt_winters_fit(pts, 0.3, 0.1, 0.2, 86400, 24,
+                                   chunk_seconds=86400).collect()}
+    s = {r.series_id: r
+         for r in holt_winters_fit(pts, 0.3, 0.1, 0.2, 86400, 24,
+                                   chunk_seconds=None).collect()}
+    assert set(c) == {"a", "b"}
+    for sid in c:
+        rc, rs = c[sid], s[sid]
+        assert (rc.n, rc.last_es) == (rs.n, rs.last_es)
+        assert rc.level == pytest.approx(rs.level, rel=1e-9)
+        assert rc.trend == pytest.approx(rs.trend, rel=1e-9, abs=1e-9)
+        assert len(rc.seasonals) == 24
+        for x, y in zip(rc.seasonals, rs.seasonals):
+            assert x == pytest.approx(y, rel=1e-9, abs=1e-9)
+
+
+def test_holt_winters_matches_classic_recurrence(spark):
+    """Matrix form == the textbook phase-indexed additive HW update
+    (s_t = g*(y - l_prev - b_prev) + (1-g)*s_phase), and on a pure
+    seasonal signal the seasonal slots recover the offset ORDERING."""
+    from afspark.operators.tsanalytics import holt_winters_fit
+
+    period, m, pw = 240, 4, 60
+    season = [0.0, 10.0, -5.0, 2.0]
+    base = int(t(0).replace(tzinfo=dtm.timezone.utc).timestamp())
+    n = 400
+    es_list = [base + i * 60 for i in range(n)]
+    xs = [100.0 + season[(es % period) // pw] for es in es_list]
+    pts = spark.createDataFrame(
+        [("s", t(i * 60), xs[i]) for i in range(n)],
+        "series_id string, ts timestamp, value double",
+    )
+    row = holt_winters_fit(
+        pts, 0.3, 0.05, 0.3, period, m, chunk_seconds=3600
+    ).collect()[0]
+    a, be, g = 0.3, 0.05, 0.3
+    l = b = 0.0
+    sv = [0.0] * m
+    for es, y in zip(es_list, xs):
+        j = (es % period) // pw
+        lp, bp = l, b
+        l = a * (y - sv[j]) + (1 - a) * (lp + bp)
+        b = be * (l - lp) + (1 - be) * bp
+        sv[j] = g * (y - lp - bp) + (1 - g) * sv[j]
+    assert row.n == n and row.last_es == es_list[-1]
+    assert row.level == pytest.approx(l, rel=1e-9)
+    assert row.trend == pytest.approx(b, rel=1e-9, abs=1e-12)
+    for x, y in zip(row.seasonals, sv):
+        assert x == pytest.approx(y, rel=1e-9, abs=1e-12)
+    # after 100 full cycles the learned slots are ordered like the truth
+    got = list(row.seasonals)
+    assert sorted(range(m), key=lambda i: got[i]) == sorted(
+        range(m), key=lambda i: season[i]
+    )

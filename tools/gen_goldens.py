@@ -360,6 +360,53 @@ def golden_seasonal_holt_events():
     return values_sql(df, {"series_id"})
 
 
+def golden_holt_winters_events():
+    """Sequential numpy twin of entry_queries.q_holt_winters_events.
+
+    Full additive Holt-Winters (alpha=0.3, beta=0.1, gamma=0.2, 24
+    hour-of-day phases) run single-process per series over the
+    (ts, value)-sorted cents stream with zero-init state — the exact
+    recurrence tsanalytics.holt_winters_fit decomposes into (m+2)-dim
+    matrix carries; same +1e-9 micros bias as golden_holt_events.
+    """
+    al, be, ga = 0.3, 0.1, 0.2
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"])
+    e["v"] = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    e["es"] = e["ts"].astype("datetime64[s]").astype("int64")
+
+    def mic(v):
+        return int(math.floor((v + 1e-9) * 1e6 + 0.5))
+
+    rows = []
+    for uid, g in e.sort_values(["ts", "v"], kind="mergesort").groupby("user_id"):
+        es = g["es"].to_numpy(np.int64)
+        ph = (es % 86400) // 3600
+        l = b = 0.0
+        sv = np.zeros(24)
+        for yi, j in zip(g["v"].to_numpy(np.float64), ph):
+            lp, bp = l, b
+            l = al * (yi - sv[j]) + (1 - al) * (lp + bp)
+            b = be * (l - lp) + (1 - be) * bp
+            sv[j] = ga * (yi - lp - bp) + (1 - ga) * sv[j]
+        last_es = int(es.max())
+        fp = ((last_es + 3600) % 86400) // 3600
+        sx = float(sv[fp])
+        rows.append(
+            (
+                str(uid),
+                len(g),
+                mic(l / 100.0),
+                mic(b / 100.0),
+                mic(sx / 100.0),
+                mic((l + b + sx) / 100.0),
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["series_id", "n", "level_u", "trend_u", "snext_u", "fc1_u"]
+    )
+    return values_sql(df, {"series_id"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -369,6 +416,7 @@ def main():
         "ivf_recall_check": golden_ivf_recall(),
         "holt_forecast_events": golden_holt_events(),
         "seasonal_holt_events": golden_seasonal_holt_events(),
+        "holt_winters_events": golden_holt_winters_events(),
         "pq_recall_check": golden_pq_recall(),
     }
     path = os.path.join(
