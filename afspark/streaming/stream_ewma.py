@@ -282,3 +282,103 @@ def streaming_holt(
     return src.groupBy(series_col).applyInPandasWithState(
         fn, HOLT_OUT_SCHEMA, HOLT_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+HW_OUT_SCHEMA = (
+    "series_id string, ts timestamp, value double, "
+    "level double, trend double, seasonal double"
+)
+HW_STATE_SCHEMA = "l double, b double, s array<double>, n long, last_ts double"
+
+
+def streaming_holt_winters(
+    points: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period_seconds: int = 86400,
+    n_phases: int = 24,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of tsanalytics.holt_winters_fit: the (m+2)-dim
+    level/trend/seasonal recurrence continued across micro-batches with
+    O(m) state per series (l, b, the m phase slots, n, last_ts).
+
+    Arithmetic is EXPRESSION-IDENTICAL to holt_winters_fit's local pass
+    (same zero-init, same (ts, value) in-batch tie order, the seasonal
+    update reading pre-update level/trend), so an in-order stream's
+    final state matches the batch fit's sequential path bit-for-bit
+    (asserted in tests/test_streaming.py across micro-batch cuts).
+    Emits one row per sample with the post-update level, trend, and the
+    phase slot just written.  Ordering contract and the late-data
+    ValueError mirror streaming_ewma; state is fixed-size (m+4 doubles)
+    so hot series are a throughput concern only, never a memory one.
+    """
+    if period_seconds % n_phases:
+        raise ValueError("period_seconds must be divisible by n_phases")
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0) or not (
+        0.0 <= gamma <= 1.0
+    ):
+        raise ValueError("require 0 < alpha <= 1 and beta, gamma in [0, 1]")
+    pw = period_seconds // n_phases
+
+    def fn(key, pdfs, state: GroupState):
+        series_id = key[0]
+        if state.exists:
+            l, b, s_list, n, last_ts = state.get
+            sv = np.asarray(s_list, dtype=np.float64)
+        else:
+            l, b, n, last_ts = 0.0, 0.0, 0, float("-inf")
+            sv = np.zeros(n_phases)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values([ts_col, value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        es_us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        ts_sec = es_us / 1e6
+        if n > 0 and ts_sec[0] < last_ts:
+            raise ValueError(
+                f"series {series_id!r}: batch starts at ts {ts_sec[0]} before "
+                f"carried last ts {last_ts}; late data must go through the "
+                "batch OoO merge path"
+            )
+        ph = (es_us // 1_000_000) % period_seconds // pw
+        x = pdf[value_col].to_numpy(np.float64)
+        lv = np.empty(len(x))
+        tv = np.empty(len(x))
+        sov = np.empty(len(x))
+        for i, (xi, j) in enumerate(zip(x, ph)):
+            s = sv[j]
+            nl = (1 - alpha) * (l + b) + alpha * (xi - s)
+            nb = beta * (nl - l) + (1 - beta) * b
+            ns = gamma * (xi - l - b) + (1 - gamma) * s
+            l, b, sv[j] = nl, nb, ns
+            lv[i], tv[i], sov[i] = nl, nb, ns
+        state.update(
+            (float(l), float(b), [float(v) for v in sv],
+             int(n + len(x)), float(ts_sec[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                "series_id": series_id,
+                "ts": pdf[ts_col],
+                "value": x,
+                "level": lv,
+                "trend": tv,
+                "seasonal": sov,
+            }
+        )
+
+    src = points.select(
+        F.col(series_col).cast("string").alias(series_col), ts_col, value_col
+    )
+    return src.groupBy(series_col).applyInPandasWithState(
+        fn, HW_OUT_SCHEMA, HW_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

@@ -564,3 +564,62 @@ def test_stream_m4_matches_batch_across_cuts(spark, sf_dir, tmpdir):
         for r in m4_downsample(pts.drop("event_id"), 3600).collect()
     }
     assert got == want
+
+def test_stream_holt_winters_matches_batch(spark, tmpdir):
+    """Streaming Holt-Winters == the batch holt_winters_fit sequential
+    path bit-for-bit across micro-batch cuts: the O(m) state (level,
+    trend, m phase slots) continues the recurrence exactly."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.tsanalytics import holt_winters_fit
+    from afspark.streaming.stream_ewma import streaming_holt_winters
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rng = np.random.default_rng(17)
+    rows = [
+        (sid, t0 + dtm.timedelta(seconds=i * 97), float(round(v, 2)))
+        for sid in ("a", "b")
+        for i, v in enumerate(rng.normal(50, 10, 150))
+    ]
+    pts = spark.createDataFrame(rows, SCHEMA)
+    cut = t0 + dtm.timedelta(seconds=60 * 97)
+    src, ckpt = f"{tmpdir}/hw_in", f"{tmpdir}/hw_ckpt"
+    pts.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        streaming_holt_winters(stream, 0.3, 0.1, 0.2, 3600, 6)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("t_hw_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pts.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        out = spark.sql("select * from t_hw_stream").collect()
+    finally:
+        q.stop()
+    assert len(out) == len(rows)
+    # final streamed state per series == batch sequential fit, bit-exact
+    last = {}
+    for r in sorted(out, key=lambda r: r.ts):
+        last[r.series_id] = r
+    fit = {
+        r.series_id: r
+        for r in holt_winters_fit(
+            pts, 0.3, 0.1, 0.2, 3600, 6, chunk_seconds=None
+        ).collect()
+    }
+    for sid in ("a", "b"):
+        assert last[sid].level == fit[sid].level
+        assert last[sid].trend == fit[sid].trend
+        # the per-row 'seasonal' is the slot just written; the batch fit
+        # carries all slots — the last write must equal that slot's final
+        es = int(last[sid].ts.replace(tzinfo=dtm.timezone.utc).timestamp())
+        j = (es % 3600) // 600
+        assert last[sid].seasonal == fit[sid].seasonals[j]
+        assert fit[sid].n == 150
