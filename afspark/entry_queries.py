@@ -3696,6 +3696,97 @@ SQL_M4_1H = """
 """
 
 
+def q_table_profile_events(spark, sf_dir):
+    """Single-pass data-quality audit of the events table.
+
+    One scan, one agg (operators/profile.py): per-column null counts,
+    exact cardinalities, ranges, integer-exact means.  Floats enter as
+    cents and timestamps as epoch seconds so every mean is a ratio of
+    exact integers — bit-stable across engines and partitionings.
+    """
+    from .operators.profile import profile_table
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_type",
+        "props",
+    )
+    return profile_table(
+        ev,
+        numeric_cols=["event_id", "user_id", "v_cents", "ts_epoch"],
+        string_cols=["event_type", "props"],
+    )
+
+
+def _sql_profile_num(name: str, expr: str, src: str) -> str:
+    return f"""
+    SELECT '{name}' AS col, count(*) AS n,
+           count(*) - count({expr}) AS n_null,
+           count(DISTINCT {expr}) AS n_distinct,
+           CAST(min({expr}) AS DOUBLE) AS min_num,
+           CAST(max({expr}) AS DOUBLE) AS max_num,
+           floor(sum(CAST({expr} AS DOUBLE)) / count({expr})
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM {src}"""
+
+
+def _sql_profile_str(name: str, expr: str, src: str) -> str:
+    return f"""
+    SELECT '{name}' AS col, count(*) AS n,
+           count(*) - count({expr}) AS n_null,
+           count(DISTINCT {expr}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           CAST(NULL AS DOUBLE) AS mean,
+           min({expr}) AS min_str,
+           max({expr}) AS max_str,
+           floor(CAST(sum(length({expr})) AS DOUBLE) / count({expr})
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_len
+    FROM {src}"""
+
+
+SQL_TABLE_PROFILE_EVENTS = (
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             floor(epoch(ts))::BIGINT AS ts_epoch,
+             event_type, props
+      FROM events
+    )
+    """
+    + " UNION ALL ".join(
+        [_sql_profile_num(c, c, "e")
+         for c in ("event_id", "user_id", "v_cents", "ts_epoch")]
+        + [_sql_profile_str(c, c, "e") for c in ("event_type", "props")]
+    )
+)
+
+
+def q_table_profile_docs(spark, sf_dir):
+    """Same one-scan audit over documents (the web-pages-shaped table)."""
+    from .operators.profile import profile_table
+
+    docs = _read(spark, sf_dir, "documents")
+    return profile_table(
+        docs,
+        numeric_cols=["doc_id", "n_chars"],
+        string_cols=["lang", "source", "text"],
+    )
+
+
+SQL_TABLE_PROFILE_DOCS = " UNION ALL ".join(
+    [_sql_profile_num(c, c, "documents") for c in ("doc_id", "n_chars")]
+    + [_sql_profile_str(c, c, "documents") for c in ("lang", "source", "text")]
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3816,6 +3907,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "overlap_error_bursts": (q_overlap_error_bursts, SQL_OVERLAP_BURSTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
+    "table_profile_events": (q_table_profile_events, SQL_TABLE_PROFILE_EVENTS),
+    "table_profile_docs": (q_table_profile_docs, SQL_TABLE_PROFILE_DOCS),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),
     "lm_unigram_scores": (q_lm_unigram_scores, SQL_LM_UNIGRAM),

@@ -1,0 +1,77 @@
+"""Single-pass table profiler (operators/profile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from afspark.operators.profile import PROFILE_COLUMNS, profile_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (1, 10, "a", "xx"),
+        (2, 20, "b", None),
+        (3, None, "a", "yyyy"),
+        (4, 40, None, "zz"),
+        (5, 30, "c", "xx"),
+    ]
+    return spark.createDataFrame(rows, "id long, v long, cat string, s string")
+
+
+def test_profile_hand_golden(sample):
+    out = profile_table(sample, numeric_cols=["id", "v"], string_cols=["cat", "s"])
+    assert out.columns == PROFILE_COLUMNS
+    m = {r["col"]: r.asDict() for r in out.collect()}
+    assert set(m) == {"id", "v", "cat", "s"}
+    assert all(r["n"] == 5 for r in m.values())
+
+    assert m["id"]["n_null"] == 0 and m["id"]["n_distinct"] == 5
+    assert m["id"]["min_num"] == 1.0 and m["id"]["max_num"] == 5.0
+    assert m["id"]["mean"] == 3.0 and m["id"]["min_str"] is None
+
+    assert m["v"]["n_null"] == 1 and m["v"]["n_distinct"] == 4
+    assert m["v"]["mean"] == 25.0  # (10+20+40+30)/4
+
+    assert m["cat"]["n_null"] == 1 and m["cat"]["n_distinct"] == 3
+    assert m["cat"]["min_str"] == "a" and m["cat"]["max_str"] == "c"
+    assert m["cat"]["avg_len"] == 1.0 and m["cat"]["min_num"] is None
+
+    assert m["s"]["n_null"] == 1 and m["s"]["n_distinct"] == 3
+    assert m["s"]["avg_len"] == 2.5  # (2+4+2+2)/4
+
+
+def test_profile_single_scan_plan(sample):
+    """All metrics come from ONE aggregation over one scan: the physical
+    plan must contain exactly one Scan and no Join (no per-column jobs)."""
+    out = profile_table(sample, numeric_cols=["id"], string_cols=["cat"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+    assert "Join" not in plan
+
+
+def test_profile_approx_distinct_path(sample):
+    out = profile_table(
+        sample, numeric_cols=["id", "v"], exact_distinct=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # HLL path: no distinct-aggregate expand
+    m = {r["col"]: r.asDict() for r in out.collect()}
+    # HLL++ is exact at these cardinalities
+    assert m["id"]["n_distinct"] == 5 and m["v"]["n_distinct"] == 4
+
+
+def test_profile_empty_table(spark):
+    df = spark.createDataFrame([], "a long, b string")
+    m = {r["col"]: r.asDict()
+         for r in profile_table(df, ["a"], ["b"]).collect()}
+    assert m["a"]["n"] == 0 and m["a"]["mean"] is None
+    assert m["b"]["avg_len"] is None and m["b"]["min_str"] is None
+
+
+def test_profile_partitioning_invariant(sample):
+    base = profile_table(sample, ["id", "v"], ["cat", "s"]).collect()
+    shuffled = profile_table(
+        sample.repartition(7), ["id", "v"], ["cat", "s"]
+    ).collect()
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(base) == key(shuffled)
