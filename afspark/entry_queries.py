@@ -3696,6 +3696,47 @@ SQL_M4_1H = """
 """
 
 
+def q_acf_1h(spark, sf_dir):
+    """Per-series autocorrelation (lags 1-3 hours) over the 1h cents
+    tier.  Join-paired (a bucket correlates with bucket+L whether or not
+    the buckets between exist); series key inside the join key keeps the
+    self-join linear — no all-pairs fan-out.
+    """
+    from .operators.tsanalytics import autocorrelation
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = autocorrelation(tier, 3600, lags=[1, 2, 3], min_overlap=8, value_col="sum")
+    return out.select(
+        "series_id", "lag", "n", _r(F.col("acf"), 6).alias("acf")
+    )
+
+
+SQL_ACF_1H = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                 sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    l AS (SELECT series_id, be, s, lag
+          FROM t CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag)),
+    j AS (SELECT a.series_id, a.lag, a.s AS x, b.s AS y
+          FROM l a JOIN t b
+            ON a.series_id = b.series_id AND a.be + a.lag*3600 = b.be),
+    g AS (SELECT series_id, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM j GROUP BY 1, 2)
+    SELECT series_id, lag, n,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             floor(((n*sxy - sx*sy)
+                    / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS acf
+    FROM g WHERE n >= 8
+"""
+
+
 def q_table_profile_events(spark, sf_dir):
     """Single-pass data-quality audit of the events table.
 
@@ -3908,6 +3949,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS),
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
     "table_profile_events": (q_table_profile_events, SQL_TABLE_PROFILE_EVENTS),
+    "acf_1h": (q_acf_1h, SQL_ACF_1H),
     "table_profile_docs": (q_table_profile_docs, SQL_TABLE_PROFILE_DOCS),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),

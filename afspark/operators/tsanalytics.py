@@ -422,6 +422,66 @@ def lagged_cross_correlation(
     )
 
 
+def autocorrelation(
+    tier: DataFrame,
+    tier_seconds: int,
+    lags: list[int] = [1, 2, 3],
+    min_overlap: int = 12,
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "sum",
+) -> DataFrame:
+    """Per-series autocorrelation function (ACF) at bucket lags.
+
+    For each series and lag L, Pearson-correlates the bucket value at t
+    with the SAME series' value at t + L buckets, over every t where
+    both buckets exist (join pairing — intermediate gaps don't disqualify
+    a pair, unlike a row-offset lead()).  The five sums are exact
+    integers on a cents tier, so the final correlation is the identical
+    float expression in Spark and DuckDB.
+
+    Plan shape: a self equi-join keyed on (series, shifted bucket) — the
+    series key is IN the join key, so fan-out per key is #lags, never
+    (series per bucket)² like the cross-series variant.  One shuffle of
+    the tier per side; aggregation is algebraic and map-side combined.
+    Scales linearly in tier rows × #lags at any series count.
+    """
+    epoch = F.unix_timestamp(F.col(bucket_col))
+    base = tier.select(*keys, epoch.alias("_be"), F.col(value_col).alias("_v"))
+    lagged = base.withColumn(
+        "lag", F.explode(F.array(*[F.lit(int(x)) for x in lags]))
+    )
+    a = lagged.select(
+        *keys,
+        "lag",
+        (F.col("_be") + F.col("lag") * tier_seconds).alias("_join_be"),
+        F.col("_v").alias("_x"),
+    )
+    b = base.select(*keys, F.col("_be").alias("_join_be"), F.col("_v").alias("_y"))
+    joined = a.join(b, [*keys, "_join_be"])
+    x, y = F.col("_x"), F.col("_y")
+    agg = joined.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return (
+        agg.filter(n >= min_overlap)
+        .select(*keys, "lag", "n", corr.alias("acf"))
+    )
+
+
 def holt_linear(
     points: DataFrame,
     alpha: float,

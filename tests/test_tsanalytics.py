@@ -824,3 +824,56 @@ def test_holt_winters_matches_classic_recurrence(spark):
     assert sorted(range(m), key=lambda i: got[i]) == sorted(
         range(m), key=lambda i: season[i]
     )
+
+
+def test_acf_periodic_and_gap_pairing(spark):
+    """A period-2 alternating series has ACF -1 at lag 1 and +1 at lag 2;
+    join pairing keeps (t, t+1) pairs across a missing middle bucket."""
+    from afspark.operators.tsanalytics import autocorrelation
+
+    rows = [
+        ("p", t(i * 3600), 10.0 if i % 2 == 0 else -10.0) for i in range(24)
+    ]
+    # series "g": linear ramp with bucket 10 missing — lag-1 pairs lose
+    # (9,10) and (10,11) but (11,12)... survive; lag-2 loses (8,10),(10,12)
+    rows += [("g", t(i * 3600), float(i)) for i in range(24) if i != 10]
+    tier = spark.createDataFrame(
+        rows, "series_id string, bucket_ts timestamp, sum double"
+    )
+    out = {
+        (r.series_id, r.lag): r
+        for r in autocorrelation(
+            tier, 3600, lags=[1, 2], min_overlap=5, value_col="sum"
+        ).collect()
+    }
+    assert out[("p", 1)].acf == pytest.approx(-1.0)
+    assert out[("p", 2)].acf == pytest.approx(1.0)
+    assert out[("p", 1)].n == 23 and out[("p", 2)].n == 22
+    # ramp: perfectly autocorrelated at every lag, gap or not
+    assert out[("g", 1)].acf == pytest.approx(1.0)
+    assert out[("g", 1)].n == 21  # 23 adjacent pairs minus the two at the gap
+    assert out[("g", 2)].n == 20  # 22 lag-2 pairs minus (8,10) and (10,12)
+
+
+def test_acf_matches_numpy_pearson(spark):
+    """ACF at lag L equals numpy's Pearson corr of (x[:-L], x[L:]) on a
+    dense series."""
+    from afspark.operators.tsanalytics import autocorrelation
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = np.round(rng.normal(50, 12, 60), 2)
+    tier = spark.createDataFrame(
+        [("s", t(i * 3600), float(v)) for i, v in enumerate(x)],
+        "series_id string, bucket_ts timestamp, sum double",
+    )
+    out = {
+        r.lag: r.acf
+        for r in autocorrelation(
+            tier, 3600, lags=[1, 3], min_overlap=5, value_col="sum"
+        ).collect()
+    }
+    for lag in (1, 3):
+        want = np.corrcoef(x[:-lag], x[lag:])[0, 1]
+        assert out[lag] == pytest.approx(float(want), abs=1e-9)
