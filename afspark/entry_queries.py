@@ -3696,6 +3696,68 @@ SQL_M4_1H = """
 """
 
 
+def q_ks_drift(spark, sf_dir):
+    """Kolmogorov-Smirnov drift per series (first vs last 15 days off
+    the 1h histogram tier).  ks_num is the exact integer max-ECDF-gap
+    numerator — the order-independent cross-engine checksum; ks divides
+    it by the shared n_ref*n_cur denominator."""
+    from .operators.rollup import histogram_rollup, ks_drift
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    hist = histogram_rollup(pts, TIERS["1h"], bin_width=500.0)
+    out = ks_drift(
+        hist,
+        ref_start=1704067200,
+        ref_end=1705363200,
+        cur_start=1705363200,
+        cur_end=1706745600,
+    )
+    return out.select(
+        "series_id",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        _r(F.col("ks"), 6).alias("ks"),
+    )
+
+
+SQL_KS_DRIFT = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be
+               FROM events),
+    h AS (SELECT series_id, be, CAST(floor(v/500.0) AS BIGINT) AS bin,
+                 count(*) AS n
+          FROM c GROUP BY 1, 2, 3),
+    r AS (SELECT series_id, bin, sum(n) AS nr FROM h
+          WHERE be >= 1704067200 AND be < 1705363200 GROUP BY 1, 2),
+    u AS (SELECT series_id, bin, sum(n) AS nc FROM h
+          WHERE be >= 1705363200 AND be < 1706745600 GROUP BY 1, 2),
+    j AS (SELECT coalesce(r.series_id, u.series_id) AS series_id,
+                 coalesce(r.bin, u.bin) AS bin,
+                 coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+          FROM r FULL OUTER JOIN u
+            ON r.series_id = u.series_id AND r.bin = u.bin),
+    s AS (SELECT series_id, bin, nr, nc,
+                 sum(nr) OVER (PARTITION BY series_id ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cr,
+                 sum(nc) OVER (PARTITION BY series_id ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cc,
+                 sum(nr) OVER (PARTITION BY series_id) AS n_ref,
+                 sum(nc) OVER (PARTITION BY series_id) AS n_cur
+          FROM j)
+    SELECT series_id, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(max(abs(cr*n_cur - cc*n_ref)) AS BIGINT) AS ks_num,
+           floor(CAST(max(abs(cr*n_cur - cc*n_ref)) AS DOUBLE)
+                 / (n_ref*n_cur) * 1000000.0 + 0.5) / 1000000.0 AS ks
+    FROM s WHERE n_ref > 0 AND n_cur > 0
+    GROUP BY series_id, n_ref, n_cur
+"""
+
+
 def q_acf_1h(spark, sf_dir):
     """Per-series autocorrelation (lags 1-3 hours) over the 1h cents
     tier.  Join-paired (a bucket correlates with bucket+L whether or not
@@ -3950,6 +4012,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "m4_downsample_1h": (q_m4_downsample_1h, SQL_M4_1H),
     "table_profile_events": (q_table_profile_events, SQL_TABLE_PROFILE_EVENTS),
     "acf_1h": (q_acf_1h, SQL_ACF_1H),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "table_profile_docs": (q_table_profile_docs, SQL_TABLE_PROFILE_DOCS),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),

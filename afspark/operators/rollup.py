@@ -375,6 +375,82 @@ def psi_drift(
     return j.withColumn("_t", term).groupBy(*keys).agg(*aggs)
 
 
+def ks_drift(
+    hist: DataFrame,
+    ref_start: int,
+    ref_end: int,
+    cur_start: int,
+    cur_end: int,
+    keys: list[str] = ["series_id"],
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between two time ranges of the
+    histogram tier: max ECDF gap across bin edges.
+
+    Complements [PSI] psi_drift — KS reads the worst single point of
+    divergence where PSI reads the total; alerting stacks usually gate on
+    both.  Computed EXACTLY in integers: at each union-support bin the
+    ECDF gap is |cum_ref·n_cur − cum_cur·n_ref| / (n_ref·n_cur), so the
+    per-key max is a max over exact integer numerators (ks_num) with one
+    shared-denominator division at the end — order-independent, hence a
+    cross-engine checksum the driver oracle can hash.
+
+    Same scale shape as psi_drift: two range-filtered sums over the
+    mergeable tier, a full-outer join on (keys, bin), cumulative sums
+    over the per-key bin order (bins per key are bounded by the histogram
+    width — the window partition is small by construction), one max per
+    key.  Keys empty on either side are dropped (KS undefined).
+
+    Output: keys + n_ref, n_cur, ks_num, ks.
+    """
+    be = F.unix_timestamp(F.col("bucket_ts"))
+    ref = (
+        hist.filter((be >= F.lit(ref_start)) & (be < F.lit(ref_end)))
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("_nr"))
+    )
+    cur = (
+        hist.filter((be >= F.lit(cur_start)) & (be < F.lit(cur_end)))
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("_nc"))
+    )
+    joined = ref.join(cur, [*keys, "bin"], "full_outer").select(
+        *keys,
+        "bin",
+        F.coalesce("_nr", F.lit(0)).cast("long").alias("_nr"),
+        F.coalesce("_nc", F.lit(0)).cast("long").alias("_nc"),
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = joined.select(
+        *keys,
+        F.sum("_nr").over(w).alias("_cr"),
+        F.sum("_nc").over(w).alias("_cc"),
+    )
+    totals = joined.groupBy(*keys).agg(
+        F.sum("_nr").alias("n_ref"), F.sum("_nc").alias("n_cur")
+    )
+    j = cum.join(totals, keys)
+    num = F.abs(
+        F.col("_cr") * F.col("n_cur") - F.col("_cc") * F.col("n_ref")
+    )
+    return (
+        j.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .withColumn("_num", num)
+        .groupBy(*keys)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.max("_num").alias("ks_num"),
+        )
+        .withColumn(
+            "ks", F.col("ks_num") / (F.col("n_ref") * F.col("n_cur"))
+        )
+    )
+
+
 def trimmed_mean_rollup(
     points: DataFrame,
     tier_seconds: int,

@@ -411,6 +411,76 @@ def test_psi_drift_detects_planted_shift(spark):
         assert abs(r.psi_nanos / 1e9 - r.psi) < 1e-6 * max(1.0, abs(r.psi))
 
 
+def test_ks_drift_hand_golden_and_numpy_parity(spark):
+    """KS off the histogram tier == numpy's max-ECDF-gap over the binned
+    samples; a planted shift scores high, an unchanged series near 0;
+    ks_num/(n_ref*n_cur) reproduces ks exactly."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.rollup import histogram_rollup, ks_drift
+
+    t0 = dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc)
+    e0 = int(t0.timestamp())
+    mid, end = e0 + 5 * 86400, e0 + 10 * 86400
+    rng = np.random.default_rng(7)
+    rows, ref_vals, cur_vals = [], {"stable": [], "drift": []}, {
+        "stable": [], "drift": []
+    }
+    for _ in range(1500):
+        off = int(rng.integers(0, 10 * 86400))
+        ts = t0 + dtm.timedelta(seconds=off)
+        half = ref_vals if e0 + off < mid else cur_vals
+        v = float(rng.normal(100, 10))
+        rows.append(("stable", ts.replace(tzinfo=None), v))
+        half["stable"].append(v)
+        mean = 100 if e0 + off < mid else 160
+        v = float(rng.normal(mean, 10))
+        rows.append(("drift", ts.replace(tzinfo=None), v))
+        half["drift"].append(v)
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    hist = histogram_rollup(pts, 3600, bin_width=20.0)
+    out = {
+        r.series_id: r for r in ks_drift(hist, e0, mid, mid, end).collect()
+    }
+
+    def ks_binned(a, b, width=20.0):
+        ba, bb = np.floor(np.asarray(a) / width), np.floor(np.asarray(b) / width)
+        edges = np.union1d(ba, bb)
+        ca = np.searchsorted(np.sort(ba), edges, side="right") / len(ba)
+        cb = np.searchsorted(np.sort(bb), edges, side="right") / len(bb)
+        return float(np.max(np.abs(ca - cb)))
+
+    for s in ("stable", "drift"):
+        want = ks_binned(ref_vals[s], cur_vals[s])
+        assert out[s].ks == pytest.approx(want, abs=1e-12)
+        assert out[s].ks_num / (out[s].n_ref * out[s].n_cur) == out[s].ks
+    assert out["stable"].ks < 0.08
+    assert out["drift"].ks > 0.8
+
+
+def test_ks_drift_one_sided_empty_key_dropped(spark):
+    """A series present only in the reference window is dropped (KS
+    undefined), not emitted as 0 or NaN."""
+    import datetime as dtm
+
+    from afspark.operators.rollup import histogram_rollup, ks_drift
+
+    t0 = dtm.datetime(2024, 1, 1)
+    e0 = int(t0.replace(tzinfo=dtm.timezone.utc).timestamp())
+    rows = [("only_ref", t0 + dtm.timedelta(hours=i), float(i)) for i in range(5)]
+    rows += [
+        ("both", t0 + dtm.timedelta(days=d, hours=i), float(i))
+        for d in (0, 6)
+        for i in range(5)
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    hist = histogram_rollup(pts, 3600, bin_width=2.0)
+    out = ks_drift(hist, e0, e0 + 86400, e0 + 5 * 86400, e0 + 10 * 86400).collect()
+    assert {r.series_id for r in out} == {"both"}
+
+
 def test_ohlc_tie_determinism_and_merge(spark):
     """Duplicate-timestamp ticks: open/close follow the packed
     (epoch<<20)+seq order, not encounter order; 1d-from-1h merge ==
