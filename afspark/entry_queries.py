@@ -3696,6 +3696,60 @@ SQL_M4_1H = """
 """
 
 
+def q_sax_6h(spark, sf_dir):
+    """SAX symbolization (alphabet 4, 6h PAA frames) of the 1h cents
+    tier.  Letters come from z-scores built out of exact integer sums
+    through identical IEEE expressions in both engines; breakpoints are
+    irrational so boundary ties have measure zero."""
+    from .operators.sax import sax_symbolize
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    out = sax_symbolize(tier, frame_seconds=21600, alphabet=4, value_col="sum")
+    return out.select(
+        "series_id",
+        "frame_epoch",
+        "n_buckets",
+        _r(F.col("paa"), 6).alias("paa"),
+        _r(F.col("z"), 6).alias("z"),
+        "letter",
+    )
+
+
+SQL_SAX_6H = """
+    WITH c AS (SELECT user_id, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                 (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                 sum(v) AS s
+          FROM c GROUP BY 1, 2),
+    st AS (SELECT series_id, CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(s) AS DOUBLE) AS sx,
+                  CAST(sum(s*s) AS DOUBLE) AS sxx
+           FROM t GROUP BY 1),
+    f AS (SELECT series_id,
+                 (floor(be/21600)*21600)::BIGINT AS frame_epoch,
+                 count(*) AS n_buckets, CAST(sum(s) AS DOUBLE) AS fs
+          FROM t GROUP BY 1, 2),
+    j AS (SELECT f.series_id, frame_epoch, n_buckets,
+                 fs / CAST(n_buckets AS DOUBLE) AS paa,
+                 sx / n AS mu,
+                 (n*sxx - sx*sx) / (n*n) AS var
+          FROM f JOIN st USING (series_id)),
+    z AS (SELECT series_id, frame_epoch, n_buckets, paa,
+                 CASE WHEN var > 0 THEN (paa - mu) / sqrt(var) END AS zz
+          FROM j)
+    SELECT series_id, frame_epoch, n_buckets,
+           floor(paa * 1000000.0 + 0.5) / 1000000.0 AS paa,
+           floor(zz * 1000000.0 + 0.5) / 1000000.0 AS z,
+           CASE WHEN zz IS NULL THEN NULL
+                WHEN zz < -0.6744897501960817 THEN 'a'
+                WHEN zz < 0.0 THEN 'b'
+                WHEN zz < 0.6744897501960817 THEN 'c'
+                ELSE 'd' END AS letter
+    FROM z
+"""
+
+
 def q_ks_drift(spark, sf_dir):
     """Kolmogorov-Smirnov drift per series (first vs last 15 days off
     the 1h histogram tier).  ks_num is the exact integer max-ECDF-gap
@@ -4013,6 +4067,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "table_profile_events": (q_table_profile_events, SQL_TABLE_PROFILE_EVENTS),
     "acf_1h": (q_acf_1h, SQL_ACF_1H),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "sax_6h": (q_sax_6h, SQL_SAX_6H),
     "table_profile_docs": (q_table_profile_docs, SQL_TABLE_PROFILE_DOCS),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),
