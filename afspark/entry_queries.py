@@ -3696,6 +3696,44 @@ SQL_M4_1H = """
 """
 
 
+def q_dtw_events_1h(spark, sf_dir):
+    """DTW distances (Sakoe-Chiba radius 24) between the 8 lowest-id
+    user series over the 1h cents tier — all 28 ordered pairs.
+
+    Integer cents make every warped cost an exact integer sum, so dtw_c
+    is engine- and partitioning-exact; the oracle is the VALUES golden
+    from the shared numpy twin (dtw_local) over pandas-assembled tiers —
+    two independent assembly paths through the driver's hash gate.
+    """
+    from .operators.dtw import dtw_pairs
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    ids = (
+        tier.select(F.col("series_id").cast("long").alias("u"))
+        .distinct()
+        .orderBy("u")
+        .limit(8)
+    )
+    cand = (
+        ids.select(F.col("u").alias("ua"))
+        .crossJoin(ids.select(F.col("u").alias("ub")))
+        .filter(F.col("ua") < F.col("ub"))
+        .select(
+            F.col("ua").cast("string").alias("a_series_id"),
+            F.col("ub").cast("string").alias("b_series_id"),
+        )
+    )
+    out = dtw_pairs(tier, cand, radius=24, value_col="sum")
+    return out.select(
+        F.col("a_series_id").alias("sa"),
+        F.col("b_series_id").alias("sb"),
+        "n_a",
+        "n_b",
+        F.col("dtw").cast("long").alias("dtw_c"),
+    )
+
+
 def q_sax_6h(spark, sf_dir):
     """SAX symbolization (alphabet 4, 6h PAA frames) of the 1h cents
     tier.  Letters come from z-scores built out of exact integer sums
@@ -4068,6 +4106,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "acf_1h": (q_acf_1h, SQL_ACF_1H),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "sax_6h": (q_sax_6h, SQL_SAX_6H),
+    "dtw_events_1h": (q_dtw_events_1h, GOLDEN_SQL["dtw_events_1h"]),
     "table_profile_docs": (q_table_profile_docs, SQL_TABLE_PROFILE_DOCS),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),

@@ -407,6 +407,36 @@ def golden_holt_winters_events():
     return values_sql(df, {"series_id"})
 
 
+def golden_dtw_events():
+    """Numpy twin of entry_queries.q_dtw_events_1h: 1h cents tier
+    assembled in pandas, all 28 ordered pairs of the 8 lowest user ids,
+    shared dtw_local DP (radius 24).  Integer cents -> exact distances."""
+    from afspark.operators.dtw import dtw_local
+
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    v = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    be = (e["ts"].to_numpy("datetime64[s]").astype(np.int64) // 3600) * 3600
+    t = pd.DataFrame(
+        {"u": e["user_id"].to_numpy(np.int64), "be": be, "v": v}
+    ).groupby(["u", "be"], sort=True)["v"].sum().reset_index()
+    seqs = {
+        int(u): g.sort_values("be")["v"].to_numpy(np.float64)
+        for u, g in t.groupby("u")
+    }
+    ids = sorted(seqs)[:8]
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = dtw_local(seqs[a], seqs[b], radius=24)
+            rows.append(
+                (str(a), str(b), len(seqs[a]), len(seqs[b]), int(d))
+            )
+    df = pd.DataFrame(rows, columns=["sa", "sb", "n_a", "n_b", "dtw_c"])
+    return values_sql(df, {"sa", "sb"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -418,6 +448,7 @@ def main():
         "seasonal_holt_events": golden_seasonal_holt_events(),
         "holt_winters_events": golden_holt_winters_events(),
         "pq_recall_check": golden_pq_recall(),
+        "dtw_events_1h": golden_dtw_events(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
