@@ -3696,6 +3696,18 @@ SQL_M4_1H = """
 """
 
 
+def q_dominant_period_1h(spark, sf_dir):
+    """Dominant seasonality per series off the 1h cents tier (FFT
+    periodogram; mean-filled spine, DC excluded, first-max tie rule).
+    Oracle = VALUES golden from the shared numpy twin
+    (periodogram.dominant_period_local) over a pandas-assembled tier."""
+    from .operators.periodogram import dominant_period
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"])
+    return dominant_period(tier, 3600, value_col="sum")
+
+
 def q_dtw_events_1h(spark, sf_dir):
     """DTW distances (Sakoe-Chiba radius 24) between the 8 lowest-id
     user series over the 1h cents tier — all 28 ordered pairs.
@@ -4107,6 +4119,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "sax_6h": (q_sax_6h, SQL_SAX_6H),
     "dtw_events_1h": (q_dtw_events_1h, GOLDEN_SQL["dtw_events_1h"]),
+    "dominant_period_1h": (q_dominant_period_1h, GOLDEN_SQL["dominant_period_1h"]),
     "table_profile_docs": (q_table_profile_docs, SQL_TABLE_PROFILE_DOCS),
     "changes_1h": (q_changes_1h, SQL_CHANGES_1H),
     "rolling_p95_24h": (q_rolling_p95_24h, SQL_ROLLING_P95),

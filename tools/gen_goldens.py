@@ -437,6 +437,32 @@ def golden_dtw_events():
     return values_sql(df, {"sa", "sb"})
 
 
+def golden_dominant_period():
+    """Numpy twin of entry_queries.q_dominant_period_1h: pandas 1h cents
+    tier through the SAME dominant_period_local as the Spark path."""
+    from afspark.operators.periodogram import dominant_period_local
+
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    v = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    be = (e["ts"].to_numpy("datetime64[s]").astype(np.int64) // 3600) * 3600
+    t = pd.DataFrame(
+        {"u": e["user_id"].to_numpy(np.int64), "be": be, "v": v}
+    ).groupby(["u", "be"], sort=True)["v"].sum().reset_index()
+    rows = []
+    for u, g in t.groupby("u"):
+        got = dominant_period_local(
+            g["be"].to_numpy(np.int64), g["v"].to_numpy(np.float64), 3600
+        )
+        if got is not None:
+            rows.append((str(u), *got))
+    df = pd.DataFrame(
+        rows, columns=["series_id", "n_grid", "k_peak", "period_s", "ratio_micros"]
+    )
+    return values_sql(df, {"series_id"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -449,6 +475,7 @@ def main():
         "holt_winters_events": golden_holt_winters_events(),
         "pq_recall_check": golden_pq_recall(),
         "dtw_events_1h": golden_dtw_events(),
+        "dominant_period_1h": golden_dominant_period(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
