@@ -3994,6 +3994,98 @@ SQL_TABLE_PROFILE_DOCS = " UNION ALL ".join(
 )
 
 
+def q_fano_burstiness_1h(spark, sf_dir):
+    """Arrival burstiness per event_type from hourly counts: Fano factor
+    + Goh-Barabasi B.  Exact-integer sufficient statistics (Σn, Σn²,
+    span); one identical float expression both engines."""
+    from .operators.tsanalytics import fano_burstiness
+
+    ev = _read(spark, sf_dir, "events")
+    out = fano_burstiness(ev, 3600, keys=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_buckets",
+        _r(F.col("mean_rate"), 9).alias("mean_rate"),
+        _r(F.col("fano"), 9).alias("fano"),
+        _r(F.col("burstiness"), 9).alias("burstiness"),
+    )
+
+
+SQL_FANO_BURSTINESS = """
+    WITH b AS (SELECT event_type,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, sum(n) AS n_events, sum(n*n) AS ss,
+                 min(be) AS lo, max(be) AS hi
+          FROM b GROUP BY 1),
+    x AS (SELECT event_type, n_events,
+                 CAST((hi - lo)/3600 + 1 AS BIGINT) AS n_buckets,
+                 n_events / ((hi - lo)/3600 + 1) AS m,
+                 ss / ((hi - lo)/3600 + 1)
+                   - (n_events / ((hi - lo)/3600 + 1))
+                     * (n_events / ((hi - lo)/3600 + 1)) AS var
+          FROM a)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events, n_buckets,
+           floor(m * 1000000000.0 + 0.5) / 1000000000.0 AS mean_rate,
+           CASE WHEN m > 0 THEN
+             floor(var / m * 1000000000.0 + 0.5) / 1000000000.0
+           END AS fano,
+           CASE WHEN sqrt(var) + m > 0 THEN
+             floor((sqrt(var) - m) / (sqrt(var) + m) * 1000000000.0 + 0.5)
+               / 1000000000.0
+           END AS burstiness
+    FROM x
+"""
+
+
+def q_chi2_lang_source(spark, sf_dir):
+    """Chi-squared independence of lang x source over documents (corpus-
+    mix drift screen) + Cramer's V.  chi2_nanos is the per-cell-rounded
+    exact-integer sum with the absent-cell mass added in closed form."""
+    from .operators.profile import chi2_independence
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chi2_independence(docs, "lang", "source")
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        "n_rows",
+        "n_cols",
+        "dof",
+        "chi2_nanos",
+        _r(F.col("cramers_v"), 9).alias("cramers_v"),
+    )
+
+
+SQL_CHI2_LANG_SOURCE = """
+    WITH cells AS (SELECT lang, source, count(*) AS o
+                   FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+    c AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    j AS (SELECT cells.o, r.rt, c.ct, t.n, r.rt * c.ct / t.n AS e
+          FROM cells JOIN r USING (lang) JOIN c USING (source)
+          CROSS JOIN t),
+    s AS (SELECT max(n) AS n,
+                 sum(CAST(floor((o - e)*(o - e)/e * 1000000000.0 + 0.5)
+                          AS BIGINT)) AS tp,
+                 sum(CAST(floor(e * 1000000000.0 + 0.5) AS BIGINT)) AS se
+          FROM j),
+    card AS (SELECT (SELECT count(*) FROM r) AS rr,
+                    (SELECT count(*) FROM c) AS cc)
+    SELECT n, CAST(rr AS BIGINT) AS n_rows, CAST(cc AS BIGINT) AS n_cols,
+           CAST((rr - 1) * (cc - 1) AS BIGINT) AS dof,
+           CAST(tp + n * 1000000000 - se AS BIGINT) AS chi2_nanos,
+           CASE WHEN n > 0 AND least(rr - 1, cc - 1) > 0 THEN
+             floor(sqrt(((tp + n * 1000000000 - se) / 1000000000.0)
+                        / (n * least(rr - 1, cc - 1)))
+                   * 1000000000.0 + 0.5) / 1000000000.0
+           END AS cramers_v
+    FROM s CROSS JOIN card
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4133,6 +4225,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_holt_winters_events,
         GOLDEN_SQL.get("holt_winters_events"),
     ),
+    "fano_burstiness_1h": (q_fano_burstiness_1h, SQL_FANO_BURSTINESS),
+    "chi2_lang_source": (q_chi2_lang_source, SQL_CHI2_LANG_SOURCE),
 }
 
 

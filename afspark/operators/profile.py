@@ -118,3 +118,89 @@ def profile_table(
         wide.select(F.explode(F.array(*structs)).alias("m"))
         .select(*[F.col(f"m.{f}") for f in PROFILE_COLUMNS])
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    exact_nanos: bool = True,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns (e.g. lang x source over a web-pages corpus) + Cramer's V
+    effect size — the categorical sibling of psi_drift/ks_drift for
+    corpus-mix monitoring.
+
+    chi2 = Σ_cells (o - e)^2 / e with e = row_total * col_total / N over
+    the observed contingency table (absent combinations contribute
+    o = 0 only when either margin is 0, i.e. never — so the observed
+    cross-join of the two margins is the correct support and is built
+    WITHOUT materializing absent cells: present cells contribute
+    (o-e)^2/e, and the absent-cell mass Σe is added in closed form as
+    N - Σ_present e, since Σ_all e = N exactly).
+
+    Determinism: all counts are exact integers; per-cell terms go
+    through one identical float expression; the cross-cell float SUM is
+    made order-independent by rounding each term to integer nanos first
+    (the psi_drift checksum pattern).
+
+    Scale shape: one groupBy(row,col) count, two tiny margin aggregates
+    broadcast-joined back, one scalar aggregate.  Cardinalities are
+    categorical (languages, sources) so every join side after the first
+    aggregate is broadcast-sized by construction.
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("_o"))
+    rows = cells.groupBy(row_col).agg(F.sum("_o").alias("_rt"))
+    cols = cells.groupBy(col_col).agg(F.sum("_o").alias("_ct"))
+    tot = cells.agg(F.sum("_o").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rows), row_col)
+        .join(F.broadcast(cols), col_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_rt") * F.col("_ct") / F.col("_n")
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    per_cell = j.select(
+        F.col("_n").alias("_n"),
+        F.col("_rt"),
+        F.col("_ct"),
+        e.alias("_e"),
+        (F.floor(term * 1e9 + 0.5).cast("long")
+         if exact_nanos else term).alias("_t"),
+        # absent-cell correction needs Σ_present e as exact-as-possible
+        # float; rounded to nanos for the same order-independence
+        F.floor(e * 1e9 + 0.5).cast("long").alias("_e_nanos"),
+    )
+    r_card = rows.agg(F.count(F.lit(1)).alias("_r")).select("_r")
+    c_card = cols.agg(F.count(F.lit(1)).alias("_c")).select("_c")
+    out = (
+        per_cell.agg(
+            F.first("_n").alias("n"),
+            F.sum("_t").alias("_chi2_present_nanos"),
+            F.sum("_e_nanos").alias("_sum_e_nanos"),
+        )
+        .crossJoin(F.broadcast(r_card))
+        .crossJoin(F.broadcast(c_card))
+    )
+    # absent cells have o=0 so each contributes e; Σ_all e == N exactly,
+    # hence Σ_absent e = N - Σ_present e (in nanos, exact integers)
+    chi2_nanos = (
+        F.col("_chi2_present_nanos")
+        + F.col("n") * F.lit(1_000_000_000)
+        - F.col("_sum_e_nanos")
+    )
+    chi2 = chi2_nanos / 1e9
+    dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    mindim = F.least(F.col("_r") - 1, F.col("_c") - 1)
+    v = F.when(
+        (F.col("n") > 0) & (mindim > 0),
+        F.sqrt(chi2 / (F.col("n") * mindim)),
+    )
+    return out.select(
+        "n",
+        F.col("_r").cast("long").alias("n_rows"),
+        F.col("_c").cast("long").alias("n_cols"),
+        dof.cast("long").alias("dof"),
+        chi2_nanos.cast("long").alias("chi2_nanos"),
+        v.alias("cramers_v"),
+    )

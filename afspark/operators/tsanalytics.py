@@ -1438,3 +1438,64 @@ def holt_winters_fit(
     return per_chunk.groupBy(*keys).applyInPandas(
         lambda pdf: series_scan(pdf), out_schema
     )
+
+
+def fano_burstiness(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Arrival burstiness per series from bucketed event counts: Fano
+    factor (index of dispersion, var/mean) and the Goh-Barabasi
+    burstiness coefficient B = (sigma - mu)/(sigma + mu).
+
+    A Poisson arrival process has Fano == 1 and B ~ 0; crawl traffic,
+    retries, and bot bursts push both up — the standard screen a web-
+    scale ingest runs per domain/series before alert thresholds are
+    trusted (reference scope is feature kernels, SURVEY.md §2.4; this
+    extends the monitoring tier like the PromQL family).
+
+    Empty buckets COUNT: the series span is [min bucket, max bucket] and
+    the n_buckets denominator is the full span width, so a series that
+    goes quiet reads as bursty rather than uniform.  Zero buckets add 0
+    to both Σn and Σn², so only the observed buckets are aggregated —
+    no spine join, no explode.
+
+    Determinism: Σn, Σn², and the span are exact integers (map-side
+    combined, order-independent); mean/var/Fano/B are computed from them
+    by one identical float expression in the SQL twin.
+
+    Scale shape: two keyed aggregations (series×bucket, then series) —
+    the same shuffle profile as rollup_points.  No windows, no Python.
+    """
+    be = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+          * bucket_seconds).cast("long")
+    per_bucket = (
+        points.select(*keys, be.alias("_be"))
+        .groupBy(*keys, "_be")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = per_bucket.groupBy(*keys).agg(
+        F.sum("_n").alias("n_events"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_ss"),
+        F.min("_be").alias("_lo"),
+        F.max("_be").alias("_hi"),
+    )
+    nb = ((F.col("_hi") - F.col("_lo")) / bucket_seconds + 1).cast("long")
+    mean = F.col("n_events") / F.col("n_buckets")
+    # population variance over ALL buckets in the span (zeros included):
+    # E[n^2] - mean^2 with E over n_buckets
+    var = F.col("_ss") / F.col("n_buckets") - mean * mean
+    sigma = F.sqrt(var)
+    return (
+        agg.withColumn("n_buckets", nb)
+        .withColumn("mean_rate", mean)
+        .withColumn("fano", F.when(mean > 0, var / mean))
+        .withColumn(
+            "burstiness",
+            F.when(sigma + mean > 0, (sigma - mean) / (sigma + mean)),
+        )
+        .select(*keys, "n_events", "n_buckets", "mean_rate", "fano",
+                "burstiness")
+    )

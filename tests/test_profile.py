@@ -75,3 +75,66 @@ def test_profile_partitioning_invariant(sample):
     ).collect()
     key = lambda rows: sorted(map(tuple, rows))
     assert key(base) == key(shuffled)
+
+
+class TestChi2Independence:
+    def test_hand_golden_2x2(self, spark):
+        # contingency table: a/x=10, a/y=20, b/x=30, b/y=40
+        import numpy as np
+
+        rows = (
+            [("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 30 + [("b", "y")] * 40
+        )
+        df = spark.createDataFrame(rows, "lang string, source string")
+        from afspark.operators.profile import chi2_independence
+
+        out = chi2_independence(df, "lang", "source").collect()[0]
+        o = np.array([[10, 20], [30, 40]], dtype=float)
+        n = o.sum()
+        e = np.outer(o.sum(1), o.sum(0)) / n
+        # the operator rounds each cell term to nanos before summing
+        chi2 = sum(
+            np.floor(t * 1e9 + 0.5) for t in ((o - e) ** 2 / e).ravel()
+        )
+        assert out["n"] == 100
+        assert out["dof"] == 1
+        assert out["chi2_nanos"] == int(chi2)
+        v = np.sqrt((chi2 / 1e9) / (n * 1))
+        assert abs(out["cramers_v"] - v) < 1e-9
+
+    def test_absent_cell_mass(self, spark):
+        # (b, y) never occurs: o=0, e=rt*ct/N must still contribute e
+        import numpy as np
+
+        rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 10
+        df = spark.createDataFrame(rows, "lang string, source string")
+        from afspark.operators.profile import chi2_independence
+
+        out = chi2_independence(df, "lang", "source").collect()[0]
+        o = np.array([[5, 5], [10, 0]], dtype=float)
+        e = np.outer(o.sum(1), o.sum(0)) / o.sum()
+        # reproduce the closed-form absent-cell correction in nanos
+        present = [(0, 0), (0, 1), (1, 0)]
+        tp = sum(
+            np.floor((o[i, j] - e[i, j]) ** 2 / e[i, j] * 1e9 + 0.5)
+            for i, j in present
+        )
+        se = sum(np.floor(e[i, j] * 1e9 + 0.5) for i, j in present)
+        want = int(tp + o.sum() * 1e9 - se)
+        assert out["chi2_nanos"] == want
+        # and it approximates the true chi2 including the absent cell
+        true = ((o - e) ** 2 / e).sum()
+        assert abs(out["chi2_nanos"] / 1e9 - true) < 1e-6
+
+    def test_independent_columns_near_zero(self, spark):
+        # perfectly proportional table -> chi2 == 0
+        rows = (
+            [("a", "x")] * 6 + [("a", "y")] * 4
+            + [("b", "x")] * 12 + [("b", "y")] * 8
+        )
+        df = spark.createDataFrame(rows, "lang string, source string")
+        from afspark.operators.profile import chi2_independence
+
+        out = chi2_independence(df, "lang", "source").collect()[0]
+        assert abs(out["chi2_nanos"]) <= 4  # nanos rounding slack

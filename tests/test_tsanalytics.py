@@ -877,3 +877,40 @@ def test_acf_matches_numpy_pearson(spark):
     for lag in (1, 3):
         want = np.corrcoef(x[:-lag], x[lag:])[0, 1]
         assert out[lag] == pytest.approx(float(want), abs=1e-9)
+
+
+class TestFanoBurstiness:
+    def test_hand_golden(self, spark):
+        import datetime as dt
+
+        # series A: counts per hour = [3, 0, 1] over a 3-bucket span
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        for off_h, k in [(0, 3), (2, 1)]:
+            for i in range(k):
+                rows.append(("A", base + dt.timedelta(hours=off_h, minutes=i)))
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+        from afspark.operators.tsanalytics import fano_burstiness
+
+        out = fano_burstiness(df, 3600).collect()[0]
+        # n=[3,0,1]: nb=3, mean=4/3, E[n^2]=10/3, var=10/3-16/9=14/9
+        assert out["n_events"] == 4
+        assert out["n_buckets"] == 3
+        mean, var = 4 / 3, 14 / 9
+        assert abs(out["mean_rate"] - mean) < 1e-12
+        assert abs(out["fano"] - var / mean) < 1e-12
+        sig = var**0.5
+        assert abs(out["burstiness"] - (sig - mean) / (sig + mean)) < 1e-12
+
+    def test_poisson_uniform_is_low(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # exactly one event per hour -> var=0 -> fano=0, B=-1
+        rows = [("U", base + dt.timedelta(hours=h)) for h in range(48)]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+        from afspark.operators.tsanalytics import fano_burstiness
+
+        out = fano_burstiness(df, 3600).collect()[0]
+        assert out["fano"] == 0.0
+        assert out["burstiness"] == -1.0
