@@ -4086,6 +4086,31 @@ SQL_CHI2_LANG_SOURCE = """
 """
 
 
+def q_distinct_users_sliding_6h(spark, sf_dir):
+    """Rolling 6h unique users reported hourly via Spark's native sliding
+    window (explode factor = window/hop = 6, then the exact-tier dedup).
+    """
+    from .operators.distinct import sliding_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    out = sliding_distinct(ev, 21600, 3600, entity_col="user_id")
+    return out.select(
+        "window_start",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+SQL_DISTINCT_SLIDING = """
+    WITH x AS (SELECT user_id, floor(epoch(ts)/3600)::BIGINT AS he
+               FROM events),
+    w AS (SELECT DISTINCT user_id, (he - j.j) * 3600 AS window_start
+          FROM x CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) j(j))
+    SELECT CAST(window_start AS BIGINT) AS window_start,
+           count(*) AS n_distinct
+    FROM w GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4227,6 +4252,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "fano_burstiness_1h": (q_fano_burstiness_1h, SQL_FANO_BURSTINESS),
     "chi2_lang_source": (q_chi2_lang_source, SQL_CHI2_LANG_SOURCE),
+    "distinct_users_sliding_6h": (
+        q_distinct_users_sliding_6h,
+        SQL_DISTINCT_SLIDING,
+    ),
 }
 
 

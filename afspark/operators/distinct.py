@@ -121,3 +121,50 @@ def hll_merge_rollup(
     return merged.withColumn(
         "n_estimate", F.hll_sketch_estimate("hll").cast("long")
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    window_seconds: int,
+    hop_seconds: int,
+    entity_col: str = "user_id",
+    keys: list[str] = [],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact distinct-entity counts over SLIDING windows (window > hop),
+    e.g. rolling 6h uniques reported hourly — the monitoring twin of the
+    tumbling tiers above, via Spark's native sliding
+    ``F.window(ts, windowDuration, slideDuration)``.
+
+    Plan shape: the window generator EXPLODES each row into
+    window/hop copies (the generate operator Catalyst emits for sliding
+    windows), then one groupBy(keys, window, entity) dedup + one
+    algebraic count — the exact-tier strategy of distinct_rollup applied
+    to overlapping windows.  The replication factor is the fixed ratio
+    window/hop (6 here, NOT data-dependent), and the dedup's map-side
+    partial aggregation collapses repeats before the shuffle, so shuffle
+    volume is ≤ ratio × the distinct set.  At 100 TB with
+    high-cardinality entities, swap the inner dedup for
+    ``hll_sketch_agg`` per (keys, window) and union hourly sketches —
+    same plan, fixed-size state (hll_merge_rollup shows the pattern).
+
+    Windows are epoch-aligned (Spark aligns to 1970-01-01 in the session
+    zone; tests pin UTC), matching floor(epoch/hop)*hop arithmetic.
+    Output: keys + window_start epoch, n_distinct.
+    """
+    ratio = window_seconds // hop_seconds
+    assert window_seconds % hop_seconds == 0 and ratio >= 1
+    win = F.window(
+        F.col(ts_col), f"{window_seconds} seconds", f"{hop_seconds} seconds"
+    )
+    dedup = (
+        df.select(*keys, entity_col, win.alias("_w"))
+        .select(*keys, entity_col,
+                F.unix_timestamp("_w.start").alias("window_start"))
+        .groupBy(*keys, "window_start", entity_col)
+        .agg(F.lit(1).alias("_one"))
+    )
+    return (
+        dedup.groupBy(*keys, "window_start")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )

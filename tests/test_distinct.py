@@ -99,3 +99,47 @@ def test_hll_shuffle_is_partial_agged(spark):
     assert "partial_hll_sketch_agg" in plan.lower().replace(" ", "_") or (
         "HllSketchAgg" in plan and "partial" in plan.lower()
     ), plan
+
+
+class TestSlidingDistinct:
+    def test_brute_force_parity(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # deterministic scatter incl. exact hour boundaries and repeats
+        for i in range(200):
+            m = (i * 37) % 600  # minutes over a 10h span
+            rows.append(((i * 13) % 17, base + dt.timedelta(minutes=m)))
+        rows.append((99, base))  # exactly on the epoch-aligned boundary
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        from afspark.operators.distinct import sliding_distinct
+
+        got = {
+            r["window_start"]: r["n_distinct"]
+            for r in sliding_distinct(df, 21600, 3600).collect()
+        }
+        # brute force: every hourly start h covering at least one event
+        import collections
+
+        want = collections.defaultdict(set)
+        for u, ts in rows:
+            e = int(ts.timestamp())
+            he = e // 3600
+            for j in range(6):
+                want[(he - j) * 3600].add(u)
+        assert got == {k: len(v) for k, v in want.items()}
+
+    def test_window_count_per_event(self, spark):
+        # one event -> exactly window/hop = 6 windows
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 5, 30))],
+            "user_id long, ts timestamp",
+        )
+        from afspark.operators.distinct import sliding_distinct
+
+        out = sliding_distinct(df, 21600, 3600).collect()
+        assert len(out) == 6
+        assert all(r["n_distinct"] == 1 for r in out)
