@@ -4111,6 +4111,53 @@ SQL_DISTINCT_SLIDING = """
 """
 
 
+def q_trend_theilsen_1d(spark, sf_dir):
+    """Theil-Sen robust daily trend per series from 1h bucket means
+    (median of pairwise slopes; cents units for exact sufficient
+    statistics)."""
+    from .operators.tsanalytics import theil_sen_trend
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = theil_sen_trend(pts, 3600, 86400)
+    return out.select(
+        "series_id",
+        F.col("group_epoch").alias("day_epoch"),
+        "n_buckets",
+        "n_pairs",
+        _r(F.col("slope"), 9).alias("slope_c_per_s"),
+        _r(F.col("intercept") / 100.0, 6).alias("intercept"),
+    )
+
+
+SQL_TREND_THEILSEN = """
+    WITH c AS (SELECT user_id, floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                      (floor(epoch(ts)/86400)*86400)::BIGINT AS de
+               FROM events),
+    h AS (SELECT user_id, de, be, sum(v) AS sv, count(*) AS n
+          FROM c GROUP BY 1, 2, 3),
+    p AS (SELECT a.user_id, a.de,
+                 (b.sv/b.n - a.sv/a.n) / (b.be - a.be) AS slope
+          FROM h a JOIN h b
+            ON a.user_id = b.user_id AND a.de = b.de AND b.be > a.be),
+    s AS (SELECT user_id, de, count(*) AS n_pairs,
+                 quantile_cont(slope, 0.5) AS slope
+          FROM p GROUP BY 1, 2),
+    r AS (SELECT h.user_id, h.de, s.n_pairs, s.slope,
+                 count(*) AS n_buckets,
+                 quantile_cont(h.sv/h.n - s.slope*(h.be - h.de), 0.5)
+                   AS icept
+          FROM h JOIN s ON h.user_id = s.user_id AND h.de = s.de
+          GROUP BY 1, 2, 3, 4)
+    SELECT CAST(user_id AS VARCHAR) AS series_id, de AS day_epoch,
+           n_buckets, n_pairs,
+           floor(slope * 1000000000.0 + 0.5) / 1000000000.0
+             AS slope_c_per_s,
+           floor(icept / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+    FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4256,6 +4303,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_distinct_users_sliding_6h,
         SQL_DISTINCT_SLIDING,
     ),
+    "trend_theilsen_1d": (q_trend_theilsen_1d, SQL_TREND_THEILSEN),
 }
 
 

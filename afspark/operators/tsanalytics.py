@@ -1499,3 +1499,79 @@ def fano_burstiness(
         .select(*keys, "n_events", "n_buckets", "mean_rate", "fano",
                 "burstiness")
     )
+
+
+def theil_sen_trend(
+    points: DataFrame,
+    bucket_seconds: int,
+    group_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil-Sen robust trend per (series, group window): the median of
+    all pairwise slopes between bucket means, plus the matching median
+    intercept — the standard outlier-resistant alternative to the OLS
+    deriv_per_bucket (one wild bucket shifts OLS; Theil-Sen tolerates
+    ~29% contamination).
+
+    Slopes are taken between BUCKET MEANS, not raw points: the pairwise
+    explosion is bounded by C(group/bucket, 2) per series-group (276 for
+    1h buckets over 1d) regardless of raw data volume, so the self-join
+    is a tier-sized equi-join on (keys, group) — never all raw pairs.
+
+    Plan shape: one bucket aggregate (map-side combined), one
+    equi-self-join keyed on (keys, group) with the ascending-bucket
+    filter, two exact-percentile aggregates.  ``F.percentile`` and
+    DuckDB ``quantile_cont`` share the continuous-interpolation
+    definition, and slopes are quotients of exact-integer sums through
+    one identical expression — cross-engine stable at the oracle's 1e-9
+    rounding.
+
+    Intercept is at the GROUP-window origin (be - group_start), so its
+    scale stays bounded.  Groups with a single bucket emit nothing
+    (no pair to vote).  Output: keys + group_epoch, n_buckets, n_pairs,
+    slope (value-units/sec), intercept.
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    be = (F.floor(e / bucket_seconds) * bucket_seconds).cast("long")
+    de = (F.floor(e / group_seconds) * group_seconds).cast("long")
+    h = (
+        points.select(
+            *keys, be.alias("_be"), de.alias("_de"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy(*keys, "_de", "_be")
+        .agg(F.sum("_v").alias("_sv"), F.count(F.lit(1)).alias("_n"))
+    )
+    mean = F.col("_sv") / F.col("_n")
+    a = h.select(*keys, "_de", F.col("_be").alias("_be1"),
+                 mean.alias("_m1"))
+    b = h.select(*keys, "_de", F.col("_be").alias("_be2"),
+                 mean.alias("_m2"))
+    pairs = (
+        a.join(b, [*keys, "_de"])
+        .filter(F.col("_be2") > F.col("_be1"))
+        .select(
+            *keys, "_de",
+            ((F.col("_m2") - F.col("_m1"))
+             / (F.col("_be2") - F.col("_be1"))).alias("_slope"),
+        )
+    )
+    s = pairs.groupBy(*keys, "_de").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("_slope", F.lit(0.5)).alias("slope"),
+    )
+    resid = h.join(s, [*keys, "_de"]).select(
+        *keys, "_de", "n_pairs", "slope",
+        (mean - F.col("slope") * (F.col("_be") - F.col("_de"))).alias("_r"),
+    )
+    return (
+        resid.groupBy(*keys, "_de", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.percentile("_r", F.lit(0.5)).alias("intercept"),
+        )
+        .select(*keys, F.col("_de").alias("group_epoch"), "n_buckets",
+                "n_pairs", "slope", "intercept")
+    )

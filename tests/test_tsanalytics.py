@@ -914,3 +914,50 @@ class TestFanoBurstiness:
         out = fano_burstiness(df, 3600).collect()[0]
         assert out["fano"] == 0.0
         assert out["burstiness"] == -1.0
+
+
+class TestTheilSen:
+    def test_hand_golden_outlier_resistance(self, spark):
+        import datetime as dt
+        import numpy as np
+
+        base = dt.datetime(2024, 1, 1)
+        # bucket means: hours 0..5 follow v = 10 + 2*h, hour 3 is a wild
+        # outlier (1000).  OLS slope would be dragged; Theil-Sen stays 2/h.
+        vals = {0: 10, 1: 12, 2: 14, 3: 1000, 4: 18, 5: 20}
+        rows = [
+            ("A", base + dt.timedelta(hours=h, minutes=1), float(v))
+            for h, v in vals.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import theil_sen_trend
+
+        out = theil_sen_trend(df, 3600, 86400).collect()[0]
+        assert out["n_buckets"] == 6
+        assert out["n_pairs"] == 15
+        # numpy twin: median of pairwise slopes between bucket means
+        be = np.array(sorted(vals)) * 3600.0
+        m = np.array([float(vals[h]) for h in sorted(vals)])
+        slopes = [
+            (m[j] - m[i]) / (be[j] - be[i])
+            for i in range(6) for j in range(i + 1, 6)
+        ]
+        want_slope = float(np.median(slopes))
+        assert abs(out["slope"] - want_slope) < 1e-12
+        resid = m - want_slope * be
+        assert abs(out["intercept"] - float(np.median(resid))) < 1e-9
+        # robustness: the clean trend is 2 per hour
+        assert abs(out["slope"] - 2.0 / 3600.0) < 1e-9
+
+    def test_single_bucket_group_emits_nothing(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1, 0, 5), 1.0)],
+            "series_id string, ts timestamp, value double",
+        )
+        from afspark.operators.tsanalytics import theil_sen_trend
+
+        assert theil_sen_trend(df, 3600, 86400).count() == 0
