@@ -4158,6 +4158,57 @@ SQL_TREND_THEILSEN = """
 """
 
 
+def q_pagerank_3it(spark, sf_dir):
+    """3-iteration fixed-point PageRank over the deterministic LCG link
+    graph on documents.  rank_fp is the exact fixed-point integer (1e12
+    = mass 1.0) — every cross-engine sum is an integer sum."""
+    from .operators.linkgraph import derive_links, pagerank_fixed
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = derive_links(docs, out_degree=3)
+    out = pagerank_fixed(docs, edges, n_iter=3, out_degree=3)
+    return out.select(
+        "doc_id",
+        "rank_fp",
+        _r(F.col("rank"), 12).alias("rank"),
+    )
+
+
+SQL_PAGERANK = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    e AS (SELECT doc_id AS src,
+                 (doc_id*1103515245 + j.j*12345 + 7) % (SELECT n FROM nn)
+                   AS dst
+          FROM documents CROSS JOIN (VALUES (0),(1),(2)) AS j(j)),
+    r0 AS (SELECT doc_id AS id,
+                  CAST(floor(1000000000000.0/(SELECT n FROM nn)) AS BIGINT)
+                    AS r
+           FROM documents),
+    m1 AS (SELECT e.dst AS id, sum(CAST(floor(r0.r/3.0) AS BIGINT)) AS mass
+           FROM e JOIN r0 ON r0.id = e.src GROUP BY 1),
+    r1 AS (SELECT d.doc_id AS id,
+                  CAST(floor(150000000000.0/(SELECT n FROM nn)) AS BIGINT)
+                  + CAST(floor(0.85*coalesce(m1.mass, 0)) AS BIGINT) AS r
+           FROM documents d LEFT JOIN m1 ON m1.id = d.doc_id),
+    m2 AS (SELECT e.dst AS id, sum(CAST(floor(r1.r/3.0) AS BIGINT)) AS mass
+           FROM e JOIN r1 ON r1.id = e.src GROUP BY 1),
+    r2 AS (SELECT d.doc_id AS id,
+                  CAST(floor(150000000000.0/(SELECT n FROM nn)) AS BIGINT)
+                  + CAST(floor(0.85*coalesce(m2.mass, 0)) AS BIGINT) AS r
+           FROM documents d LEFT JOIN m2 ON m2.id = d.doc_id),
+    m3 AS (SELECT e.dst AS id, sum(CAST(floor(r2.r/3.0) AS BIGINT)) AS mass
+           FROM e JOIN r2 ON r2.id = e.src GROUP BY 1),
+    r3 AS (SELECT d.doc_id AS id,
+                  CAST(floor(150000000000.0/(SELECT n FROM nn)) AS BIGINT)
+                  + CAST(floor(0.85*coalesce(m3.mass, 0)) AS BIGINT) AS r
+           FROM documents d LEFT JOIN m3 ON m3.id = d.doc_id)
+    SELECT id AS doc_id, r AS rank_fp,
+           floor(r / 1000000000000.0 * 1000000000000.0 + 0.5)
+             / 1000000000000.0 AS rank
+    FROM r3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4304,6 +4355,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_DISTINCT_SLIDING,
     ),
     "trend_theilsen_1d": (q_trend_theilsen_1d, SQL_TREND_THEILSEN),
+    "pagerank_3it": (q_pagerank_3it, SQL_PAGERANK),
 }
 
 

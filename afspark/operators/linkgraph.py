@@ -1,0 +1,133 @@
+"""Link-graph analytics: deterministic edge derivation + fixed-point
+PageRank by iterative join-aggregate.
+
+A Common-Crawl-style corpus is a hyperlink graph; rank mass is the
+classic page-importance signal a training-data pipeline mixes into
+quality scoring (the reference has no graph surface — SURVEY.md §2 is
+feature kernels — this extends the engine the way the dedup/similarity
+family does).
+
+Spark-first shape: each PageRank iteration is ONE equi-join
+(ranks ⋈ edges on src) + ONE keyed aggregation (mass by dst) + one
+left-join back to the node set — no Pregel runtime, no RDDs, and the
+plan is the same join-agg Catalyst already optimizes.  At scale the two
+standing optimizations are (a) pre-partition edges by src once and reuse
+that partitioning every iteration (shuffle only ranks, which are
+n_nodes-sized, never the edge set), and (b) truncate the growing lineage
+with localCheckpoint every few iterations (``checkpoint_every``) so the
+driver's plan and the DAG don't deepen linearly — both standard for
+iterative DataFrame algorithms.
+
+Determinism contract (the driver oracle hashes values): ranks are kept
+in FIXED-POINT integer units (1e12 = total mass 1.0).  Every edge
+contribution is floored to an integer before the sum, so each
+iteration's aggregate is an exact integer sum — order-independent across
+engines and partitionings.  The quantization error vs float PageRank is
+< out_degree × n_iter ulps of 1e-12 per node — far below any ranking
+use — and the SQL twin reproduces the identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # fixed-point mass units per 1.0
+
+
+def derive_links(
+    docs: DataFrame,
+    out_degree: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic synthetic hyperlinks: node i links to
+    (i*1103515245 + j*12345 + 7) mod n for j in 0..out_degree-1 (LCG
+    constants from the classic glibc rand; self-loops and duplicate
+    targets are kept — every node has exactly ``out_degree`` out-edges,
+    so there is no dangling-mass branch).
+
+    Requires contiguous ids 0..n-1 (the documents table's layout).  The
+    modulus is the one scalar aggregate, cross-joined back as a
+    broadcast literal — no collect.
+    """
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    offs = F.array(*[F.lit(j) for j in range(out_degree)])
+    return (
+        docs.select(F.col(id_col).alias("src"))
+        .crossJoin(F.broadcast(n))
+        .select("src", "_n", F.explode(offs).alias("_j"))
+        .select(
+            "src",
+            ((F.col("src") * F.lit(1103515245)
+              + F.col("_j") * F.lit(12345) + F.lit(7))
+             % F.col("_n")).alias("dst"),
+        )
+    )
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    out_degree: int = 3,
+    id_col: str = "doc_id",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-point PageRank, ``n_iter`` synchronous iterations from the
+    uniform vector:  r' = floor((1-d)*SCALE/n) + floor(d * Σ_in floor(r/deg)).
+
+    All inner sums are exact integers (see module docstring); the two
+    float products (r/deg before floor, d*mass before floor) are single
+    IEEE ops on integer-valued doubles — bit-identical across engines.
+
+    ``checkpoint_every=k`` localCheckpoints the rank vector every k
+    iterations (0 = never): at 100-TB edge scale the plan otherwise
+    re-derives all prior iterations on every action and the lineage
+    deepens linearly.  Edges are reused unchanged every iteration —
+    persist/bucket them by src upstream for shuffle reuse.
+    """
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_id", "_n",
+            F.floor(F.lit(float(SCALE)) / F.col("_n"))
+            .cast("long").alias("_r"),
+        )
+    )
+    base = F.floor(
+        F.lit((1.0 - damping) * SCALE) / F.col("_n")
+    ).cast("long")
+    for it in range(n_iter):
+        mass = (
+            edges.join(
+                ranks.select(F.col("_id").alias("src"), "_r"), "src"
+            )
+            .select(
+                "dst",
+                F.floor(F.col("_r") / F.lit(float(out_degree)))
+                .cast("long").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_mass"))
+        )
+        ranks = (
+            ranks.select("_id", "_n")
+            .join(mass.withColumnRenamed("dst", "_id"), "_id", "left")
+            .select(
+                "_id", "_n",
+                (base
+                 + F.floor(
+                     F.lit(damping) * F.coalesce("_mass", F.lit(0))
+                 ).cast("long")).alias("_r"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("_id").alias(id_col),
+        F.col("_r").alias("rank_fp"),
+        (F.col("_r") / F.lit(float(SCALE))).alias("rank"),
+    )

@@ -1,0 +1,65 @@
+"""Fixed-point PageRank over the deterministic LCG link graph
+(operators/linkgraph.py)."""
+
+import numpy as np
+import pytest
+
+from afspark.operators.linkgraph import (
+    SCALE,
+    derive_links,
+    pagerank_fixed,
+)
+
+
+def _numpy_twin(n: int, n_iter: int = 3, d: float = 0.85, deg: int = 3):
+    """Local fixed-point PageRank twin with the identical flooring."""
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    j = np.tile(np.arange(deg, dtype=np.int64), n)
+    dst = (src * 1103515245 + j * 12345 + 7) % n
+    r = np.full(n, SCALE // n, dtype=np.int64)
+    base = int(np.floor((1.0 - d) * SCALE / n))
+    for _ in range(n_iter):
+        contrib = np.floor(r[src] / float(deg)).astype(np.int64)
+        mass = np.zeros(n, dtype=np.int64)
+        np.add.at(mass, dst, contrib)
+        r = base + np.floor(d * mass).astype(np.int64)
+    return r
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    return spark.range(40).withColumnRenamed("id", "doc_id")
+
+
+def test_matches_numpy_twin(spark, nodes):
+    edges = derive_links(nodes, out_degree=3)
+    got = {
+        r["doc_id"]: r["rank_fp"]
+        for r in pagerank_fixed(nodes, edges, n_iter=3).collect()
+    }
+    want = _numpy_twin(40)
+    assert got == {i: int(want[i]) for i in range(40)}
+
+
+def test_out_degree_exact(spark, nodes):
+    edges = derive_links(nodes, out_degree=3)
+    per_src = {r["src"]: r["n"] for r in
+               edges.groupBy("src").count().withColumnRenamed(
+                   "count", "n").collect()}
+    assert per_src == {i: 3 for i in range(40)}
+
+
+def test_mass_approximately_conserved(spark, nodes):
+    # flooring only ever REMOVES mass: total stays within
+    # n_iter * n * (deg + 2) units of SCALE
+    edges = derive_links(nodes, out_degree=3)
+    out = pagerank_fixed(nodes, edges, n_iter=3)
+    total = out.groupBy().sum("rank_fp").collect()[0][0]
+    assert SCALE - 3 * 40 * 5 <= total <= SCALE
+
+
+def test_checkpoint_path_identical(spark, nodes):
+    edges = derive_links(nodes, out_degree=3)
+    a = pagerank_fixed(nodes, edges, n_iter=4).collect()
+    b = pagerank_fixed(nodes, edges, n_iter=4, checkpoint_every=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
