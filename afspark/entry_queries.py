@@ -4209,6 +4209,16 @@ SQL_PAGERANK = """
 """
 
 
+def q_matrix_profile_1h(spark, sf_dir):
+    """Per-series matrix-profile discord + motif over the 1h cents tier
+    (m = 24 buckets ~ one day).  Golden VALUES oracle from the identical
+    matrix_profile_local kernel (tools/gen_goldens.py)."""
+    from .operators.matrixprofile import matrix_profile_discord
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    return matrix_profile_discord(pts, 3600, 24)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4356,6 +4366,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "trend_theilsen_1d": (q_trend_theilsen_1d, SQL_TREND_THEILSEN),
     "pagerank_3it": (q_pagerank_3it, SQL_PAGERANK),
+    "matrix_profile_1h": (
+        q_matrix_profile_1h,
+        GOLDEN_SQL.get("matrix_profile_1h"),
+    ),
 }
 
 

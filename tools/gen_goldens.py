@@ -463,6 +463,47 @@ def golden_dominant_period():
     return values_sql(df, {"series_id"})
 
 
+def golden_matrix_profile():
+    """Numpy twin of entry_queries.q_matrix_profile_1h: pandas 1h cents
+    tier through the SAME matrix_profile_local kernel (m=24)."""
+    from afspark.operators.matrixprofile import matrix_profile_local
+
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    v = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    be = (e["ts"].to_numpy("datetime64[s]").astype(np.int64) // 3600) * 3600
+    t = pd.DataFrame(
+        {"u": e["user_id"].to_numpy(np.int64), "be": be, "v": v}
+    ).groupby(["u", "be"], sort=True)["v"].sum().reset_index()
+    rows = []
+    for u, g in t.groupby("u"):
+        g = g.sort_values("be", kind="mergesort").reset_index(drop=True)
+        got = matrix_profile_local(g["v"].to_numpy(np.float64), 24)
+        if got is None:
+            continue
+        mp, nn = got
+        di, mi = int(mp.argmax()), int(mp.argmin())
+        rows.append(
+            (
+                str(u), len(g), int(mp.size),
+                di, int(g["be"].iloc[di]),
+                int(np.floor(mp[di] * 1e6 + 0.5)),
+                mi, int(nn[mi]),
+                int(np.floor(mp[mi] * 1e6 + 0.5)),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "series_id", "n_buckets", "n_windows",
+            "discord_idx", "discord_epoch", "discord_mp_u",
+            "motif_idx", "motif_nn", "motif_mp_u",
+        ],
+    )
+    return values_sql(df, {"series_id"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -476,6 +517,7 @@ def main():
         "pq_recall_check": golden_pq_recall(),
         "dtw_events_1h": golden_dtw_events(),
         "dominant_period_1h": golden_dominant_period(),
+        "matrix_profile_1h": golden_matrix_profile(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
