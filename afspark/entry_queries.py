@@ -4219,6 +4219,64 @@ def q_matrix_profile_1h(spark, sf_dir):
     return matrix_profile_discord(pts, 3600, 24)
 
 
+def q_pettitt_1h(spark, sf_dir):
+    """Pettitt rank changepoint per series over the 1h cents tier —
+    exact-integer U statistics via the rank recurrence."""
+    from .operators.tsanalytics import pettitt_changepoint
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = pettitt_changepoint(pts, 3600)
+    return out.select(
+        "series_id",
+        "n_buckets",
+        F.col("k_stat").cast("long").alias("k_stat"),
+        "cp_epoch",
+        F.col("u_at_cp").cast("long").alias("u_at_cp"),
+        _r(F.col("p_approx"), 9).alias("p_approx"),
+    )
+
+
+SQL_PETTITT = """
+    WITH c AS (SELECT user_id, floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be
+               FROM events),
+    h AS (SELECT user_id, be, sum(v) AS x FROM c GROUP BY 1, 2),
+    t AS (SELECT user_id, be,
+                 count(*) OVER (PARTITION BY user_id) AS b,
+                 rank() OVER (PARTITION BY user_id ORDER BY x DESC)
+                 - rank() OVER (PARTITION BY user_id ORDER BY x ASC) AS s
+          FROM h),
+    u AS (SELECT user_id, be, b,
+                 sum(s) OVER (PARTITION BY user_id ORDER BY be
+                              ROWS UNBOUNDED PRECEDING) AS u,
+                 row_number() OVER (PARTITION BY user_id ORDER BY be DESC)
+                   AS rn
+          FROM t),
+    cand AS (SELECT * FROM u WHERE rn > 1 AND b >= 2),
+    k AS (SELECT user_id, b, max(abs(u)) AS k FROM cand GROUP BY 1, 2),
+    best AS (SELECT c2.user_id, c2.b AS n_buckets, k.k AS k_stat,
+                    min(c2.be) AS cp_epoch,
+                    min_by(c2.u, c2.be) AS u_at_cp
+             FROM cand c2
+             JOIN k ON c2.user_id = k.user_id AND abs(c2.u) = k.k
+             GROUP BY 1, 2, 3)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(k_stat AS BIGINT) AS k_stat,
+           cp_epoch,
+           CAST(u_at_cp AS BIGINT) AS u_at_cp,
+           floor(least(
+                   2.0 * exp(-6.0 * k_stat * k_stat
+                             / (CAST(n_buckets AS DOUBLE)
+                                * CAST(n_buckets AS DOUBLE)
+                                * CAST(n_buckets AS DOUBLE)
+                                + CAST(n_buckets AS DOUBLE)
+                                  * CAST(n_buckets AS DOUBLE))),
+                   1.0) * 1000000000.0 + 0.5) / 1000000000.0 AS p_approx
+    FROM best
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4370,6 +4428,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_matrix_profile_1h,
         GOLDEN_SQL.get("matrix_profile_1h"),
     ),
+    "pettitt_1h": (q_pettitt_1h, SQL_PETTITT),
 }
 
 

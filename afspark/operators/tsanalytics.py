@@ -1575,3 +1575,81 @@ def theil_sen_trend(
         .select(*keys, F.col("_de").alias("group_epoch"), "n_buckets",
                 "n_pairs", "slope", "intercept")
     )
+
+
+def pettitt_changepoint(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pettitt's nonparametric changepoint test per series over the
+    bucketed tier — the rank-based (outlier-robust) complement to
+    cusum_detect, detecting a single shift in distribution at unknown
+    time.
+
+    U_t = Σ_{i<=t} Σ_{j>t} sgn(x_j - x_i); the changepoint estimate is
+    argmax |U_t| and the approximate significance is
+    p = 2·exp(-6K²/(B³+B²)) (Pettitt 1979).
+
+    The O(B²) double sum is NOT materialized: the recurrence
+    U_t - U_{t-1} = Σ_k sgn(x_k - x_t) reduces each term to competition
+    ranks, S_t = rank_desc(x_t) - rank_asc(x_t), so the whole statistic
+    is two rank windows + one running sum per series — all exact
+    integers, order-independent across engines.  Ties in |U_t| resolve
+    to the EARLIEST bucket.
+
+    Scale shape: one tier aggregate + per-series window functions over
+    tier-sized rows (bounded by retention).  One series-keyed shuffle;
+    frames are the per-series tier, not raw data.
+
+    Output: keys + n_buckets, k_stat, cp_epoch (bucket BEFORE the
+    shift), u_at_cp (signed), p_approx.
+    """
+    be = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+          * bucket_seconds).cast("long")
+    tier = (
+        points.select(*keys, be.alias("_be"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_be")
+        .agg(F.sum("_v").alias("_x"))
+    )
+    wk = W.partitionBy(*keys)
+    wa = wk.orderBy("_x")
+    wd = wk.orderBy(F.col("_x").desc())
+    wo = wk.orderBy("_be")
+    t = tier.select(
+        *keys, "_be", "_x",
+        F.count(F.lit(1)).over(wk).alias("_B"),
+        (F.rank().over(wd) - F.rank().over(wa)).alias("_s"),
+    ).select(
+        *keys, "_be", "_B",
+        F.sum("_s").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_u"),
+        F.row_number().over(wk.orderBy(F.col("_be").desc())).alias("_rn"),
+    )
+    # exclude t = B (U_B == 0 by construction) and degenerate series
+    cand = t.filter((F.col("_rn") > 1) & (F.col("_B") >= 2))
+    kmax = cand.select(
+        *keys, "_be", "_B", "_u",
+        F.max(F.abs("_u")).over(wk).alias("_k"),
+    )
+    best = (
+        kmax.filter(F.abs("_u") == F.col("_k"))
+        .groupBy(*keys)
+        .agg(
+            F.first("_B").alias("n_buckets"),
+            F.first("_k").alias("k_stat"),
+            F.min("_be").alias("cp_epoch"),
+            F.min_by("_u", "_be").alias("u_at_cp"),
+        )
+    )
+    b = F.col("n_buckets").cast("double")
+    p = 2.0 * F.exp(
+        F.lit(-6.0) * F.col("k_stat") * F.col("k_stat") / (b * b * b + b * b)
+    )
+    return best.select(
+        *keys, "n_buckets", "k_stat", "cp_epoch", "u_at_cp",
+        F.least(p, F.lit(1.0)).alias("p_approx"),
+    )

@@ -961,3 +961,65 @@ class TestTheilSen:
         from afspark.operators.tsanalytics import theil_sen_trend
 
         assert theil_sen_trend(df, 3600, 86400).count() == 0
+
+
+class TestPettitt:
+    def test_planted_shift_found(self, spark):
+        import datetime as dt
+        import numpy as np
+
+        base = dt.datetime(2024, 1, 1)
+        # level shift at hour 30 of 60: N(10) -> N(30)
+        rng = np.random.default_rng(11)
+        vals = np.concatenate(
+            [rng.normal(10, 1, 30), rng.normal(30, 1, 30)]
+        )
+        rows = [
+            ("A", base + dt.timedelta(hours=h), float(round(v, 2)))
+            for h, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import pettitt_changepoint
+
+        out = pettitt_changepoint(df, 3600).collect()[0]
+        # U_t maximal exactly at the boundary: K = 30*30 (all pairs
+        # across the split agree in sign)
+        assert out["k_stat"] == 900
+        cp_hour = (out["cp_epoch"] - int(base.timestamp())) // 3600
+        assert cp_hour == 29  # last bucket BEFORE the shift
+        assert out["p_approx"] < 1e-6
+
+    def test_brute_force_parity(self, spark):
+        import datetime as dt
+        import numpy as np
+
+        base = dt.datetime(2024, 1, 1)
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 20, size=25)  # plenty of rank ties
+        rows = [
+            ("B", base + dt.timedelta(hours=h), float(v))
+            for h, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import pettitt_changepoint
+
+        out = pettitt_changepoint(df, 3600).collect()[0]
+        x = vals.astype(np.int64)
+        B = len(x)
+        U = [
+            sum(
+                int(np.sign(int(x[j]) - int(x[i])))
+                for i in range(t + 1)
+                for j in range(t + 1, B)
+            )
+            for t in range(B - 1)
+        ]
+        K = max(abs(u) for u in U)
+        first_t = min(t for t, u in enumerate(U) if abs(u) == K)
+        assert out["k_stat"] == K
+        assert (out["cp_epoch"] - int(base.timestamp())) // 3600 == first_t
+        assert out["u_at_cp"] == U[first_t]
