@@ -4277,6 +4277,46 @@ SQL_PETTITT = """
 """
 
 
+def q_benford_events(spark, sf_dir):
+    """Benford first-digit screen of event values per event_type
+    (leading digit from the exact cents string — no float log tricks).
+    """
+    from .operators.profile import benford_first_digit
+
+    ev = _read(spark, sf_dir, "events")
+    out = benford_first_digit(ev, "value", keys=["event_type"], scale=100)
+    return out.select(
+        "event_type",
+        "digit",
+        "n",
+        _r(F.col("p_obs"), 9).alias("p_obs"),
+        _r(F.col("p_benford"), 9).alias("p_benford"),
+        "chi2c_nanos",
+    )
+
+
+SQL_BENFORD = """
+    WITH c AS (SELECT event_type,
+                      CAST(floor(abs(value)*100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    d AS (SELECT event_type,
+                 CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM c WHERE c > 0),
+    n AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(n) AS n_total FROM n GROUP BY 1),
+    j AS (SELECT n.event_type, n.digit, n.n, t.n_total,
+                 n.n / t.n_total AS p_obs,
+                 log10(1.0 + 1.0/n.digit) AS p_exp
+          FROM n JOIN t USING (event_type))
+    SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+           floor(p_obs * 1000000000.0 + 0.5) / 1000000000.0 AS p_obs,
+           floor(p_exp * 1000000000.0 + 0.5) / 1000000000.0 AS p_benford,
+           CAST(floor(n_total * (p_obs - p_exp) * (p_obs - p_exp) / p_exp
+                      * 1000000000.0 + 0.5) AS BIGINT) AS chi2c_nanos
+    FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4429,6 +4469,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         GOLDEN_SQL.get("matrix_profile_1h"),
     ),
     "pettitt_1h": (q_pettitt_1h, SQL_PETTITT),
+    "benford_events": (q_benford_events, SQL_BENFORD),
 }
 
 

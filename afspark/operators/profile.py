@@ -204,3 +204,58 @@ def chi2_independence(
         chi2_nanos.cast("long").alias("chi2_nanos"),
         v.alias("cramers_v"),
     )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    scale: int = 100,
+) -> DataFrame:
+    """First-digit (Benford) distribution of a numeric column per key —
+    the classic fabricated/synthetic-data screen: organically-grown
+    magnitudes follow P(d) = log10(1 + 1/d); scripted or truncated
+    feeds don't.
+
+    The leading digit is taken from the DECIMAL STRING of the absolute
+    fixed-point value (floor(|v|*scale + 0.5); zeros drop out) — string
+    heads are engine-exact where float log10-of-value tricks are not.
+
+    Output per (keys, digit): n, p_obs, p_benford, and the chi-squared
+    contribution n_total*(p_obs - p_benford)^2 / p_benford in nanos
+    (exact-integer per-cell rounding; sum them for the test statistic).
+
+    Scale shape: one groupBy(keys, digit) count (9 digits per key),
+    one tiny totals join — map-side combined, broadcast-sized after the
+    first aggregate.
+    """
+    keys = list(keys)
+    c = F.floor(F.abs(F.col(value_col)) * scale + 0.5).cast("long")
+    base = (
+        df.select(*keys, c.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(
+            *keys,
+            F.substring(F.col("_c").cast("string"), 1, 1)
+            .cast("int").alias("digit"),
+        )
+    )
+    counts = base.groupBy(*keys, "digit").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy(*keys).agg(F.sum("n").alias("n_total"))
+    if keys:
+        j = counts.join(F.broadcast(totals), keys)
+    else:
+        j = counts.crossJoin(F.broadcast(totals))
+    p_obs = F.col("n") / F.col("n_total")
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi2c = (
+        F.col("n_total") * (p_obs - p_exp) * (p_obs - p_exp) / p_exp
+    )
+    return j.select(
+        *keys,
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        p_obs.alias("p_obs"),
+        p_exp.alias("p_benford"),
+        F.floor(chi2c * 1e9 + 0.5).cast("long").alias("chi2c_nanos"),
+    )

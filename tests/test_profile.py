@@ -138,3 +138,39 @@ class TestChi2Independence:
 
         out = chi2_independence(df, "lang", "source").collect()[0]
         assert abs(out["chi2_nanos"]) <= 4  # nanos rounding slack
+
+
+class TestBenford:
+    def test_digit_extraction_and_probs(self, spark):
+        # values whose cents are 1, 19, 199, 2000, -950, 0 (dropped)
+        rows = [(0.01,), (0.19,), (1.99,), (20.0,), (-9.5,), (0.0,)]
+        df = spark.createDataFrame(rows, "value double")
+        from afspark.operators.profile import benford_first_digit
+
+        out = {r["digit"]: r for r in
+               benford_first_digit(df, "value").collect()}
+        assert set(out) == {1, 2, 9}
+        assert out[1]["n"] == 3  # 1, 19, 199
+        assert out[2]["n"] == 1  # 2000
+        assert out[9]["n"] == 1  # 950
+        import math
+
+        assert abs(out[1]["p_obs"] - 3 / 5) < 1e-12
+        assert abs(out[1]["p_benford"] - math.log10(2)) < 1e-12
+
+    def test_benford_sample_scores_low(self, spark):
+        # magnitudes spanning decades (log-uniform) ~ Benford
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        # keep magnitudes >= 100 so integer rounding can't move a value
+        # across a first-digit boundary by more than ~0.5%
+        v = np.power(10.0, rng.uniform(2, 6, size=20000))
+        df = spark.createDataFrame(
+            [(float(x),) for x in v], "value double"
+        )
+        from afspark.operators.profile import benford_first_digit
+
+        rows = benford_first_digit(df, "value", scale=1).collect()
+        chi2 = sum(r["chi2c_nanos"] for r in rows) / 1e9
+        assert chi2 < 30  # chi2_8 at alpha=0.0001 is ~33
