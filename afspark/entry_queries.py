@@ -4317,6 +4317,53 @@ SQL_BENFORD = """
 """
 
 
+def q_seasonality_strength(spark, sf_dir):
+    """Hour-of-day seasonality strength (ANOVA eta² + F) per series on
+    exact cents sufficient statistics."""
+    from .operators.tsanalytics import seasonality_strength
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = seasonality_strength(pts)
+    return out.select(
+        "series_id",
+        "n",
+        "n_phases",
+        _r(F.col("eta2"), 9).alias("eta2"),
+        _r(F.col("fstat"), 6).alias("fstat"),
+    )
+
+
+SQL_SEASONALITY_STRENGTH = """
+    WITH c AS (SELECT user_id, floor(value*100 + 0.5) AS v,
+                      CAST(floor((floor(epoch(ts))::BIGINT % 86400)
+                                 / 3600) AS INT) AS h
+               FROM events),
+    g AS (SELECT user_id, h, count(*) AS nh, sum(v) AS sh
+          FROM c GROUP BY 1, 2),
+    a AS (SELECT user_id, sum(nh) AS n, sum(sh) AS s,
+                 count(*) AS n_phases,
+                 sum(CAST(floor(sh*sh/nh + 0.5) AS BIGINT)) AS b
+          FROM g GROUP BY 1),
+    q AS (SELECT user_id, sum(v*v) AS qq FROM c GROUP BY 1),
+    j AS (SELECT a.user_id, a.n, a.s, a.n_phases, a.b, q.qq,
+                 a.b - a.s*a.s/a.n AS ssb,
+                 q.qq - a.s*a.s/a.n AS sst,
+                 q.qq - a.b AS ssw
+          FROM a JOIN q ON a.user_id = q.user_id)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_phases AS BIGINT) AS n_phases,
+           CASE WHEN sst > 0 THEN
+             floor(ssb / sst * 1000000000.0 + 0.5) / 1000000000.0
+           END AS eta2,
+           CASE WHEN n_phases >= 2 AND n > n_phases AND ssw > 0 THEN
+             floor((ssb / (n_phases - 1)) / (ssw / (n - n_phases))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS fstat
+    FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4470,6 +4517,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "pettitt_1h": (q_pettitt_1h, SQL_PETTITT),
     "benford_events": (q_benford_events, SQL_BENFORD),
+    "seasonality_strength": (
+        q_seasonality_strength,
+        SQL_SEASONALITY_STRENGTH,
+    ),
 }
 
 

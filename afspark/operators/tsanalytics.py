@@ -1653,3 +1653,73 @@ def pettitt_changepoint(
         *keys, "n_buckets", "k_stat", "cp_epoch", "u_at_cp",
         F.least(p, F.lit(1.0)).alias("p_approx"),
     )
+
+
+def seasonality_strength(
+    points: DataFrame,
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonality strength per series: the fraction of value variance
+    explained by phase-of-period (hour-of-day by default) — one-way
+    ANOVA eta-squared SS_between/SS_total, plus the F statistic.
+    Complements dominant_period (which finds WHICH period; this scores
+    HOW seasonal a known period is, the tsfeatures 'seasonal_strength'
+    screen before fitting seasonal models).
+
+    Exactness: with integer values (cents), every sufficient statistic
+    is an exact integer — N, S=Σx, Q=Σx², per-phase (n_h, s_h), and
+    B = Σ_h round(s_h²/n_h) (each phase term rounded to the unit before
+    the sum, making the 24-term float sum order-independent).  Then
+    SS_between = B - S²/N, and SS_within = Q - B EXACTLY (the rounding
+    cancels from SS_total - SS_between), so eta² and F come from one
+    identical float expression per engine.
+
+    Scale shape: two keyed aggregations (series×phase, then series) +
+    one series aggregate of Σx² unioned in by join — map-side combined
+    throughout, no windows, no Python.
+
+    Output: keys + n, n_phases, eta2, fstat (null when degenerate).
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    ph = F.floor((e % period_seconds) / bucket_seconds).cast("int")
+    base = points.select(
+        *keys, ph.alias("_h"), F.col(value_col).alias("_v")
+    )
+    g = base.groupBy(*keys, "_h").agg(
+        F.count(F.lit(1)).alias("_nh"), F.sum("_v").alias("_sh")
+    )
+    a = g.groupBy(*keys).agg(
+        F.sum("_nh").alias("_N"),
+        F.sum("_sh").alias("_S"),
+        F.count(F.lit(1)).alias("n_phases"),
+        F.sum(
+            F.floor(
+                F.col("_sh") * F.col("_sh") / F.col("_nh") + 0.5
+            ).cast("long")
+        ).alias("_B"),
+    )
+    q = base.groupBy(*keys).agg(
+        F.sum(F.col("_v") * F.col("_v")).alias("_Q")
+    )
+    j = a.join(q, keys)
+    grand = F.col("_S") * F.col("_S") / F.col("_N")
+    ssb = F.col("_B") - grand
+    sst = F.col("_Q") - grand
+    ssw = F.col("_Q") - F.col("_B")  # exact integer difference
+    k = F.col("n_phases")
+    eta2 = F.when(sst > 0, ssb / sst)
+    fstat = F.when(
+        (k >= 2) & (F.col("_N") > k) & (ssw > 0),
+        (ssb / (k - 1)) / (ssw / (F.col("_N") - k)),
+    )
+    return j.select(
+        *keys,
+        F.col("_N").cast("long").alias("n"),
+        F.col("n_phases").cast("long").alias("n_phases"),
+        eta2.alias("eta2"),
+        fstat.alias("fstat"),
+    )

@@ -1023,3 +1023,55 @@ class TestPettitt:
         assert out["k_stat"] == K
         assert (out["cp_epoch"] - int(base.timestamp())) // 3600 == first_t
         assert out["u_at_cp"] == U[first_t]
+
+
+class TestSeasonalityStrength:
+    def test_pure_seasonal_is_one(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # value depends ONLY on hour-of-day -> eta2 == 1
+        rows = [
+            ("A", base + dt.timedelta(days=d, hours=h), float(h * 10))
+            for d in range(5) for h in range(24)
+        ]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import seasonality_strength
+
+        out = seasonality_strength(df).collect()[0]
+        assert out["n"] == 120 and out["n_phases"] == 24
+        assert abs(out["eta2"] - 1.0) < 1e-9
+        assert out["fstat"] is None  # ssw == 0 exactly
+
+    def test_scipy_style_anova_parity(self, spark):
+        import datetime as dt
+        import numpy as np
+
+        base = dt.datetime(2024, 1, 1)
+        rng = np.random.default_rng(9)
+        rows, groups = [], {}
+        for d in range(10):
+            for h in range(6):
+                # cents-scale integers: the operator's per-phase unit
+                # rounding (<=0.5/phase) is then negligible vs the SS
+                v = float((int(rng.integers(0, 50)) + 5 * h) * 100)
+                rows.append(("B", base + dt.timedelta(days=d, hours=h), v))
+                groups.setdefault(h, []).append(v)
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import seasonality_strength
+
+        out = seasonality_strength(df).collect()[0]
+        allv = np.array(sum(groups.values(), []))
+        grand = allv.mean()
+        ssb = sum(len(g) * (np.mean(g) - grand) ** 2
+                  for g in groups.values())
+        sst = ((allv - grand) ** 2).sum()
+        ssw = sst - ssb
+        k, n = len(groups), len(allv)
+        assert abs(out["eta2"] - ssb / sst) < 1e-6
+        want_f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(out["fstat"] - want_f) / want_f < 1e-4
