@@ -4364,6 +4364,45 @@ SQL_SEASONALITY_STRENGTH = """
 """
 
 
+def q_transition_entropy(spark, sf_dir):
+    """Per-user transition-pair entropy of the event_type sequence
+    (bits, exact-integer nanos checksum)."""
+    from .operators.cohorts import transition_entropy
+
+    ev = _read(spark, sf_dir, "events")
+    out = transition_entropy(ev)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_transitions",
+        "n_pair_kinds",
+        "entropy_nanos",
+        _r(F.col("entropy_bits"), 9).alias("entropy_bits"),
+    )
+
+
+SQL_TRANSITION_ENTROPY = """
+    WITH s AS (SELECT user_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS pv,
+                      event_type AS cv
+               FROM events),
+    p AS (SELECT user_id, pv, cv, count(*) AS n
+          FROM s WHERE pv IS NOT NULL GROUP BY 1, 2, 3),
+    t AS (SELECT user_id, sum(n) AS nn FROM p GROUP BY 1),
+    j AS (SELECT p.user_id, t.nn,
+                 CAST(floor(-(p.n / t.nn) * log2(p.n / t.nn)
+                            * 1000000000.0 + 0.5) AS BIGINT) AS term
+          FROM p JOIN t ON p.user_id = t.user_id)
+    SELECT user_id,
+           CAST(max(nn) AS BIGINT) AS n_transitions,
+           count(*) AS n_pair_kinds,
+           CAST(sum(term) AS BIGINT) AS entropy_nanos,
+           floor(CAST(sum(term) AS BIGINT) / 1000000000.0
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS entropy_bits
+    FROM j GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4521,6 +4560,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_seasonality_strength,
         SQL_SEASONALITY_STRENGTH,
     ),
+    "transition_entropy": (q_transition_entropy, SQL_TRANSITION_ENTROPY),
 }
 
 

@@ -126,3 +126,68 @@ def funnel_conversion(
         F.count(F.col(f"t{k}")).alias(f"n_s{k}") for k in range(2, len(steps) + 1)
     ]
     return reached.withColumn("cohort_epoch", cohort).groupBy("cohort_epoch").agg(*aggs)
+
+
+def transition_entropy(
+    events: DataFrame,
+    keys: list[str] = ["user_id"],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] = ["event_id"],
+) -> DataFrame:
+    """Per-entity behavioral predictability: Shannon entropy (bits) of
+    the first-order transition-pair distribution of the event-type
+    sequence.  Low entropy = scripted/bot-like repetition; high entropy
+    approaching log2(n_pair_kinds) = diffuse behavior — the standard
+    sequence-structure screen next to the repetition/quality text
+    filters.
+
+    H = -Σ_{(u,v)} p_uv log2 p_uv over observed consecutive pairs, with
+    p from exact-integer pair counts.  Each term is rounded to integer
+    nanos BEFORE the per-entity sum (the psi_drift checksum pattern), so
+    the float sum is order-independent across engines.
+
+    Scale shape: one lag window ordered within entity (the per-series
+    sort task inherent to sequence semantics — frame is the entity's
+    events, bounded by per-user activity), then two keyed aggregations.
+
+    Output: keys + n_transitions, n_pair_kinds, entropy_nanos (bits in
+    1e-9 units, exact integer), entropy_bits.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    seq = events.select(
+        *keys,
+        F.lag(type_col).over(w).alias("_prev"),
+        F.col(type_col).alias("_cur"),
+    ).filter(F.col("_prev").isNotNull())
+    pairs = seq.groupBy(*keys, "_prev", "_cur").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # totals via a window over the pair-kind rows (per-key cardinality
+    # |types|², far below the event count) — no self-join, no lineage
+    # ambiguity
+    wk = W.partitionBy(*keys)
+    pairs = pairs.withColumn("_tot", F.sum("_n").over(wk))
+    p = F.col("_n") / F.col("_tot")
+    term = -p * F.log2(p)
+    out = (
+        pairs.select(
+            *keys, "_tot",
+            F.floor(term * 1e9 + 0.5).cast("long").alias("_t"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.first("_tot").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_pair_kinds"),
+            F.sum("_t").alias("entropy_nanos"),
+        )
+    )
+    return out.select(
+        *keys,
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("n_pair_kinds").cast("long").alias("n_pair_kinds"),
+        "entropy_nanos",
+        (F.col("entropy_nanos") / 1e9).alias("entropy_bits"),
+    )

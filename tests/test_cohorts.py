@@ -73,3 +73,70 @@ def test_funnel_no_horizon_counts_late_steps(spark):
     ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
     r = funnel_conversion(ev, ["view", "click", "purchase"]).collect()[0]
     assert (r.n_s1, r.n_s2, r.n_s3) == (1, 1, 1)
+
+
+class TestTransitionEntropy:
+    def test_hand_golden(self, spark):
+        import datetime as dt
+        import math
+
+        base = dt.datetime(2024, 1, 1)
+        # sequence A B A B A: pairs AB,BA,AB,BA -> p={AB:1/2, BA:1/2}
+        rows = [
+            (1, i, base + dt.timedelta(minutes=i), s)
+            for i, s in enumerate("ABABA")
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+            "event_type string"
+        )
+        from afspark.operators.cohorts import transition_entropy
+
+        out = transition_entropy(df).collect()[0]
+        assert out["n_transitions"] == 4
+        assert out["n_pair_kinds"] == 2
+        assert abs(out["entropy_bits"] - 1.0) < 1e-9
+
+    def test_constant_sequence_zero_entropy(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (7, i, base + dt.timedelta(minutes=i), "X") for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+            "event_type string"
+        )
+        from afspark.operators.cohorts import transition_entropy
+
+        out = transition_entropy(df).collect()[0]
+        assert out["entropy_nanos"] == 0
+        assert out["n_pair_kinds"] == 1
+
+    def test_numpy_parity(self, spark):
+        import datetime as dt
+        import numpy as np
+
+        base = dt.datetime(2024, 1, 1)
+        rng = np.random.default_rng(4)
+        seq = [chr(65 + int(x)) for x in rng.integers(0, 4, size=100)]
+        rows = [
+            (3, i, base + dt.timedelta(minutes=i), s)
+            for i, s in enumerate(seq)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, "
+            "event_type string"
+        )
+        from afspark.operators.cohorts import transition_entropy
+        import collections
+
+        out = transition_entropy(df).collect()[0]
+        c = collections.Counter(zip(seq, seq[1:]))
+        N = sum(c.values())
+        want = sum(
+            int(np.floor(-(n / N) * np.log2(n / N) * 1e9 + 0.5))
+            for n in c.values()
+        )
+        assert out["entropy_nanos"] == want
