@@ -39,6 +39,7 @@ def derive_links(
     docs: DataFrame,
     out_degree: int = 3,
     id_col: str = "doc_id",
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic hyperlinks: node i links to
     (i*1103515245 + j*12345 + 7) mod n for j in 0..out_degree-1 (LCG
@@ -47,20 +48,22 @@ def derive_links(
     so there is no dangling-mass branch).
 
     Requires contiguous ids 0..n-1 (the documents table's layout).  The
-    modulus is the one scalar aggregate, cross-joined back as a
-    broadcast literal — no collect.
+    modulus n is ONE driver-side scalar count (pass ``n_nodes`` to skip
+    even that), folded into the expression as a literal — embedding it
+    as a scalar subquery instead would splice a 1-row
+    BroadcastNestedLoopJoin + full count scan into every consumer of
+    the edge set.
     """
-    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    n = int(docs.count()) if n_nodes is None else int(n_nodes)
     offs = F.array(*[F.lit(j) for j in range(out_degree)])
     return (
         docs.select(F.col(id_col).alias("src"))
-        .crossJoin(F.broadcast(n))
-        .select("src", "_n", F.explode(offs).alias("_j"))
+        .select("src", F.explode(offs).alias("_j"))
         .select(
             "src",
             ((F.col("src") * F.lit(1103515245)
               + F.col("_j") * F.lit(12345) + F.lit(7))
-             % F.col("_n")).alias("dst"),
+             % F.lit(n)).alias("dst"),
         )
     )
 
@@ -73,6 +76,7 @@ def pagerank_fixed(
     out_degree: int = 3,
     id_col: str = "doc_id",
     checkpoint_every: int = 0,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank, ``n_iter`` synchronous iterations from the
     uniform vector:  r' = floor((1-d)*SCALE/n) + floor(d * Σ_in floor(r/deg)).
@@ -86,20 +90,22 @@ def pagerank_fixed(
     re-derives all prior iterations on every action and the lineage
     deepens linearly.  Edges are reused unchanged every iteration —
     persist/bucket them by src upstream for shuffle reuse.
+
+    n is ONE driver-side scalar count (pass ``n_nodes``) folded into the
+    init/base literals; embedding it as a scalar subquery would add a
+    1-row BroadcastNestedLoopJoin + a full node-count scan to EVERY
+    iteration of the unrolled plan (observed: 4 extra scans at
+    n_iter=3 before this was lifted).
     """
-    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    ranks = (
-        nodes.select(F.col(id_col).alias("_id"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "_id", "_n",
-            F.floor(F.lit(float(SCALE)) / F.col("_n"))
-            .cast("long").alias("_r"),
-        )
+    import math
+
+    n = int(nodes.count()) if n_nodes is None else int(n_nodes)
+    # identical IEEE arithmetic to the SQL twin's floor(<double>/n)
+    ranks = nodes.select(
+        F.col(id_col).alias("_id"),
+        F.lit(int(math.floor(float(SCALE) / n))).alias("_r"),
     )
-    base = F.floor(
-        F.lit((1.0 - damping) * SCALE) / F.col("_n")
-    ).cast("long")
+    base = int(math.floor((1.0 - damping) * SCALE / n))
     for it in range(n_iter):
         mass = (
             edges.join(
@@ -114,11 +120,11 @@ def pagerank_fixed(
             .agg(F.sum("_c").alias("_mass"))
         )
         ranks = (
-            ranks.select("_id", "_n")
+            ranks.select("_id")
             .join(mass.withColumnRenamed("dst", "_id"), "_id", "left")
             .select(
-                "_id", "_n",
-                (base
+                "_id",
+                (F.lit(base)
                  + F.floor(
                      F.lit(damping) * F.coalesce("_mass", F.lit(0))
                  ).cast("long")).alias("_r"),

@@ -204,6 +204,16 @@ def main() -> None:
 
             bm25_topk(docs, ["merge", "spark", "window"], k=100).count()
 
+        with timed("q_matrix_profile_1h"):
+            from afspark.operators.matrixprofile import matrix_profile_discord
+
+            matrix_profile_discord(events, 3600, 24).count()
+
+        with timed("q_pagerank_3it"):
+            from afspark.operators.linkgraph import derive_links, pagerank_fixed
+
+            pagerank_fixed(docs, derive_links(docs), n_iter=3).count()
+
     # re-probe BETWEEN reps: the host can collapse mid-run after a healthy
     # pre-run probe (observed: derive 33 s / minhash 22 s in a run whose
     # start probe read 5.4 GB/s), so the rep count extends to 3 whenever
