@@ -256,3 +256,56 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark):
     plan = _plan(interval_overlap_join(a, b, 3600, keys=["k"]))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "hashpartitioning(k" in plan or "BroadcastHashJoin" in plan
+
+
+def test_theilsen_pair_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The pairwise-slope self-join must be an equi-join keyed on
+    (series, group) — never a cartesian/nested-loop over buckets."""
+    from afspark.operators.tsanalytics import theil_sen_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    plan = _plan(theil_sen_trend(ev, 3600, 86400))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_distinct_two_phase_dedup(spark, sf_dir):
+    """Native sliding window -> Expand (fixed window/hop replication),
+    then the exact-tier dedup: an aggregate keyed on (window, entity)
+    BEFORE the per-window count — shuffle volume is the distinct set."""
+    from afspark.operators.distinct import sliding_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(sliding_distinct(ev, 21600, 3600))
+    assert "Expand" in plan
+    i_dedup = plan.find("user_id", plan.find("hashpartitioning"))
+    assert i_dedup != -1  # entity participates in a shuffle key
+    # final count groups by window only — two distinct exchanges
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_pagerank_no_per_iteration_count_scan(spark, sf_dir):
+    """The node count is a driver literal: the unrolled 3-iteration plan
+    must contain NO 1-row broadcast nested-loop (scalar-subquery count)
+    splices."""
+    from afspark.operators.linkgraph import derive_links, pagerank_fixed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = derive_links(docs, n_nodes=500)
+    plan = _plan(pagerank_fixed(docs, edges, n_iter=3, n_nodes=500))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matrix_profile_single_python_stage_per_series(spark, sf_dir):
+    """One Arrow stage keyed on the series: exactly one
+    FlatMapGroupsInPandas, shuffled on series_id."""
+    from afspark.operators.matrixprofile import matrix_profile_discord
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    plan = _plan(matrix_profile_discord(ev, 3600, 24))
+    assert plan.count("FlatMapGroupsInPandas") == 1
