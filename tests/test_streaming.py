@@ -623,3 +623,60 @@ def test_stream_holt_winters_matches_batch(spark, tmpdir):
         j = (es % 3600) // 600
         assert last[sid].seasonal == fit[sid].seasonals[j]
         assert fit[sid].n == 150
+
+
+def test_stream_sliding_distinct_matches_batch(spark, tmpdir):
+    """Streaming sliding-window distinct (chained stateful aggs, append
+    mode) == batch sliding_distinct on closed windows."""
+    import datetime as dtm
+
+    from afspark.operators.distinct import sliding_distinct
+    from afspark.streaming.stream_sliding import (
+        run_sliding_distinct_stream_to_memory,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        rows.append(
+            ((i * 13) % 23, t0 + dtm.timedelta(minutes=(i * 37) % 600))
+        )
+    schema = "user_id long, ts timestamp"
+    pts = spark.createDataFrame(rows, schema)
+    src = f"{tmpdir}/in_sd"
+    # two micro-batches split by TIME: the watermark advances past a
+    # window only after every contributing event has arrived (delivering
+    # arbitrary out-of-order batches would be legitimately dropped as
+    # late — the batch OoO merge is the escape hatch for that)
+    cut = t0 + dtm.timedelta(minutes=300)
+    pts.filter(F.col("ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    q = run_sliding_distinct_stream_to_memory(
+        spark, src, schema, 21600, 3600, query_name="t_sd_stream"
+    )
+    try:
+        q.processAllAvailable()
+        pts.filter(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        flush = spark.createDataFrame(
+            [(999, t0 + dtm.timedelta(days=30))], schema
+        )
+        flush.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        got = {
+            r.window_start: r.n_distinct
+            for r in spark.sql("select * from t_sd_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r["window_start"]: r["n_distinct"]
+        for r in sliding_distinct(pts, 21600, 3600).collect()
+    }
+    assert got == want
