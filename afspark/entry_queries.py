@@ -4403,6 +4403,66 @@ SQL_TRANSITION_ENTROPY = """
 """
 
 
+def q_hits_2it(spark, sf_dir):
+    """2-iteration HITS hubs/authorities over the LCG link graph —
+    fixed-point integers, mass-SCALE normalization each half-step."""
+    from .operators.linkgraph import derive_links, hits_fixed
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = derive_links(docs, out_degree=3)
+    return hits_fixed(docs, edges, n_iter=2)
+
+
+SQL_HITS = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    e AS (SELECT doc_id AS src,
+                 (doc_id*1103515245 + j.j*12345 + 7) % (SELECT n FROM nn)
+                   AS dst
+          FROM documents CROSS JOIN (VALUES (0),(1),(2)) AS j(j)),
+    h0 AS (SELECT doc_id AS id,
+                  1000000000000 // (SELECT n FROM nn) AS h
+           FROM documents),
+    ar1 AS (SELECT d.doc_id AS id, coalesce(m.s, 0) AS raw
+            FROM documents d LEFT JOIN
+              (SELECT e.dst AS id, sum(h0.h) AS s
+               FROM e JOIN h0 ON h0.id = e.src GROUP BY 1) m
+              ON m.id = d.doc_id),
+    a1 AS (SELECT id, CAST(floor(raw * 1000000000000.0
+                                 / (SELECT sum(raw) FROM ar1)) AS BIGINT)
+                        AS a
+           FROM ar1),
+    hr1 AS (SELECT d.doc_id AS id, coalesce(m.s, 0) AS raw
+            FROM documents d LEFT JOIN
+              (SELECT e.src AS id, sum(a1.a) AS s
+               FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1) m
+              ON m.id = d.doc_id),
+    h1 AS (SELECT id, CAST(floor(raw * 1000000000000.0
+                                 / (SELECT sum(raw) FROM hr1)) AS BIGINT)
+                        AS h
+           FROM hr1),
+    ar2 AS (SELECT d.doc_id AS id, coalesce(m.s, 0) AS raw
+            FROM documents d LEFT JOIN
+              (SELECT e.dst AS id, sum(h1.h) AS s
+               FROM e JOIN h1 ON h1.id = e.src GROUP BY 1) m
+              ON m.id = d.doc_id),
+    a2 AS (SELECT id, CAST(floor(raw * 1000000000000.0
+                                 / (SELECT sum(raw) FROM ar2)) AS BIGINT)
+                        AS a
+           FROM ar2),
+    hr2 AS (SELECT d.doc_id AS id, coalesce(m.s, 0) AS raw
+            FROM documents d LEFT JOIN
+              (SELECT e.src AS id, sum(a2.a) AS s
+               FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1) m
+              ON m.id = d.doc_id),
+    h2 AS (SELECT id, CAST(floor(raw * 1000000000000.0
+                                 / (SELECT sum(raw) FROM hr2)) AS BIGINT)
+                        AS h
+           FROM hr2)
+    SELECT h2.id AS doc_id, h2.h AS hub_fp, a2.a AS auth_fp
+    FROM h2 JOIN a2 ON h2.id = a2.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4561,6 +4621,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_SEASONALITY_STRENGTH,
     ),
     "transition_entropy": (q_transition_entropy, SQL_TRANSITION_ENTROPY),
+    "hits_2it": (q_hits_2it, SQL_HITS),
 }
 
 

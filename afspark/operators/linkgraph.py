@@ -137,3 +137,69 @@ def pagerank_fixed(
         F.col("_r").alias("rank_fp"),
         (F.col("_r") / F.lit(float(SCALE))).alias("rank"),
     )
+
+
+def hits_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "doc_id",
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg), ``n_iter`` synchronous
+    rounds in fixed-point integers: auth = Σ_in hub, hub = Σ_out auth,
+    each re-normalized to total mass SCALE after every half-step.
+
+    Normalization needs the global mass — ONE driver-side scalar
+    aggregate per half-step (a few longs over the wire; the same
+    pattern as k-means centroid pulls).  The normalizing division
+    floor(x * SCALE_float / total) is a single identical IEEE
+    expression per engine, applied to exact-integer x — cross-engine
+    deterministic like pagerank_fixed.
+
+    Scale shape per half-step: one equi-join (scores ⋈ edges) + one
+    keyed aggregation — identical shuffle profile to a PageRank
+    iteration.  Output: id, hub_fp, auth_fp (fixed-point, SCALE = 1.0
+    total mass each).
+    """
+    n = int(nodes.count()) if n_nodes is None else int(n_nodes)
+    ids = nodes.select(F.col(id_col).alias("_id"))
+    init = int(SCALE // n) if n else 0
+    hub = ids.select("_id", F.lit(init).alias("_h"))
+
+    def _half(scores, score_col, src_col, dst_col, out_col):
+        """out[dst] = sum over edges of score[src]; then normalize."""
+        mass = (
+            edges.join(
+                scores.select(F.col("_id").alias(src_col), score_col),
+                src_col,
+            )
+            .groupBy(dst_col)
+            .agg(F.sum(score_col).alias("_m"))
+        )
+        raw = ids.join(
+            mass.withColumnRenamed(dst_col, "_id"), "_id", "left"
+        ).select("_id", F.coalesce("_m", F.lit(0)).alias("_raw"))
+        total = raw.agg(F.sum("_raw")).collect()[0][0] or 1
+        return raw.select(
+            "_id",
+            F.floor(F.col("_raw") * F.lit(float(SCALE)) / F.lit(float(total)))
+            .cast("long").alias(out_col),
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        auth = _half(
+            hub.select("_id", F.col("_h")), "_h", "src", "dst", "_a"
+        )
+        hub = _half(
+            auth.select("_id", F.col("_a")), "_a", "dst", "src", "_h"
+        )
+    return (
+        hub.join(auth, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_h").alias("hub_fp"),
+            F.col("_a").alias("auth_fp"),
+        )
+    )

@@ -63,3 +63,45 @@ def test_checkpoint_path_identical(spark, nodes):
     a = pagerank_fixed(nodes, edges, n_iter=4).collect()
     b = pagerank_fixed(nodes, edges, n_iter=4, checkpoint_every=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestHits:
+    def _numpy_hits(self, n, n_iter=2, deg=3):
+        src = np.repeat(np.arange(n, dtype=np.int64), deg)
+        j = np.tile(np.arange(deg, dtype=np.int64), n)
+        dst = (src * 1103515245 + j * 12345 + 7) % n
+        h = np.full(n, SCALE // n, dtype=np.int64)
+
+        def half(score, frm, to):
+            raw = np.zeros(n, dtype=np.int64)
+            np.add.at(raw, to, score[frm])
+            t = float(raw.sum())
+            return np.floor(raw * float(SCALE) / t).astype(np.int64)
+
+        a = None
+        for _ in range(n_iter):
+            a = half(h, src, dst)
+            h = half(a, dst, src)
+        return h, a
+
+    def test_matches_numpy_twin(self, spark, nodes):
+        from afspark.operators.linkgraph import hits_fixed
+
+        edges = derive_links(nodes, out_degree=3)
+        got = {
+            r["doc_id"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits_fixed(nodes, edges, n_iter=2).collect()
+        }
+        h, a = self._numpy_hits(40)
+        assert got == {i: (int(h[i]), int(a[i])) for i in range(40)}
+
+    def test_mass_normalized(self, spark, nodes):
+        from afspark.operators.linkgraph import hits_fixed
+
+        edges = derive_links(nodes, out_degree=3)
+        rows = hits_fixed(nodes, edges, n_iter=1).collect()
+        th = sum(r["hub_fp"] for r in rows)
+        ta = sum(r["auth_fp"] for r in rows)
+        # flooring removes < n units from each normalized vector
+        assert SCALE - 40 <= th <= SCALE
+        assert SCALE - 40 <= ta <= SCALE
