@@ -4463,6 +4463,26 @@ SQL_HITS = """
 """
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-constrained recrawl schedule over the documents
+    frontier: 30s per-domain gap from a fixed dispatch epoch."""
+    from .operators.text import crawl_schedule
+
+    docs = _read(spark, sf_dir, "documents")
+    return crawl_schedule(docs, 30, 1706745600)
+
+
+SQL_CRAWL_SCHEDULE = """
+    SELECT doc_id, source AS domain, n_chars AS priority,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS wave,
+           1706745600 + (row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars DESC, doc_id)
+                         - 1)::BIGINT * 30 AS fetch_epoch
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4622,6 +4642,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "transition_entropy": (q_transition_entropy, SQL_TRANSITION_ENTROPY),
     "hits_2it": (q_hits_2it, SQL_HITS),
+    "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
 }
 
 

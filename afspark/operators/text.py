@@ -671,3 +671,43 @@ def weighted_sample(
         .orderBy(F.col("_rank").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    min_gap_seconds: int,
+    base_epoch: int,
+    domain_col: str = "source",
+    priority_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Politeness-constrained crawl schedule: assign each frontier URL a
+    fetch slot such that two fetches against the same domain are at
+    least ``min_gap_seconds`` apart — the standard frontier shaping step
+    before dispatching a recrawl wave.
+
+    Slots are deterministic: within a domain, URLs rank by
+    (priority DESC, id ASC) and slot k fetches at
+    base_epoch + (k-1)*min_gap_seconds.  The emitted ``wave`` (=rank)
+    also serves as the batch index a fetcher fleet can pull round-robin,
+    which automatically interleaves domains.
+
+    Scale shape: ONE row_number window keyed on the domain.  The frame
+    is a domain's frontier — bounded by per-domain URL counts, the same
+    skew profile as every per-series sequence op here; for a
+    pathological mega-domain, pre-split by url-hash into virtual
+    sub-domains (each still gap-legal if the gap is scaled by the split
+    factor).
+    """
+    w = W.partitionBy(domain_col).orderBy(
+        F.col(priority_col).desc(), F.col(id_col)
+    )
+    rk = F.row_number().over(w)
+    return frontier.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.col(priority_col).alias("priority"),
+        rk.alias("wave"),
+        (F.lit(base_epoch) + (rk - 1).cast("long") * min_gap_seconds)
+        .alias("fetch_epoch"),
+    )

@@ -1051,3 +1051,27 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     # zero/negative weights excluded
     bad = spark.createDataFrame([(1, 0), (2, -5)], "doc_id long, w long")
     assert weighted_sample(bad, 10, "w").count() == 0
+
+
+class TestCrawlSchedule:
+    def test_gap_invariant_and_determinism(self, spark):
+        rows = [
+            (1, "a.com", 100), (2, "a.com", 300), (3, "a.com", 300),
+            (4, "b.com", 50),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        from afspark.operators.text import crawl_schedule
+
+        out = crawl_schedule(df, 30, 1000).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r["domain"], []).append(r)
+        # per-domain min gap holds
+        for rs in by_dom.values():
+            ts = sorted(r["fetch_epoch"] for r in rs)
+            assert all(b - a >= 30 for a, b in zip(ts, ts[1:]))
+        # priority desc, id asc tie-break: 2 before 3 before 1
+        a = sorted(by_dom["a.com"], key=lambda r: r["wave"])
+        assert [r["doc_id"] for r in a] == [2, 3, 1]
+        assert [r["fetch_epoch"] for r in a] == [1000, 1030, 1060]
+        assert by_dom["b.com"][0]["fetch_epoch"] == 1000
