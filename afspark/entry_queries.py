@@ -4483,6 +4483,49 @@ SQL_CRAWL_SCHEDULE = """
 """
 
 
+def q_mad_anomaly_1h(spark, sf_dir):
+    """Iglewicz-Hoban modified z-score anomalies per series on the 1h
+    cents tier (MAD scale, |z| > 3.5)."""
+    from .operators.tsanalytics import mad_anomalies
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = mad_anomalies(pts, 3600)
+    return out.select(
+        "series_id",
+        "bucket_epoch",
+        F.col("x").cast("long").alias("x_c"),
+        _r(F.col("med"), 6).alias("med_c"),
+        _r(F.col("mad"), 6).alias("mad_c"),
+        _r(F.col("z"), 6).alias("z"),
+        "is_anomaly",
+    )
+
+
+SQL_MAD_ANOMALY = """
+    WITH c AS (SELECT user_id, floor(value*100 + 0.5) AS v,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be
+               FROM events),
+    h AS (SELECT user_id, be, sum(v) AS x FROM c GROUP BY 1, 2),
+    m AS (SELECT user_id, quantile_cont(x, 0.5) AS med FROM h GROUP BY 1),
+    d AS (SELECT h.user_id, quantile_cont(abs(h.x - m.med), 0.5) AS mad,
+                 max(m.med) AS med
+          FROM h JOIN m ON h.user_id = m.user_id GROUP BY 1),
+    j AS (SELECT h.user_id, h.be, h.x, d.med, d.mad,
+                 0.6745 * (h.x - d.med) / d.mad AS z
+          FROM h JOIN d ON h.user_id = d.user_id)
+    SELECT CAST(user_id AS VARCHAR) AS series_id, be AS bucket_epoch,
+           CAST(x AS BIGINT) AS x_c,
+           floor(med * 1000000.0 + 0.5) / 1000000.0 AS med_c,
+           floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad_c,
+           CASE WHEN mad > 0 THEN
+             floor(z * 1000000.0 + 0.5) / 1000000.0
+           END AS z,
+           CASE WHEN mad > 0 THEN abs(z) > 3.5 ELSE FALSE END
+             AS is_anomaly
+    FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4643,6 +4686,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "transition_entropy": (q_transition_entropy, SQL_TRANSITION_ENTROPY),
     "hits_2it": (q_hits_2it, SQL_HITS),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
+    "mad_anomaly_1h": (q_mad_anomaly_1h, SQL_MAD_ANOMALY),
 }
 
 

@@ -1723,3 +1723,58 @@ def seasonality_strength(
         eta2.alias("eta2"),
         fstat.alias("fstat"),
     )
+
+
+def mad_anomalies(
+    points: DataFrame,
+    bucket_seconds: int,
+    k: float = 3.5,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust per-series anomaly flags on the bucketed tier: modified
+    z-score 0.6745·(x − median)/MAD (Iglewicz-Hoban), flagging
+    |z| > k (3.5 is their recommended cut).  The robust sibling of
+    rolling_zscore — one wild point inflates a stddev but not a MAD, so
+    this screen survives the exact contamination it is meant to find.
+
+    Two exact-percentile aggregates per series (median, then MAD as the
+    median of absolute deviations) + equi-joins back on the series key
+    (one row per series — AQE broadcasts when the series count is
+    small, shuffles co-keyed when it is not); the
+    bucket sums are exact integers, and both engines evaluate the same
+    continuous-interpolation percentile and one identical float z
+    expression (the Theil-Sen determinism argument).
+
+    Output: one row per (keys, bucket) with x, med, mad, z (null when
+    MAD == 0 — a constant series has no robust scale), is_anomaly.
+    """
+    be = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+          * bucket_seconds).cast("long")
+    tier = (
+        points.select(*keys, be.alias("_be"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_be")
+        .agg(F.sum("_v").alias("_x"))
+    )
+    med = tier.groupBy(*keys).agg(
+        F.percentile("_x", F.lit(0.5)).alias("_med")
+    )
+    dev = tier.join(med, keys)
+    mad = dev.groupBy(*keys).agg(
+        F.first("_med").alias("_med"),
+        F.percentile(F.abs(F.col("_x") - F.col("_med")), F.lit(0.5))
+        .alias("_mad"),
+    )
+    j = tier.join(mad, keys)
+    z = F.lit(0.6745) * (F.col("_x") - F.col("_med")) / F.col("_mad")
+    return j.select(
+        *keys,
+        F.col("_be").alias("bucket_epoch"),
+        F.col("_x").alias("x"),
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        F.when(F.col("_mad") > 0, z).alias("z"),
+        F.when(F.col("_mad") > 0, F.abs(z) > k)
+        .otherwise(F.lit(False)).alias("is_anomaly"),
+    )

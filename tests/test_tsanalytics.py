@@ -1075,3 +1075,44 @@ class TestSeasonalityStrength:
         assert abs(out["eta2"] - ssb / sst) < 1e-6
         want_f = (ssb / (k - 1)) / (ssw / (n - k))
         assert abs(out["fstat"] - want_f) / want_f < 1e-4
+
+
+class TestMadAnomalies:
+    def test_planted_outlier_only(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        vals = [10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 100.0]
+        rows = [
+            ("A", base + dt.timedelta(hours=h), v)
+            for h, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import mad_anomalies
+
+        out = sorted(
+            mad_anomalies(df, 3600).collect(),
+            key=lambda r: r["bucket_epoch"],
+        )
+        flags = [r["is_anomaly"] for r in out]
+        assert flags == [False] * 7 + [True]
+        # med=10, MAD=median(|x-10|)=[0,1,1,0,1,1,0,90]->median 1
+        r = out[-1]
+        assert r["med"] == 10.0 and r["mad"] == 1.0
+        assert abs(r["z"] - 0.6745 * 90) < 1e-9
+
+    def test_constant_series_never_flags(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("C", base + dt.timedelta(hours=h), 5.0) for h in range(10)]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        )
+        from afspark.operators.tsanalytics import mad_anomalies
+
+        out = mad_anomalies(df, 3600).collect()
+        assert all(r["z"] is None for r in out)
+        assert not any(r["is_anomaly"] for r in out)
