@@ -4526,6 +4526,39 @@ SQL_MAD_ANOMALY = """
 """
 
 
+def q_gini_chars_by_source(spark, sf_dir):
+    """Gini concentration of document sizes within each source domain
+    (corpus-inequality screen) — exact integer rank statistics."""
+    from .operators.profile import gini_concentration
+
+    docs = _read(spark, sf_dir, "documents")
+    out = gini_concentration(docs, "n_chars", keys=["source"])
+    return out.select(
+        "source",
+        "n",
+        "total",
+        _r(F.col("gini"), 9).alias("gini"),
+    )
+
+
+SQL_GINI = """
+    WITH r AS (SELECT source, n_chars AS x,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars) AS i
+               FROM documents),
+    a AS (SELECT source, count(*) AS n, sum(x) AS total,
+                 sum(i * x) AS ix
+          FROM r GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+           CASE WHEN total > 0 THEN
+             floor((2.0 * ix / (CAST(n AS DOUBLE) * total)
+                    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                   * 1000000000.0 + 0.5) / 1000000000.0
+           END AS gini
+    FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4687,6 +4720,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hits_2it": (q_hits_2it, SQL_HITS),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "mad_anomaly_1h": (q_mad_anomaly_1h, SQL_MAD_ANOMALY),
+    "gini_chars_by_source": (q_gini_chars_by_source, SQL_GINI),
 }
 
 

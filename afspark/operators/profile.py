@@ -259,3 +259,52 @@ def benford_first_digit(
         p_exp.alias("p_benford"),
         F.floor(chi2c * 1e9 + 0.5).cast("long").alias("chi2c_nanos"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Gini coefficient of a nonnegative weight distribution per key —
+    the standard concentration screen (how much of the corpus' bytes /
+    a domain's traffic sits in few entities).  0 = uniform, ->1 = one
+    entity holds everything.
+
+    Closed form on the ascending sort: G = 2·Σ i·x_(i) / (n·Σx)
+    − (n+1)/n, with i the 1-based rank.  Equal values make Σ i·x_i
+    invariant to tie order, so one rank window gives a deterministic
+    exact-integer triple (n, Σx, Σ i·x_i) and the final G is a single
+    identical float expression per engine.
+
+    Scale shape: one rank window per key (the per-key sort inherent to
+    order statistics) + one keyed aggregate.  Frame = the key's entity
+    list, bounded by entities-per-key, not by raw event volume when fed
+    pre-aggregated weights (pass the distinct tier / per-entity counts,
+    not raw rows).
+    """
+    from pyspark.sql import Window as W
+
+    keys = list(keys)
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    ranked = df.select(
+        *keys,
+        F.col(value_col).alias("_x"),
+        F.row_number().over(part.orderBy(F.col(value_col))).alias("_i"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("total"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    n = F.col("n").cast("double")
+    g = (
+        F.lit(2.0) * F.col("_ix") / (n * F.col("total"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.when(F.col("total") > 0, g).alias("gini"),
+    )

@@ -174,3 +174,35 @@ class TestBenford:
         rows = benford_first_digit(df, "value", scale=1).collect()
         chi2 = sum(r["chi2c_nanos"] for r in rows) / 1e9
         assert chi2 < 30  # chi2_8 at alpha=0.0001 is ~33
+
+
+class TestGini:
+    def test_uniform_and_extreme(self, spark):
+        from afspark.operators.profile import gini_concentration
+
+        # uniform: G = 0; one-holds-all of n=4: G = (n-1)/n = 0.75
+        rows = [("u", 5), ("u", 5), ("u", 5), ("u", 5),
+                ("e", 0), ("e", 0), ("e", 0), ("e", 12)]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        out = {r["source"]: r["gini"]
+               for r in gini_concentration(df, "n_chars",
+                                           keys=["source"]).collect()}
+        assert abs(out["u"]) < 1e-12
+        assert abs(out["e"] - 0.75) < 1e-12
+
+    def test_numpy_parity(self, spark):
+        import numpy as np
+
+        from afspark.operators.profile import gini_concentration
+
+        rng = np.random.default_rng(6)
+        x = rng.integers(1, 1000, size=200)
+        df = spark.createDataFrame(
+            [(int(v),) for v in x], "n_chars long"
+        )
+        out = gini_concentration(df, "n_chars").collect()[0]
+        xs = np.sort(x)
+        i = np.arange(1, len(xs) + 1)
+        want = 2 * (i * xs).sum() / (len(xs) * xs.sum()) \
+            - (len(xs) + 1) / len(xs)
+        assert abs(out["gini"] - want) < 1e-12
