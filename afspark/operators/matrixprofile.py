@@ -63,7 +63,13 @@ def matrix_profile_local(
     band = np.abs(idx[:, None] - idx[None, :]) < excl
     d2[band] = np.inf
     nn = d2.argmin(axis=1)
-    mp = np.sqrt(np.maximum(d2[idx, nn], 0.0))
+    mv = d2[idx, nn]
+    # a window whose every candidate sits inside the exclusion zone has
+    # min == inf (possible when excl <= W < 2*excl): mark it NaN so the
+    # argmax/argmin ignore it instead of casting inf to garbage int64
+    mp = np.where(np.isfinite(mv), np.sqrt(np.maximum(mv, 0.0)), np.nan)
+    if not np.isfinite(mp).any():
+        return None
     return mp, nn
 
 
@@ -114,8 +120,8 @@ def matrix_profile_discord(
                 motif_nn=np.int64(0), motif_mp_u=np.int64(0),
             )
         mp, nn = got
-        di = int(mp.argmax())  # numpy argmax/argmin: first index on ties
-        mi = int(mp.argmin())
+        di = int(np.nanargmax(mp))  # first index on ties, NaN-skipped
+        mi = int(np.nanargmin(mp))
         head["n_buckets"] = np.int64(len(pdf))
         head["n_windows"] = np.int64(mp.size)
         head["discord_idx"] = np.int64(di)

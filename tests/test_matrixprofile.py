@@ -95,3 +95,31 @@ class TestSparkOperator:
             rows, "series_id string, ts timestamp, value double"
         )
         assert matrix_profile_discord(df, 3600, 24).count() == 0
+
+
+def test_short_series_excl_band_no_inf(spark):
+    # W in (excl, 2*excl): middle windows have NO allowed neighbor and
+    # must be NaN-skipped, never cast inf -> garbage int64
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    base = dt.datetime(2024, 1, 1)
+    # L = 36, m = 24 -> W = 13, excl = 12: only (0,12) is an allowed pair
+    vals = rng.normal(size=36)
+    mp, nn = matrix_profile_local(vals, 24)
+    assert np.isfinite(mp[0]) and np.isfinite(mp[12])
+    assert np.isnan(mp[1:12]).all()
+    rows = [
+        ("S", base + dt.timedelta(hours=h), float(v))
+        for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    out = matrix_profile_discord(df, 3600, 24).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["discord_idx"] in (0, 12) and r["motif_idx"] in (0, 12)
+    assert 0 <= r["discord_mp_u"] < 10**12  # sane micros, not cast junk

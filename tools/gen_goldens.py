@@ -483,7 +483,7 @@ def golden_matrix_profile():
         if got is None:
             continue
         mp, nn = got
-        di, mi = int(mp.argmax()), int(mp.argmin())
+        di, mi = int(np.nanargmax(mp)), int(np.nanargmin(mp))
         rows.append(
             (
                 str(u), len(g), int(mp.size),
