@@ -4559,6 +4559,45 @@ SQL_GINI = """
 """
 
 
+def q_completeness_1h(spark, sf_dir):
+    """Per-series 1h-grid completeness + largest silent gap (ingest
+    health before gap-fill hides the holes)."""
+    from .operators.tsanalytics import completeness
+
+    pts = events_samples(spark, sf_dir)
+    out = completeness(pts, 3600)
+    return out.select(
+        "series_id",
+        "n_present",
+        "n_span",
+        _r(F.col("completeness"), 9).alias("completeness"),
+        "max_gap_buckets",
+    )
+
+
+SQL_COMPLETENESS = """
+    WITH b AS (SELECT DISTINCT user_id,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be
+               FROM events),
+    g AS (SELECT user_id, be,
+                 CAST((be - lag(be) OVER (PARTITION BY user_id
+                                          ORDER BY be)) / 3600 - 1
+                      AS BIGINT) AS gap
+          FROM b),
+    a AS (SELECT user_id, count(*) AS n_present,
+                 min(be) AS lo, max(be) AS hi,
+                 coalesce(max(gap), 0) AS max_gap
+          FROM g GROUP BY 1)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST((hi - lo)/3600 + 1 AS BIGINT) AS n_span,
+           floor(n_present / ((hi - lo)/3600 + 1) * 1000000000.0 + 0.5)
+             / 1000000000.0 AS completeness,
+           CAST(max_gap AS BIGINT) AS max_gap_buckets
+    FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4721,6 +4760,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "mad_anomaly_1h": (q_mad_anomaly_1h, SQL_MAD_ANOMALY),
     "gini_chars_by_source": (q_gini_chars_by_source, SQL_GINI),
+    "completeness_1h": (q_completeness_1h, SQL_COMPLETENESS),
 }
 
 

@@ -1778,3 +1778,52 @@ def mad_anomalies(
         F.when(F.col("_mad") > 0, F.abs(z) > k)
         .otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+def completeness(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-series data-completeness audit on the bucket grid: how much
+    of the expected bucket spine between a series' first and last
+    observation actually has data, and the largest silent gap — the
+    standard ingest-health metric a TSDB reports before anyone trusts
+    downstream aggregates (gap-fill hides holes; this one measures
+    them).
+
+    All exact integers: present buckets, span = (max-min)/bucket + 1,
+    max_gap from a lag over the DISTINCT bucket list (tier-sized frame,
+    not raw rows).  completeness = present/span is the one float, same
+    expression both engines.
+
+    Output: keys + n_present, n_span, completeness, max_gap_buckets —
+    the largest count of consecutive MISSING buckets (0 for a dense
+    series).
+    """
+    be = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+          * bucket_seconds).cast("long")
+    tier = points.select(*keys, be.alias("_be")).distinct()
+    w = W.partitionBy(*keys).orderBy("_be")
+    gap = (
+        (F.col("_be") - F.lag("_be").over(w)) / bucket_seconds - 1
+    ).cast("long")
+    g = tier.select(*keys, "_be", gap.alias("_gap"))
+    agg = g.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("_be").alias("_lo"),
+        F.max("_be").alias("_hi"),
+        F.coalesce(F.max("_gap"), F.lit(0)).alias("max_gap_buckets"),
+    )
+    span = ((F.col("_hi") - F.col("_lo")) / bucket_seconds + 1).cast("long")
+    return (
+        agg.withColumn("n_span", span)
+        .select(
+            *keys,
+            F.col("n_present").cast("long").alias("n_present"),
+            "n_span",
+            (F.col("n_present") / F.col("n_span")).alias("completeness"),
+            F.col("max_gap_buckets").cast("long").alias("max_gap_buckets"),
+        )
+    )

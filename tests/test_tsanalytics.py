@@ -1116,3 +1116,34 @@ class TestMadAnomalies:
         out = mad_anomalies(df, 3600).collect()
         assert all(r["z"] is None for r in out)
         assert not any(r["is_anomaly"] for r in out)
+
+
+class TestCompleteness:
+    def test_hand_golden(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # present hours: 0,1,2, 6, 10 -> span 11, gaps of 3 and 3
+        hours = [0, 1, 2, 6, 10]
+        rows = [("A", base + dt.timedelta(hours=h, minutes=m))
+                for h in hours for m in (0, 30)]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+        from afspark.operators.tsanalytics import completeness
+
+        out = completeness(df, 3600).collect()[0]
+        assert out["n_present"] == 5
+        assert out["n_span"] == 11
+        assert abs(out["completeness"] - 5 / 11) < 1e-12
+        assert out["max_gap_buckets"] == 3
+
+    def test_dense_series(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("D", base + dt.timedelta(hours=h)) for h in range(24)]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+        from afspark.operators.tsanalytics import completeness
+
+        out = completeness(df, 3600).collect()[0]
+        assert out["completeness"] == 1.0
+        assert out["max_gap_buckets"] == 0
