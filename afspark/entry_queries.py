@@ -4599,6 +4599,101 @@ SQL_COMPLETENESS = """
 
 
 # ---------------------------------------------------------------------------
+# HDR log-bucket percentile sketch tier (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+def _hdr_cells_sql(sec: int) -> str:
+    """DuckDB twin of hdr_rollup over integer cents — pure integer
+    bucketing (length(bin(v)), shifts, DIV), no libm anywhere."""
+    return f"""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/{sec})*{sec})::BIGINT AS bucket_epoch,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), cells AS (
+      SELECT series_id, bucket_epoch,
+             CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT)
+                  ELSE (length(bin(v))-1)*16
+                       + ((v*16) // (CAST(1 AS BIGINT) << (length(bin(v))-1))
+                          - 16)
+             END AS idx,
+             count(*) AS n
+      FROM c GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT *,
+             sum(n) OVER (PARTITION BY series_id, bucket_epoch
+                          ORDER BY idx) AS cum,
+             sum(n) OVER (PARTITION BY series_id, bucket_epoch) AS total
+      FROM cells
+    )
+    """
+
+
+def _hdr_est_sql() -> str:
+    """Midpoint estimate of a cell: 2^msb*(2*(16+sub)+1)/3200 — one IEEE
+    division of exact integers (bit-identical across engines)."""
+    return (
+        "CASE WHEN idx < 0 THEN 0.0 ELSE "
+        "((CAST(1 AS BIGINT) << CAST(idx // 16 AS INT))"
+        " * (2*(16 + idx % 16) + 1))::DOUBLE / 3200.0 END"
+    )
+
+
+def _hdr_out(est_df):
+    return est_df.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("total").cast("long").alias("total"),
+        "est",
+    )
+
+
+def q_hdr_percentile_1h(spark, sf_dir):
+    """p50 + p99 per (series, 1h bucket) from the HDR log-bucket sketch
+    tier — the constant-memory, tier-mergeable percentile path
+    (hdrsketch.py; Prometheus-native-histogram semantics)."""
+    from .operators.hdrsketch import hdr_quantile, hdr_rollup
+
+    s = events_samples(spark, sf_dir, cents=True)
+    cells = hdr_rollup(s, TIERS["1h"])
+    parts = []
+    for qn, qd, lab in [(50, 100, "p50"), (99, 100, "p99")]:
+        e = hdr_quantile(cells, qn, qd)
+        parts.append(_hdr_out(e).withColumn("qlab", F.lit(lab)))
+    return parts[0].unionByName(parts[1])
+
+
+SQL_HDR_PERCENTILE_1H = _hdr_cells_sql(3600) + f"""
+    , q AS (SELECT 50 AS qn, 'p50' AS qlab UNION ALL SELECT 99, 'p99')
+    SELECT series_id, bucket_epoch, total::BIGINT AS total,
+           {_hdr_est_sql()} AS est, qlab
+    FROM cum, q
+    WHERE cum*100 >= total*qn AND (cum-n)*100 < total*qn
+"""
+
+
+def q_hdr_1d_chained(spark, sf_dir):
+    """p90 per (series, 1d) where the 1d sketch is MERGED from the 1h
+    sketch cells (hdr_merge) — oracle builds 1d cells straight from raw;
+    equality certifies tier-merge losslessness through the driver gate."""
+    from .operators.hdrsketch import hdr_merge, hdr_quantile, hdr_rollup
+
+    s = events_samples(spark, sf_dir, cents=True)
+    t1h = hdr_rollup(s, TIERS["1h"])
+    t1d = hdr_merge(t1h, TIERS["1d"])
+    return _hdr_out(hdr_quantile(t1d, 90, 100))
+
+
+SQL_HDR_1D_CHAINED = _hdr_cells_sql(86400) + f"""
+    SELECT series_id, bucket_epoch, total::BIGINT AS total,
+           {_hdr_est_sql()} AS est
+    FROM cum
+    WHERE cum*100 >= total*90 AND (cum-n)*100 < total*90
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4761,6 +4856,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mad_anomaly_1h": (q_mad_anomaly_1h, SQL_MAD_ANOMALY),
     "gini_chars_by_source": (q_gini_chars_by_source, SQL_GINI),
     "completeness_1h": (q_completeness_1h, SQL_COMPLETENESS),
+    "hdr_percentile_1h": (q_hdr_percentile_1h, SQL_HDR_PERCENTILE_1H),
+    "hdr_1d_chained": (q_hdr_1d_chained, SQL_HDR_1D_CHAINED),
 }
 
 
