@@ -4694,6 +4694,74 @@ SQL_HDR_1D_CHAINED = _hdr_cells_sql(86400) + f"""
 
 
 # ---------------------------------------------------------------------------
+# recrawl change detection (url content-change time series)
+# ---------------------------------------------------------------------------
+
+def q_recrawl_change_rate(spark, sf_dir):
+    """Per-source daily content-change rate across recrawls: consecutive
+    crawls of the same url compared by SimHash Hamming distance
+    (recrawl.py).  The recrawl stream is synthesized deterministically
+    from documents: url = doc_id div 4, crawl day = doc_id mod 4."""
+    from .operators.recrawl import change_rate, recrawl_deltas
+
+    docs = _read(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    sh = spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents
+        )
+        SELECT doc_id, CAST({_simhash_bits_sql("spark")} AS BIGINT) AS simhash
+        FROM toks WHERE tok <> '' GROUP BY doc_id
+        """
+    )
+    pages = docs.join(sh, "doc_id").select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("url"),
+        F.timestamp_seconds(
+            (F.lit(1704067200) + (F.col("doc_id") % 4) * 86400).cast("long")
+        ).alias("warc_ts"),
+        "source",
+        "simhash",
+    )
+    out = change_rate(recrawl_deltas(pages), 86400, keys=["source"])
+    return out.select(
+        "source",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "pairs",
+        "changed",
+        "sum_hamming",
+    )
+
+
+SQL_RECRAWL_CHANGE_RATE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), sh AS (
+      SELECT doc_id, CAST({_simhash_bits_sql("duckdb")} AS BIGINT) AS sim
+      FROM toks WHERE tok <> '' GROUP BY doc_id
+    ), pg AS (
+      SELECT d.doc_id // 4 AS url, d.doc_id % 4 AS seq, d.source, sh.sim
+      FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+    ), dl AS (
+      SELECT url, seq, source, sim,
+             lag(sim) OVER (PARTITION BY url ORDER BY seq) AS prev
+      FROM pg
+    )
+    SELECT source,
+           (1704067200 + seq*86400)::BIGINT AS bucket_epoch,
+           (count(*) FILTER (WHERE prev IS NOT NULL))::BIGINT AS pairs,
+           (count(*) FILTER (WHERE prev IS NOT NULL
+              AND bit_count(CAST(xor(sim, prev) AS BIGINT)) > 3))::BIGINT
+             AS changed,
+           coalesce(sum(CASE WHEN prev IS NOT NULL
+              THEN bit_count(CAST(xor(sim, prev) AS BIGINT)) END), 0)::BIGINT
+             AS sum_hamming
+    FROM dl GROUP BY 1, 2
+    HAVING count(*) FILTER (WHERE prev IS NOT NULL) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4858,6 +4926,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "completeness_1h": (q_completeness_1h, SQL_COMPLETENESS),
     "hdr_percentile_1h": (q_hdr_percentile_1h, SQL_HDR_PERCENTILE_1H),
     "hdr_1d_chained": (q_hdr_1d_chained, SQL_HDR_1D_CHAINED),
+    "recrawl_change_rate": (q_recrawl_change_rate, SQL_RECRAWL_CHANGE_RATE),
 }
 
 
