@@ -4762,6 +4762,105 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# url canonicalization dedup
+# ---------------------------------------------------------------------------
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Group documents by canonical URL (urlnorm.py): five deterministic
+    messy spellings per logical page (case, default port, www, tracking
+    params, fragments, param order, trailing slash) collapse to two
+    canonical groups.  The oracle re-implements the full canonicalization
+    in DuckDB SQL, pinning the rules engine-independently."""
+    from .operators.urlnorm import canonicalize_url
+
+    docs = _read(spark, sf_dir, "documents")
+    base = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+    var = F.col("doc_id") % 5
+    # host derives from the page (base), not the row, so the five messy
+    # spellings of one logical page really share a domain and collapse
+    src = F.concat(F.lit("src"), (F.floor(F.col("doc_id") / 5) % 20).cast("string"))
+    u = (
+        F.when(var == 0, F.concat(F.lit("http://www."), src, F.lit(".com/p/"), base))
+        .when(
+            var == 1,
+            F.concat(F.lit("HTTP://WWW."), F.upper(src), F.lit(".COM:80/p/"), base),
+        )
+        .when(
+            var == 2,
+            F.concat(
+                F.lit("http://"), src, F.lit(".com/p/"), base,
+                F.lit("/?utm_source=feed&fbclid=z"),
+            ),
+        )
+        .when(
+            var == 3,
+            F.concat(
+                F.lit("http://"), src, F.lit(".com/p/"), base, F.lit("?b=2&a=1#frag")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), src, F.lit(".com:80/p/"), base, F.lit("/?a=1&b=2")
+            )
+        )
+    )
+    return (
+        docs.select(canonicalize_url(u).alias("canonical"), "doc_id")
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+SQL_URL_CANONICAL = r"""
+    WITH d AS (
+      SELECT doc_id, 'src' || ((doc_id//5) % 20) AS source FROM documents
+    ), u AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'http://www.' || source || '.com/p/' || (doc_id//5)
+          WHEN 1 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/p/' || (doc_id//5)
+          WHEN 2 THEN 'http://' || source || '.com/p/' || (doc_id//5)
+                      || '/?utm_source=feed&fbclid=z'
+          WHEN 3 THEN 'http://' || source || '.com/p/' || (doc_id//5)
+                      || '?b=2&a=1#frag'
+          ELSE 'http://' || source || '.com:80/p/' || (doc_id//5) || '/?a=1&b=2'
+        END AS url
+      FROM d
+    ), parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+        regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS hostport,
+        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS raw_path,
+        -- DuckDB regexp_extract -> NULL on no match (Spark returns '')
+        coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS qs
+      FROM u
+    ), norm AS (
+      SELECT doc_id, scheme,
+        regexp_replace(regexp_extract(lower(hostport), '^([^:]*)', 1),
+                       '^www\.', '') AS host,
+        coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+        CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+        -- array_to_string([]) is NULL in DuckDB ('' in Spark): coalesce
+        coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_')
+               AND NOT starts_with(x, 'gclid')
+               AND NOT starts_with(x, 'fbclid'))), '&'), '') AS qkeep
+      FROM parts
+    )
+    SELECT scheme || '://' || host
+           || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                   THEN '' ELSE ':' || port END
+           || path
+           || CASE WHEN qkeep = '' THEN '' ELSE '?' || qkeep END AS canonical,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc
+    FROM norm GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4927,6 +5026,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hdr_percentile_1h": (q_hdr_percentile_1h, SQL_HDR_PERCENTILE_1H),
     "hdr_1d_chained": (q_hdr_1d_chained, SQL_HDR_1D_CHAINED),
     "recrawl_change_rate": (q_recrawl_change_rate, SQL_RECRAWL_CHANGE_RATE),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL),
 }
 
 
