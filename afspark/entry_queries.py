@@ -4762,6 +4762,31 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# swinging-door trimming downsample
+# ---------------------------------------------------------------------------
+
+def q_sdt_downsample_events(spark, sf_dir):
+    """Per-series swinging-door archive stats (sdt.py): the historian
+    lossy downsample with a 2000-cent reconstruction tolerance over the
+    seq clock.  max(seq) of the kept subset doubles as the input length
+    because SDT always archives the last point.  Oracle is the VALUES
+    golden from the same numpy kernel run single-process
+    (tools/gen_goldens.py:golden_sdt_events) — distributed == local."""
+    from .operators.sdt import sdt_downsample
+
+    s = events_samples(spark, sf_dir, cents=True)
+    kept = sdt_downsample(s, dev=2000.0, order_col="seq")
+    return kept.groupBy("series_id").agg(
+        F.max("seq").cast("long").alias("n_in"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("value").cast("long").alias("sum_kept_c"),
+        F.sum(F.col("seq") * (F.col("value").cast("long") % 1009))
+        .cast("long")
+        .alias("pos_check"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # url canonicalization dedup
 # ---------------------------------------------------------------------------
 
@@ -5027,6 +5052,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hdr_1d_chained": (q_hdr_1d_chained, SQL_HDR_1D_CHAINED),
     "recrawl_change_rate": (q_recrawl_change_rate, SQL_RECRAWL_CHANGE_RATE),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL),
+    "sdt_downsample_events": (
+        q_sdt_downsample_events,
+        GOLDEN_SQL.get("sdt_downsample_events"),
+    ),
 }
 
 

@@ -504,6 +504,36 @@ def golden_matrix_profile():
     return values_sql(df, {"series_id"})
 
 
+def golden_sdt_events():
+    """Numpy twin of entry_queries.q_sdt_downsample_events: per-series
+    swinging-door archive stats over the (ts, event_id)-ordered cents
+    stream with the 1-based seq clock; reconstruction tolerance 2000
+    cents (the operator runs doors at half-width 1000)."""
+    from afspark.operators.sdt import sdt_mask
+
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    rows = []
+    for uid, g in e.sort_values(["ts", "event_id"], kind="mergesort").groupby(
+        "user_id"
+    ):
+        v = np.floor(g["value"].to_numpy(np.float64) * 100 + 0.5)
+        n = len(v)
+        t = np.arange(1, n + 1, dtype=np.float64)
+        m = sdt_mask(t, v, 1000.0)
+        seq = np.arange(1, n + 1, dtype=np.int64)[m]
+        vk = v[m].astype(np.int64)
+        rows.append(
+            (str(uid), n, int(m.sum()), int(vk.sum()),
+             int((seq * (vk % 1009)).sum()))
+        )
+    df = pd.DataFrame(
+        rows, columns=["series_id", "n_in", "n_kept", "sum_kept_c", "pos_check"]
+    )
+    return values_sql(df, {"series_id"})
+
+
 def main():
     goldens = {
         "score_kernels_docs": golden_kernels_docs(),
@@ -518,6 +548,7 @@ def main():
         "dtw_events_1h": golden_dtw_events(),
         "dominant_period_1h": golden_dominant_period(),
         "matrix_profile_1h": golden_matrix_profile(),
+        "sdt_downsample_events": golden_sdt_events(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
