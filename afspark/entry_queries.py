@@ -4762,6 +4762,46 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# html -> text extraction invariant
+# ---------------------------------------------------------------------------
+
+def q_extract_text_invariant(spark, sf_dir):
+    """Per-source byte-identity audit of the html->text extraction stage
+    (extract.py): html bytes are synthesized from each document's text
+    with the corpus wrapper, re-extracted, and compared byte-for-byte —
+    the input_hint's per-row invariant, certified through the driver
+    gate (n_rows == n_identical and matching byte volumes)."""
+    from .operators.extract import verify_text_invariant
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        "text",
+        F.encode(
+            F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>")), "UTF-8"
+        ).alias("html"),
+    )
+    return verify_text_invariant(docs, keys=["source"])
+
+
+SQL_EXTRACT_TEXT_INVARIANT = r"""
+    WITH p AS (
+      SELECT source, text,
+             regexp_extract(
+               decode(encode('<html>' || text || '</html>')),
+               '(?s)^<html>(.*)</html>$', 1) AS ext
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_rows,
+           (count(*) FILTER (WHERE ext IS NOT NULL
+              AND encode(ext) = encode(text)))::BIGINT AS n_identical,
+           (sum(octet_length(encode(ext))))::BIGINT AS ext_bytes,
+           (sum(octet_length(encode(text))))::BIGINT AS txt_bytes
+    FROM p GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # swinging-door trimming downsample
 # ---------------------------------------------------------------------------
 
@@ -5055,6 +5095,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sdt_downsample_events": (
         q_sdt_downsample_events,
         GOLDEN_SQL.get("sdt_downsample_events"),
+    ),
+    "extract_text_invariant": (
+        q_extract_text_invariant,
+        SQL_EXTRACT_TEXT_INVARIANT,
     ),
 }
 
