@@ -4762,6 +4762,59 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-50 adjacent-token collocations by PMI (text.pmi_bigrams):
+    ranked by the exact integer ratio c_ab*N^2/(M*c_a*c_b) — the same
+    order as log-PMI without libm, so the double score is bit-identical
+    cross-engine.  min_count=5 prunes the hapax tail pre-join."""
+    from .operators.text import pmi_bigrams
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pmi_bigrams(docs, min_count=5, k=50)
+    return out.select(
+        "w1", "w2", "c_ab", "c_a", "c_b", _r(F.col("pmi_ratio"), 6).alias("pmi_ratio")
+    )
+
+
+SQL_PMI_BIGRAMS = """
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ), uni AS (
+      SELECT u.w AS w, count(*) AS c FROM t, unnest(l) AS u(w) GROUP BY 1
+    ), nt AS (
+      SELECT sum(c)::BIGINT AS n_uni FROM uni
+    ), bi AS (
+      SELECT s.l[g.i] AS w1, s.l[g.i + 1] AS w2, count(*) AS c_ab
+      FROM (SELECT l FROM t WHERE len(l) >= 2) s,
+           unnest(generate_series(1, len(s.l) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ), mt AS (
+      SELECT sum(c_ab)::BIGINT AS m_bi FROM bi
+    ), scored AS (
+      SELECT bi.w1, bi.w2, bi.c_ab::BIGINT AS c_ab,
+             ua.c::BIGINT AS c_a, ub.c::BIGINT AS c_b,
+             CAST(bi.c_ab AS DOUBLE) * CAST(nt.n_uni AS DOUBLE)
+               * CAST(nt.n_uni AS DOUBLE)
+               / (CAST(mt.m_bi AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                  * CAST(ub.c AS DOUBLE)) AS score
+      FROM bi
+      CROSS JOIN nt CROSS JOIN mt
+      JOIN uni ua ON bi.w1 = ua.w
+      JOIN uni ub ON bi.w2 = ub.w
+      WHERE bi.c_ab >= 5
+    )
+    SELECT w1, w2, c_ab, c_a, c_b,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS pmi_ratio
+    FROM scored
+    ORDER BY score DESC, w1, w2 LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # html -> text extraction invariant
 # ---------------------------------------------------------------------------
 
@@ -5100,6 +5153,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_extract_text_invariant,
         SQL_EXTRACT_TEXT_INVARIANT,
     ),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
 }
 
 

@@ -711,3 +711,79 @@ def crawl_schedule(
         (F.lit(base_epoch) + (rk - 1).cast("long") * min_gap_seconds)
         .alias("fetch_epoch"),
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information.
+
+    PMI = log p(ab) / (p(a) p(b)) with p(ab) = c_ab/M (bigram mass) and
+    p(a) = c_a/N (unigram mass).  The ``log`` is monotone, so ranking by
+    the RATIO ``c_ab * N^2 / (M * c_a * c_b)`` is the same ordering
+    while staying libm-free: every factor is an exact integer count and
+    the score is fixed-shape double arithmetic — identical across
+    engines (the driver oracle relies on this; see also hdrsketch.py's
+    integer-bucketing rationale).
+
+    Scale shape (100 TB): two vocabulary-bounded groupBys (map-side
+    combined — the shuffle carries distinct terms, not tokens), two
+    broadcast-sized scalar totals, two joins against the unigram table
+    (vocab-sized; Spark broadcasts it under AQE when it fits), and a
+    TakeOrderedAndProject top-k — no full sort.  ``min_count`` prunes
+    the hapax tail before the joins.
+
+    Bigrams are ADJACENT pairs only (collocation detection, not co-
+    occurrence windows), built by exploding 1..len-1 indexes; docs with
+    fewer than two tokens are filtered BEFORE the explode because
+    Spark's ``sequence(1, 0)`` descends instead of returning empty.
+    """
+    toks = docs.select(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("l")
+    )
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").alias("n_uni"))
+    bi = (
+        toks.filter(F.size("l") >= 2)
+        .select(
+            F.col("l"),
+            F.explode(F.sequence(F.lit(1), F.size("l") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("l", F.col("i")).alias("w1"),
+            F.element_at("l", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m_tot = bi.agg(F.sum("c_ab").alias("m_bi"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .withColumn(
+            "pmi_ratio",
+            F.col("c_ab").cast("double")
+            * F.col("n_uni").cast("double")
+            * F.col("n_uni").cast("double")
+            / (
+                F.col("m_bi").cast("double")
+                * F.col("c_a").cast("double")
+                * F.col("c_b").cast("double")
+            ),
+        )
+    )
+    return scored.select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_ratio").orderBy(
+        F.col("pmi_ratio").desc(), "w1", "w2"
+    ).limit(k)

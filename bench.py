@@ -204,6 +204,25 @@ def main() -> None:
 
             bm25_topk(docs, ["merge", "spark", "window"], k=100).count()
 
+        with timed("q_hdr_percentile_1h"):
+            from afspark.operators.hdrsketch import hdr_quantile, hdr_rollup
+
+            cents = events.withColumn(
+                "value", F.floor(F.col("value") * 100 + 0.5)
+            )
+            hdr_quantile(hdr_rollup(cents, 3600), 99, 100).count()
+
+        with timed("q_sdt_downsample"):
+            from afspark.operators.sdt import sdt_downsample
+
+            seqd = events.withColumn(
+                "seq",
+                F.row_number().over(
+                    Window.partitionBy("series_id").orderBy("ts", "value")
+                ).cast("long"),
+            ).withColumn("value", F.floor(F.col("value") * 100 + 0.5))
+            sdt_downsample(seqd, dev=2000.0, order_col="seq").count()
+
         with timed("q_matrix_profile_1h"):
             from afspark.operators.matrixprofile import matrix_profile_discord
 
