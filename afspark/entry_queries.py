@@ -4762,6 +4762,85 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# lateness profile (watermark tuning) — HDR sketch composition
+# ---------------------------------------------------------------------------
+
+def q_lateness_profile_1h(spark, sf_dir):
+    """Per-hour ingestion-lateness profile — the signal that tunes
+    ``withWatermark`` and the OoO repair window (ooo.py): p99 lateness
+    from the HDR sketch (hdrsketch.py reused at scale=1, per-bucket
+    keys), plus exact max and count-beyond-600s counters.  Ingest delay
+    is synthesized deterministically (event_id * 2654435761 mod 7200
+    seconds) since the test tables carry no ingest clock."""
+    from .operators.hdrsketch import hdr_quantile, hdr_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    late = ev.select(
+        "ts",
+        ((F.col("event_id") * F.lit(2654435761)) % 7200).alias("late_s"),
+    )
+    cells = hdr_rollup(late, TIERS["1h"], keys=[], value_col="late_s")
+    p99 = hdr_quantile(cells, 99, 100, keys=[], scale=1, out_col="p99_late")
+    exact = (
+        late.withColumn("bucket_ts", _bucket_ts_col(F.col("ts"), 3600))
+        .groupBy("bucket_ts")
+        .agg(
+            F.max("late_s").cast("long").alias("max_late"),
+            F.sum((F.col("late_s") > 600).cast("long")).alias("n_gt_600"),
+        )
+    )
+    return p99.join(exact, "bucket_ts").select(
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("total").cast("long").alias("total"),
+        "p99_late",
+        "max_late",
+        "n_gt_600",
+    )
+
+
+def _bucket_ts_col(ts, sec: int):
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(ts) / sec) * sec).cast("long")
+    )
+
+
+SQL_LATENESS_PROFILE_1H = """
+    WITH l AS (
+      SELECT (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+             (event_id * 2654435761) % 7200 AS v
+      FROM events
+    ), cells AS (
+      SELECT bucket_epoch,
+             CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT)
+                  ELSE (length(bin(v))-1)*16
+                       + ((v*16) // (CAST(1 AS BIGINT) << (length(bin(v))-1))
+                          - 16)
+             END AS idx,
+             count(*) AS n
+      FROM l GROUP BY 1, 2
+    ), cum AS (
+      SELECT *,
+             sum(n) OVER (PARTITION BY bucket_epoch ORDER BY idx) AS cum,
+             sum(n) OVER (PARTITION BY bucket_epoch) AS total
+      FROM cells
+    ), q AS (
+      SELECT bucket_epoch, total::BIGINT AS total,
+             CASE WHEN idx < 0 THEN 0.0 ELSE
+               ((CAST(1 AS BIGINT) << CAST(idx // 16 AS INT))
+                * (2*(16 + idx % 16) + 1))::DOUBLE / 32.0 END AS p99_late
+      FROM cum
+      WHERE cum*100 >= total*99 AND (cum-n)*100 < total*99
+    ), e AS (
+      SELECT bucket_epoch, max(v)::BIGINT AS max_late,
+             (count(*) FILTER (WHERE v > 600))::BIGINT AS n_gt_600
+      FROM l GROUP BY 1
+    )
+    SELECT q.bucket_epoch, q.total, q.p99_late, e.max_late, e.n_gt_600
+    FROM q JOIN e USING (bucket_epoch)
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations
 # ---------------------------------------------------------------------------
 
@@ -5154,6 +5233,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_EXTRACT_TEXT_INVARIANT,
     ),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "lateness_profile_1h": (q_lateness_profile_1h, SQL_LATENESS_PROFILE_1H),
 }
 
 
