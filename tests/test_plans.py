@@ -309,3 +309,54 @@ def test_matrix_profile_single_python_stage_per_series(spark, sf_dir):
     )
     plan = _plan(matrix_profile_discord(ev, 3600, 24))
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_url_canonicalization_is_shuffle_free(spark, sf_dir):
+    """canonicalize_url must stay a projection on the scan — any
+    Exchange means the 'rides the scan' claim in urlnorm.py is false."""
+    from afspark.operators.urlnorm import canonicalize_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("http://www.ex.com/p/"), F.col("doc_id"))
+    plan = _plan(docs.select(canonicalize_url(url).alias("c")))
+    assert "Exchange" not in plan
+
+
+def test_hdr_rollup_map_side_combines(spark, sf_dir):
+    """The sketch cells must partial-aggregate before the shuffle —
+    the 'algebraic, map-side combined' claim in hdrsketch.py."""
+    from afspark.operators.hdrsketch import hdr_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"),
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).alias("value"),
+    )
+    plan = _plan(hdr_rollup(ev, 3600))
+    pre_exchange = plan.split("Exchange")[-1]  # deepest = before shuffle
+    assert "partial_count" in pre_exchange
+    assert plan.count("Exchange") == 1  # one shuffle total
+
+
+def test_pmi_topk_no_full_sort(spark, sf_dir):
+    """Top-k collocations must end in TakeOrderedAndProject, not a
+    global Sort+Exchange of every scored bigram."""
+    from afspark.operators.text import pmi_bigrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(pmi_bigrams(docs, min_count=5, k=50))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sdt_single_shuffle_on_series(spark):
+    """SDT is one hash shuffle on the series key feeding the Arrow
+    kernel — no extra exchange, no sort stage outside the groups."""
+    from afspark.operators.sdt import sdt_downsample
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)],
+        "series_id string, seq long, value double",
+    )
+    plan = _plan(sdt_downsample(df, dev=2.0, ts_col="seq", order_col="seq"))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
