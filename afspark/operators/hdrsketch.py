@@ -145,3 +145,41 @@ def hdr_quantile(
         F.expr(mid_sql).cast("double") / float(2 * subbuckets * scale)
     )
     return hit.select(*keys, "bucket_ts", "total", est.alias(out_col))
+
+
+def hdr_refresh_incremental(
+    committed_cells: DataFrame,
+    new_points: DataFrame,
+    tier_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    subbuckets: int = SUBBUCKETS,
+    include_untouched: bool = True,
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh of the sketch tier —
+    the same TimescaleDB-style pattern as rollup.refresh_tier_incremental
+    (see there for the full scale rationale): sketch ONLY the new batch,
+    broadcast its tiny touched-(keys, bucket) set, and merge cell counts
+    for touched buckets; committed cells outside the batch's span are
+    passed through without ever being shuffled.  Correct for late /
+    out-of-order / in-order batches alike because cells are plain
+    associative counts (incremental == full rebuild, asserted bit-exact
+    in tests/test_hdrsketch.py).
+
+    ``include_untouched=False`` returns only the refreshed buckets — the
+    delta for a dynamic-partition overwrite or MERGE writer.
+    """
+    delta = hdr_rollup(new_points, tier_seconds, keys, ts_col, value_col, subbuckets)
+    on = [*keys, "bucket_ts"]
+    touched = delta.select(*on).distinct()
+    merged = (
+        committed_cells.join(F.broadcast(touched), on, "left_semi")
+        .unionByName(delta)
+        .groupBy(*keys, "bucket_ts", "idx")
+        .agg(F.sum("n").alias("n"))
+    )
+    if not include_untouched:
+        return merged
+    untouched = committed_cells.join(F.broadcast(touched), on, "left_anti")
+    return untouched.unionByName(merged)

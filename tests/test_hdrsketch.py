@@ -120,3 +120,41 @@ def test_cell_cardinality_bounded(cents):
         .mx
     )
     assert worst <= SUBBUCKETS * 63 + 1
+
+
+def test_incremental_refresh_equals_full_rebuild(cents):
+    """committed cells + late batch via hdr_refresh_incremental ==
+    sketching the full history — bit-exact cell counts."""
+    from pyspark.sql import functions as F
+
+    from afspark.operators.hdrsketch import hdr_refresh_incremental
+
+    tagged = cents.withColumn(
+        "_h", F.pmod(F.xxhash64("series_id", "ts"), F.lit(5))
+    )
+    early = tagged.filter(F.col("_h") != 0).drop("_h")
+    late = tagged.filter(F.col("_h") == 0).drop("_h")
+    committed = hdr_rollup(early, TIERS["1h"])
+    refreshed = hdr_refresh_incremental(committed, late, TIERS["1h"])
+    full = hdr_rollup(cents, TIERS["1h"])
+    a = {(r.series_id, r.bucket_ts, r.idx): r.n for r in refreshed.collect()}
+    b = {(r.series_id, r.bucket_ts, r.idx): r.n for r in full.collect()}
+    assert a == b
+
+
+def test_incremental_refresh_broadcasts_touched_set(cents):
+    from pyspark.sql import functions as F
+
+    from afspark.operators.hdrsketch import hdr_refresh_incremental
+
+    tagged = cents.withColumn(
+        "_h", F.pmod(F.xxhash64("series_id", "ts"), F.lit(5))
+    )
+    committed = hdr_rollup(tagged.filter(F.col("_h") != 0).drop("_h"), TIERS["1h"])
+    out = hdr_refresh_incremental(
+        committed, tagged.filter(F.col("_h") == 0).drop("_h"), TIERS["1h"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
