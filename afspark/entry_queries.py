@@ -4762,6 +4762,53 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# offset comparison (PromQL offset / week-over-week)
+# ---------------------------------------------------------------------------
+
+def q_offset_compare_1d(spark, sf_dir):
+    """Day buckets vs the same series 7 days earlier
+    (tsanalytics.offset_compare): gap-correct self-join on the shifted
+    bucket key, integer cnt/sum deltas.  NULL prev columns mark buckets
+    with no 7d-earlier baseline."""
+    from .operators.tsanalytics import offset_compare
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    t1d = rollup_points(pts, TIERS["1d"])
+    out = offset_compare(t1d, 7 * 86400, value_cols=["cnt", "sum"])
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("prev_cnt").cast("long").alias("prev_cnt"),
+        F.col("d_cnt").cast("long").alias("d_cnt"),
+        F.col("sum").cast("long").alias("sum_c"),
+        F.col("prev_sum").cast("long").alias("prev_sum_c"),
+        F.col("d_sum").cast("long").alias("d_sum_c"),
+    )
+
+
+SQL_OFFSET_COMPARE_1D = """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/86400)*86400)::BIGINT AS bucket_epoch,
+             floor(value*100 + 0.5) AS v
+      FROM events
+    ), t AS (
+      SELECT series_id, bucket_epoch,
+             count(*)::BIGINT AS cnt, sum(v)::BIGINT AS sum_c
+      FROM c GROUP BY 1, 2
+    )
+    SELECT a.series_id, a.bucket_epoch, a.cnt,
+           b.cnt AS prev_cnt, (a.cnt - b.cnt)::BIGINT AS d_cnt,
+           a.sum_c, b.sum_c AS prev_sum_c,
+           (a.sum_c - b.sum_c)::BIGINT AS d_sum_c
+    FROM t a LEFT JOIN t b
+      ON a.series_id = b.series_id
+     AND a.bucket_epoch = b.bucket_epoch + 7*86400
+"""
+
+
+# ---------------------------------------------------------------------------
 # lateness profile (watermark tuning) — HDR sketch composition
 # ---------------------------------------------------------------------------
 
@@ -5234,6 +5281,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "lateness_profile_1h": (q_lateness_profile_1h, SQL_LATENESS_PROFILE_1H),
+    "offset_compare_1d": (q_offset_compare_1d, SQL_OFFSET_COMPARE_1D),
 }
 
 

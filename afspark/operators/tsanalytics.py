@@ -1827,3 +1827,36 @@ def completeness(
             F.col("max_gap_buckets").cast("long").alias("max_gap_buckets"),
         )
     )
+
+
+def offset_compare(
+    tier: DataFrame,
+    offset_seconds: int,
+    value_cols: list[str] = ["cnt", "sum"],
+    keys: list[str] = ["series_id"],
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """PromQL ``offset`` analog: each tier bucket joined against the
+    same series' bucket ``offset_seconds`` earlier (week-over-week /
+    day-over-day deltas).  A lag window would silently compare against
+    the PREVIOUS ROW when buckets are missing; the equi-join on the
+    shifted bucket key is gap-correct — a missing baseline bucket yields
+    NULL prev columns, not a wrong neighbor.
+
+    Scale shape: one shuffle of the (already tiny) tier on
+    (keys, bucket); the self-join is an equi-join on that same key so
+    both sides co-partition — no broadcast needed and no extra exchange
+    for the second side beyond its own scan.
+    """
+    cur = tier
+    prev = tier.select(
+        *keys,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col(bucket_col)) + F.lit(offset_seconds)
+        ).alias(bucket_col),
+        *[F.col(c).alias(f"prev_{c}") for c in value_cols],
+    )
+    out = cur.join(prev, [*keys, bucket_col], "left")
+    for c in value_cols:
+        out = out.withColumn(f"d_{c}", F.col(c) - F.col(f"prev_{c}"))
+    return out
