@@ -4762,6 +4762,38 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# cross-tier consistency audit
+# ---------------------------------------------------------------------------
+
+def q_tier_consistency_audit(spark, sf_dir):
+    """Audit the 1d tier against a recompute from the 1h tier
+    (rollup.audit_tier_consistency): per-series buckets checked and
+    mismatched.  The oracle independently derives the bucket counts from
+    raw and asserts zero mismatches; the corruption-detection semantics
+    (a flipped sum localizes to exactly one bucket) are pytest-proven."""
+    from .operators.rollup import audit_tier_consistency
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    t1h = rollup_points(pts, TIERS["1h"])
+    t1d = rollup_tier(t1h, TIERS["1d"])
+    return audit_tier_consistency(t1h, t1d, TIERS["1d"]).select(
+        "series_id", "n_buckets", "n_mismatch"
+    )
+
+
+SQL_TIER_CONSISTENCY_AUDIT = """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/86400)*86400)::BIGINT AS b
+      FROM events
+    )
+    SELECT series_id, count(DISTINCT b)::BIGINT AS n_buckets,
+           0::BIGINT AS n_mismatch
+    FROM c GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # offset comparison (PromQL offset / week-over-week)
 # ---------------------------------------------------------------------------
 
@@ -5282,6 +5314,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "lateness_profile_1h": (q_lateness_profile_1h, SQL_LATENESS_PROFILE_1H),
     "offset_compare_1d": (q_offset_compare_1d, SQL_OFFSET_COMPARE_1D),
+    "tier_consistency_audit": (
+        q_tier_consistency_audit,
+        SQL_TIER_CONSISTENCY_AUDIT,
+    ),
 }
 
 

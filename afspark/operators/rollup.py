@@ -666,3 +666,45 @@ def score_pages_to_tiers(
         "value",
     )
     return rollup_all_tiers(pts, keys=keys, tiers=tiers)
+
+
+def audit_tier_consistency(
+    fine: DataFrame,
+    coarse: DataFrame,
+    tier_seconds: int,
+    keys: list[str] = ["series_id"],
+) -> DataFrame:
+    """Cross-tier consistency audit: recompute the coarse tier from the
+    fine tier and diff it against the STORED coarse tier — the check an
+    operator runs after a suspect partial refresh, a crashed dynamic
+    overwrite, or a journal `intent` stall (stream_tier.py) to find
+    exactly which buckets need rebuilding.
+
+    Compares the algebraic columns (cnt/sum/min/max) null-safely per
+    (keys, bucket): a bucket missing on either side counts as a
+    mismatch (first/last are excluded — their tie order is path-
+    dependent under duplicate timestamps, see ohlc_rollup).  Returns one
+    row per key group: buckets checked, buckets mismatched — a clean
+    store reads n_mismatch = 0 everywhere; corruption pinpoints itself
+    (tested by injecting a flipped sum).
+
+    Scale shape: the re-aggregation is the ordinary algebraic tier merge
+    (map-side combined), and the diff is an equi-join of two tier-sized
+    relations co-partitioned on the same key — nothing here touches raw
+    points.
+    """
+    on = [*keys, "bucket_ts"]
+    re = rollup_tier(fine, tier_seconds, keys)
+    a = re.select(*on, *[F.col(c).alias(f"a_{c}") for c in ["cnt", "sum", "min", "max"]])
+    b = coarse.select(*on, *[F.col(c).alias(f"b_{c}") for c in ["cnt", "sum", "min", "max"]])
+    j = a.join(b, on, "full_outer")
+    ok = (
+        F.col("a_cnt").eqNullSafe(F.col("b_cnt"))
+        & F.col("a_sum").eqNullSafe(F.col("b_sum"))
+        & F.col("a_min").eqNullSafe(F.col("b_min"))
+        & F.col("a_max").eqNullSafe(F.col("b_max"))
+    )
+    return j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((~ok).cast("long")).alias("n_mismatch"),
+    )

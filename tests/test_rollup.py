@@ -520,3 +520,29 @@ def test_ohlc_tie_determinism_and_merge(spark):
     assert day1 == (6, 5.0, 9.0, 1.0, 8.0)
     day2 = d_direct[("s", t0 + dtm.timedelta(days=1))]
     assert day2 == (2, 4.0, 6.0, 4.0, 6.0)
+
+
+def test_audit_tier_consistency_detects_corruption(spark, points):
+    from afspark.operators.rollup import audit_tier_consistency, rollup_tier
+
+    t1h = rollup_points(points, TIERS["1h"])
+    t1d = rollup_tier(t1h, TIERS["1d"])
+    clean = audit_tier_consistency(t1h, t1d, TIERS["1d"]).collect()
+    assert clean and all(r.n_mismatch == 0 for r in clean)
+
+    # flip one stored sum: the audit must localize exactly one bad bucket
+    first = t1d.orderBy("series_id", "bucket_ts").limit(1).collect()[0]
+    corrupted = t1d.withColumn(
+        "sum",
+        F.when(
+            (F.col("series_id") == first.series_id)
+            & (F.col("bucket_ts") == first.bucket_ts),
+            F.col("sum") + 1.0,
+        ).otherwise(F.col("sum")),
+    )
+    bad = {
+        r.series_id: r.n_mismatch
+        for r in audit_tier_consistency(t1h, corrupted, TIERS["1d"]).collect()
+    }
+    assert bad[first.series_id] == 1
+    assert sum(bad.values()) == 1
