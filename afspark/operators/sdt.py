@@ -103,6 +103,7 @@ def sdt_downsample(
     ts_col: str = "ts",
     value_col: str = "value",
     order_col: str | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Archive each series' swinging-door subset (schema preserved).
 
@@ -110,23 +111,70 @@ def sdt_downsample(
     the archived points stays within ``dev`` of every dropped point
     (doors run at half-width ``dev/2`` internally — see sdt_mask).
     ``order_col`` (default ``ts_col``) is the kernel's clock — pass a
-    numeric sequence column when timestamps carry duplicates.  One
-    shuffle on ``keys``; each group is compressed in a single Arrow
-    batch by the numpy kernel above.
+    numeric sequence column when timestamps carry duplicates.
+
+    Execution is ONE explicit-count shuffle on ``keys`` (explicit so AQE
+    byte-coalescing can't serialize the CPU stage — the score.py
+    gotcha), sortWithinPartitions, then ``mapInPandas`` with IN-PROCESS
+    grouping: series are contiguous after the sort, so each Arrow batch
+    is split on key boundaries and the tail series is carried into the
+    next batch.  ``applyInPandas`` was 6x slower here — it ships one
+    Arrow batch PER GROUP, and historian workloads have many small
+    series (measured: 5.4 s identity vs <1 s for 1500 groups / 100k
+    rows).  Carry memory is bounded by one series' history — the same
+    documented skew bound as the per-tag task shape it replaces.
     """
     order = order_col or ts_col
     schema = points.schema
+    cols = [f.name for f in schema.fields]
+    n = n_partitions or max(
+        points.rdd.getNumPartitions(),
+        points.sparkSession.sparkContext.defaultParallelism,
+    )
 
-    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="stable")
+    def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one numpy conversion per batch + boundary split beats a pandas
+        # groupby: per-group DataFrame construction dominated the kernel
+        # by ~40x on historian-shaped data (many short series)
         clock = pdf[order].to_numpy()
         if np.issubdtype(clock.dtype, np.datetime64):
             clock = clock.astype("datetime64[ns]").astype(np.int64) / 1e9
-        m = sdt_mask(
-            np.asarray(clock, dtype=np.float64),
-            pdf[value_col].to_numpy(dtype=np.float64),
-            dev / 2.0,
-        )
-        return pdf.loc[m]
+        clock = np.asarray(clock, dtype=np.float64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        change = np.zeros(len(pdf), dtype=bool)
+        for k in keys:
+            ka = pdf[k].to_numpy()
+            change[1:] |= ka[1:] != ka[:-1]
+        bounds = [0, *np.flatnonzero(change).tolist(), len(pdf)]
+        keep = np.zeros(len(pdf), dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e > s:
+                keep[s:e] = sdt_mask(clock[s:e], vals[s:e], dev / 2.0)
+        return pdf.loc[keep]
 
-    return points.groupBy(*keys).applyInPandas(_one, schema=schema)
+    def _gen(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the last series may continue in the next Arrow batch:
+            # hold its rows back, compress everything before it
+            last = tuple(pdf[k].iloc[-1] for k in keys)
+            is_last = np.ones(len(pdf), dtype=bool)
+            for k, v in zip(keys, last):
+                is_last &= (pdf[k] == v).to_numpy()
+            carry = pdf.loc[is_last]
+            body = pdf.loc[~is_last]
+            if len(body):
+                yield _compress(body)
+        if carry is not None and len(carry):
+            yield _compress(carry)
+
+    return (
+        points.repartition(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, order)
+        .mapInPandas(_gen, schema=schema)
+        .select(*cols)
+    )

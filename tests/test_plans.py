@@ -349,8 +349,10 @@ def test_pmi_topk_no_full_sort(spark, sf_dir):
 
 
 def test_sdt_single_shuffle_on_series(spark):
-    """SDT is one hash shuffle on the series key feeding the Arrow
-    kernel — no extra exchange, no sort stage outside the groups."""
+    """SDT is one explicit hash shuffle on the series key + an
+    in-partition sort feeding the streaming Arrow kernel — no per-group
+    batches (MapInPandas, not FlatMapGroupsInPandas), no second
+    exchange."""
     from afspark.operators.sdt import sdt_downsample
 
     df = spark.createDataFrame(
@@ -359,4 +361,5 @@ def test_sdt_single_shuffle_on_series(spark):
     )
     plan = _plan(sdt_downsample(df, dev=2.0, ts_col="seq", order_col="seq"))
     assert plan.count("Exchange") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" not in plan
+    assert "Sort" in plan  # the within-partition key/clock sort
