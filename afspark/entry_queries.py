@@ -4762,6 +4762,42 @@ SQL_RECRAWL_CHANGE_RATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# triangle counting over the link graph
+# ---------------------------------------------------------------------------
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the deterministic LCG link graph
+    (linkgraph.triangle_counts — degree-ordered wedge join, O(E^1.5)
+    fan-out bound).  Oracle counts each {a<b<c} triangle once via the
+    ordered three-way self-join and credits all three corners."""
+    from .operators.linkgraph import derive_links, triangle_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = derive_links(docs)
+    return triangle_counts(edges)
+
+
+SQL_TRIANGLE_COUNTS = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    links AS (SELECT doc_id AS src,
+                     (doc_id*1103515245 + j.j*12345 + 7) % (SELECT n FROM nn)
+                       AS dst
+              FROM documents CROSS JOIN (VALUES (0),(1),(2)) AS j(j)),
+    e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM links WHERE src <> dst),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, count(*)::BIGINT AS triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # cross-tier consistency audit
 # ---------------------------------------------------------------------------
 
@@ -5318,6 +5354,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_tier_consistency_audit,
         SQL_TIER_CONSISTENCY_AUDIT,
     ),
+    "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
 }
 
 

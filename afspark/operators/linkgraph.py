@@ -203,3 +203,73 @@ def hits_fixed(
             F.col("_a").alias("auth_fp"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph induced
+    by the edge list (self-loops and duplicates dropped) — the local
+    clustering-coefficient numerator and a standard web-graph spam /
+    community signal.
+
+    Algorithm: degree-ordered wedge join (the MapReduce-classic "count
+    on the smallest vertex").  Every undirected edge is ORIENTED from
+    the lower-rank endpoint to the higher, ranking by (degree, id); a
+    wedge a->b, a->c (b<c by the same order) closes iff oriented edge
+    b->c exists.  Orientation bounds each vertex's oriented out-degree
+    by O(sqrt(E)) regardless of hubs, so the wedge self-join's fan-out
+    is O(E^1.5) worst-case instead of sum(deg^2) — the difference
+    between feasible and not on a power-law web graph.
+
+    Three shuffles, all equi-joins on vertex keys (degree join, wedge
+    join, closing-edge semi-join); counts aggregate map-side.  Each
+    triangle is counted exactly once at its lowest-rank vertex; the
+    per-node output credits all three corners via the final explode.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lower_u, F.col("du")).otherwise(F.col("dv")).alias("dlo"),
+        F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+    )
+    e1 = oriented.select("lo", "hi", "dlo", "dhi")
+    # wedges at the lowest-rank corner: pair the out-neighbors of `lo`,
+    # ordered between themselves by the SAME (degree, id) rank
+    l = e1.select(F.col("lo").alias("a"), F.col("hi").alias("b"),
+                  F.col("dhi").alias("db"))
+    r = e1.select(F.col("lo").alias("a"), F.col("hi").alias("c"),
+                  F.col("dhi").alias("dc"))
+    wedge = l.join(r, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = e1.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedge.join(closing, ["b", "c"], "left_semi")
+    per_corner = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return per_corner.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

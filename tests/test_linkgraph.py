@@ -105,3 +105,19 @@ class TestHits:
         # flooring removes < n units from each normalized vector
         assert SCALE - 40 <= th <= SCALE
         assert SCALE - 40 <= ta <= SCALE
+
+
+def test_triangle_counts_known_graphs(spark):
+    from afspark.operators.linkgraph import triangle_counts
+
+    # K4 on {0..3}: every node in C(3,2)=3 triangles; square {10..13}: none;
+    # star hub 20: none; dup/self edges must not inflate counts
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    star = [(20, x) for x in (21, 22, 23, 24)]
+    noise = [(0, 0), (1, 0), (2, 1)]  # self-loop + reversed dups
+    edges = spark.createDataFrame(
+        k4 + square + star + noise, "src long, dst long"
+    )
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
