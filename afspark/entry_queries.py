@@ -458,6 +458,56 @@ SQL_TPCH_Q1 = """
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority) adapted to the synthetic schema
+    (o_orderpriority stands in for o_shippriority): three-table join
+    with filters on both fact sides, exact integer-scaled revenue, top
+    10 with a full tie-break.  Exercises Catalyst's join planning — the
+    filtered customer side broadcasts, lineitem never shuffles twice."""
+    cutoff = "1998-06-15"
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev_i4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    j = li.join(
+        orders.join(cust, cust.c_custkey == orders.o_custkey),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    out = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_i4).alias("rev_i4"))
+        .orderBy(F.col("rev_i4").desc(), "l_orderkey")
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderpriority",
+        "rev_i4",
+    )
+
+
+SQL_TPCH_Q3 = """
+    SELECT l_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_orderpriority,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT))::BIGINT AS rev_i4
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1998-06-15'
+      AND l_shipdate > DATE '1998-06-15'
+    GROUP BY 1, 2, 3
+    ORDER BY rev_i4 DESC, l_orderkey LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # 16-19: dedup family (exact, minhash, n-gram jaccard, simhash)
 # ---------------------------------------------------------------------------
@@ -5355,6 +5405,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_TIER_CONSISTENCY_AUDIT,
     ),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
 }
 
 
