@@ -508,6 +508,53 @@ SQL_TPCH_Q3 = """
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): six-table star join with the
+    canonical local-supplier predicate (c_nationkey == s_nationkey),
+    revenue per nation within one region-year.  The filtered
+    region->nation->supplier dimension chain broadcasts; the fact joins
+    shuffle once each."""
+    cutoff_lo, cutoff_hi = "1996-01-01", "1997-01-01"
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    supplier = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    rev_i4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    dim = (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name", "s_nationkey")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(F.sum(rev_i4).alias("rev_i4"))
+
+
+SQL_TPCH_Q5 = """
+    SELECT n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT))::BIGINT AS rev_i4
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # 16-19: dedup family (exact, minhash, n-gram jaccard, simhash)
 # ---------------------------------------------------------------------------
@@ -5406,6 +5453,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
 }
 
 
