@@ -4894,6 +4894,46 @@ SQL_TRIANGLE_COUNTS = """
 """
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient over the LCG link graph
+    (linkgraph.clustering_coefficient): per node degree, triangles, and
+    cc = 2*tri/(deg*(deg-1)) — one IEEE division of exact integers."""
+    from .operators.linkgraph import clustering_coefficient, derive_links
+
+    docs = _read(spark, sf_dir, "documents")
+    return clustering_coefficient(derive_links(docs))
+
+
+SQL_CLUSTERING_COEFFICIENT = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    links AS (SELECT doc_id AS src,
+                     (doc_id*1103515245 + j.j*12345 + 7) % (SELECT n FROM nn)
+                       AS dst
+              FROM documents CROSS JOIN (VALUES (0),(1),(2)) AS j(j)),
+    e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM links WHERE src <> dst),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT node, count(*)::BIGINT AS triangles FROM (
+        SELECT unnest([e1.u, e1.v, e2.v]) AS node
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ) GROUP BY 1
+    )
+    SELECT deg.node, deg.deg,
+           coalesce(tri.triangles, 0)::BIGINT AS triangles,
+           CAST(2*coalesce(tri.triangles, 0) AS DOUBLE)
+             / CAST(deg.deg*(deg.deg-1) AS DOUBLE) AS cc
+    FROM deg LEFT JOIN tri USING (node)
+    WHERE deg.deg >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-tier consistency audit
 # ---------------------------------------------------------------------------
@@ -5454,6 +5494,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "clustering_coefficient": (
+        q_clustering_coefficient,
+        SQL_CLUSTERING_COEFFICIENT,
+    ),
 }
 
 

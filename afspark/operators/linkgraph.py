@@ -273,3 +273,40 @@ def triangle_counts(
     return per_corner.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles / C(deg, 2)
+    over the undirected simple graph — 1.0 means the neighborhood is a
+    clique, 0 a star.  Nodes of degree < 2 are excluded (coefficient
+    undefined).  The division is one IEEE op on two exact integers
+    (2*triangles and deg*(deg-1)) so the value is engine-portable.
+
+    Cost is triangle_counts plus one degree aggregation and one
+    equi-join; at web scale the triangle stage dominates.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges, src_col, dst_col)
+    j = deg.filter(F.col("deg") >= 2).join(tri, "node", "left")
+    t2 = F.coalesce(F.col("triangles"), F.lit(0)).cast("long") * 2
+    return j.select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        (
+            t2.cast("double") / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+        ).alias("cc"),
+    )

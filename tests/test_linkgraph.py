@@ -121,3 +121,18 @@ def test_triangle_counts_known_graphs(spark):
     )
     got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from afspark.operators.linkgraph import clustering_coefficient
+
+    # K4: cc=1 everywhere; path 10-11-12: middle node cc=0; deg-1 nodes absent
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + path, "src long, dst long")
+    got = {r.node: (r.deg, r.triangles, r.cc) for r in
+           clustering_coefficient(edges).collect()}
+    for n in range(4):
+        assert got[n] == (3, 3, 1.0)
+    assert got[11] == (2, 0, 0.0)
+    assert 10 not in got and 12 not in got  # degree-1: undefined
