@@ -1272,6 +1272,38 @@ SQL_MINHASH_LSH = f"""
 """
 
 
+def q_incremental_dedup_pairs(spark, sf_dir):
+    """Daily-crawl dedup shape: the batch (doc_id % 10 == 0) dedups
+    against the persisted corpus signature index
+    (dedup.build_lsh_index + incremental_dedup_pairs) — no corpus
+    self-join, corpus text re-read only for candidate docs.  md5 twin;
+    the oracle is the full-pipeline SQL restricted to cross pairs
+    (equivalence with the full self-join's cross slice is also asserted
+    on the xxhash64 scale path in tests/test_dedup_incr.py)."""
+    from .operators.dedup import build_lsh_index, incremental_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    common = dict(k=_SHINGLE_LEN, n_hashes=4, bands=2, band_rows=2,
+                  hash_mode="md5")
+    index = build_lsh_index(corpus, **common)
+    out = incremental_dedup_pairs(
+        index, corpus, batch, threshold=0.5, **common
+    )
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+_CROSS_ONLY = (
+    "WHERE a._sz <= 200 AND b._sz <= 200\n"
+    "        AND ((a.id % 10 = 0) <> (b.id % 10 = 0))"
+)
+SQL_INCR_DEDUP = SQL_MINHASH_LSH.replace(
+    "WHERE a._sz <= 200 AND b._sz <= 200", _CROSS_ONLY
+)
+assert _CROSS_ONLY in SQL_INCR_DEDUP  # replace() must have matched
+
+
 def _md5_head32_sql(expr: str) -> str:
     """DuckDB: first 8 hex digits of md5(expr) as a BIGINT (== Spark's
     conv(substring(md5(..),1,8),16,10))."""
@@ -5498,6 +5530,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_clustering_coefficient,
         SQL_CLUSTERING_COEFFICIENT,
     ),
+    "incremental_dedup_pairs": (q_incremental_dedup_pairs, SQL_INCR_DEDUP),
 }
 
 

@@ -125,6 +125,51 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    signatures: DataFrame,
+    bands: int = 4,
+    band_rows: int | None = None,
+    n_hashes: int | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bh) — banded bucket keys from minhash signatures.
+
+    The shareable half of LSH: the self-join variant
+    (lsh_candidate_pairs) and the incremental batch-vs-index variant
+    (incremental_dedup_pairs) both consume this, and build_lsh_index
+    persists it as the corpus signature index.
+    """
+    n = (
+        n_hashes
+        if n_hashes is not None
+        else signatures.select(F.size("mh")).first()[0]
+    )
+    rows_per_band = band_rows if band_rows is not None else n // bands
+    if bands * rows_per_band > n:
+        raise ValueError("bands * band_rows exceeds signature length")
+
+    def _band_hash(b):
+        cols = [
+            F.col("mh")[i]
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        if hash_mode == "md5":
+            return F.md5(F.concat_ws(",", *cols))
+        return F.xxhash64(*cols)
+
+    return signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -151,32 +196,7 @@ def lsh_candidate_pairs(
     lazy; the ``.first()`` fallback launches a Spark job mid-plan and is
     kept only for ad-hoc use.
     """
-    n = (
-        n_hashes
-        if n_hashes is not None
-        else signatures.select(F.size("mh")).first()[0]
-    )
-    rows_per_band = band_rows if band_rows is not None else n // bands
-    if bands * rows_per_band > n:
-        raise ValueError("bands * band_rows exceeds signature length")
-
-    def _band_hash(b):
-        cols = [F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        if hash_mode == "md5":
-            return F.md5(F.concat_ws(",", *cols))
-        return F.xxhash64(*cols)
-
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = band_signatures(signatures, bands, band_rows, n_hashes, hash_mode)
     # Hot-bucket cap via hash-agg + broadcast anti-join instead of a
     # count() window: the window forced a sort of the full banded set by
     # (band, bh); the aggregate is map-side combinable and the hot list
@@ -843,3 +863,97 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_hashes: int = 64,
+    bands: int = 4,
+    band_rows: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The corpus signature index: (id, band, bh) — what a production
+    pipeline PERSISTS (parquet bucketed by (band, bh)) so that each new
+    crawl batch dedups against the whole history WITHOUT touching the
+    historical text again.  ~bands rows of 3 small columns per document
+    regardless of document size."""
+    hashed = hash_mode == "xxhash64"
+    sh = char_shingles(docs, text_col, id_col, k, hashed=hashed, distinct=False)
+    sig = minhash_signatures(sh, n_hashes, hash_mode)
+    return band_signatures(sig, bands, band_rows, n_hashes, hash_mode)
+
+
+def incremental_dedup_pairs(
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_hashes: int = 64,
+    bands: int = 4,
+    band_rows: int = 4,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the EXISTING corpus — the
+    daily-crawl shape: dedup today's pages against the whole history
+    without recomputing anything corpus-sized.
+
+    Candidate generation joins the batch's banded signatures against the
+    persisted ``index`` (build_lsh_index) — an equi-join on (band, bh)
+    whose corpus side is a plain index scan: NO corpus self-join, NO
+    corpus re-shingling.  Corpus text is then re-read ONLY for candidate
+    documents (broadcast semi-join prune BEFORE shingling) and verified
+    with the standard exact-Jaccard contract (jaccard_verify).  Work
+    scales with |batch| + |candidates|, never |corpus|, except the index
+    scan itself — which a (band, bh)-bucketed store turns into a
+    co-located join.  Equivalence with the batch-vs-corpus slice of the
+    full self-join pipeline is asserted in tests/test_dedup_incr.py.
+
+    Hot (boilerplate) buckets are capped on the UNION of index + batch
+    occupancy, mirroring lsh_candidate_pairs' guard: a degenerate bucket
+    would otherwise emit |bucket|² pairs.  ``id`` values must be unique
+    across corpus and batch.
+    """
+    hashed = hash_mode == "xxhash64"
+    bsh = char_shingles(batch_docs, text_col, id_col, k, hashed=hashed,
+                        distinct=False)
+    bsig = minhash_signatures(bsh, n_hashes, hash_mode)
+    bband = band_signatures(bsig, bands, band_rows, n_hashes, hash_mode)
+
+    occupancy = index.select("band", "bh").unionAll(bband.select("band", "bh"))
+    hot = (
+        occupancy.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") > max_bucket)
+        .select("band", "bh")
+    )
+    idx_cold = index.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    b_cold = bband.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+
+    cand = (
+        b_cold.select("band", "bh", F.col("id").alias("_bid"))
+        .join(idx_cold.select("band", "bh", F.col("id").alias("_cid")),
+              ["band", "bh"])
+        .filter(F.col("_bid") != F.col("_cid"))
+        .select(
+            F.least("_bid", "_cid").alias("id_a"),
+            F.greatest("_bid", "_cid").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned_corpus = corpus_docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    csh = char_shingles(pruned_corpus, text_col, id_col, k, hashed=hashed,
+                        distinct=False)
+    all_sh = bsh.unionByName(csh)
+    return jaccard_verify(cand, all_sh, threshold, distinct_shingles=False)
