@@ -680,3 +680,53 @@ def test_stream_sliding_distinct_matches_batch(spark, tmpdir):
         for r in sliding_distinct(pts, 21600, 3600).collect()
     }
     assert got == want
+
+
+def test_stream_recrawl_deltas_match_batch(spark, tmpdir):
+    """Streaming recrawl Hamming deltas == batch recrawl_deltas across
+    micro-batch cuts, incl. the first-crawl NULL and negative-simhash
+    (full 64-bit) patterns."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from afspark.operators.recrawl import recrawl_deltas
+    from afspark.streaming.stream_recrawl import run_recrawl_stream_to_memory
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in ("u1", "u2", "u3"):
+        for i in range(12):
+            # full-range 64-bit fingerprints (negative longs included)
+            rows.append(
+                (u, t0 + dtm.timedelta(hours=i), int(rng.integers(-(2**63), 2**63)))
+            )
+    schema = "url string, warc_ts timestamp, simhash long"
+    pages = spark.createDataFrame(rows, schema)
+    cut = t0 + dtm.timedelta(hours=6)
+    src, ckpt = f"{tmpdir}/rc_in", f"{tmpdir}/rc_ckpt"
+    pages.filter(F.col("warc_ts") < cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    q = run_recrawl_stream_to_memory(
+        spark, src, schema, ckpt, query_name="t_recrawl_stream"
+    )
+    try:
+        q.processAllAvailable()
+        pages.filter(F.col("warc_ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.url, r.warc_ts): (r.prev_sim, r.hamming)
+            for r in spark.sql("select * from t_recrawl_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == len(rows)
+    for r in recrawl_deltas(pages).collect():
+        assert got[(r.url, r.warc_ts)] == (r.prev_sim, r.hamming), (
+            r.url, r.warc_ts,
+        )
