@@ -80,6 +80,7 @@ def matrix_profile_discord(
     keys: list[str] = ["series_id"],
     ts_col: str = "ts",
     value_col: str = "value",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Per-series discord + motif off the bucketed tier: one row per
     series with the argmax/argmin of the matrix profile.
@@ -90,6 +91,17 @@ def matrix_profile_discord(
     profile value resolve to the smallest window index (argmax/argmin
     convention) in both the Spark path and the golden twin — same
     kernel, same floats.
+
+    Execution: the two-phase tier aggregation (map-side combine, shuffle
+    on keys+bucket) collapses the raw points to at most one row per
+    bucket, then ONE explicit-count repartition on ``keys`` +
+    sortWithinPartitions + ``mapInPandas`` with IN-PROCESS grouping —
+    series are contiguous after the sort, so each Arrow batch splits on
+    key boundaries with the tail series carried into the next batch.
+    ``applyInPandas`` (the previous shape) ships one Arrow batch PER
+    GROUP; on many-small-series data that overhead alone dominated the
+    GEMM kernel (measured 5.4 s for a 1500-group identity at sf0.1 —
+    see operators/sdt.py for the original measurement).
 
     Output: keys + n_buckets, n_windows, discord_idx, discord_epoch,
     discord_mp_u (micros), motif_idx, motif_nn, motif_mp_u.
@@ -107,29 +119,66 @@ def matrix_profile_discord(
         "discord_idx long, discord_epoch long, discord_mp_u long, "
         "motif_idx long, motif_nn long, motif_mp_u long"
     )
+    out_cols = [
+        *keys, "n_buckets", "n_windows", "discord_idx", "discord_epoch",
+        "discord_mp_u", "motif_idx", "motif_nn", "motif_mp_u",
+    ]
+    n = n_partitions or points.sparkSession.sparkContext.defaultParallelism
 
-    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_be", kind="mergesort").reset_index(drop=True)
-        got = matrix_profile_local(pdf["_sv"].to_numpy(np.float64), m)
-        head = pdf.iloc[:1][keys].reset_index(drop=True)
-        if got is None:
-            return head.iloc[0:0].assign(
-                n_buckets=np.int64(0), n_windows=np.int64(0),
-                discord_idx=np.int64(0), discord_epoch=np.int64(0),
-                discord_mp_u=np.int64(0), motif_idx=np.int64(0),
-                motif_nn=np.int64(0), motif_mp_u=np.int64(0),
-            )
-        mp, nn = got
-        di = int(np.nanargmax(mp))  # first index on ties, NaN-skipped
-        mi = int(np.nanargmin(mp))
-        head["n_buckets"] = np.int64(len(pdf))
-        head["n_windows"] = np.int64(mp.size)
-        head["discord_idx"] = np.int64(di)
-        head["discord_epoch"] = np.int64(pdf["_be"].iloc[di])
-        head["discord_mp_u"] = np.int64(np.floor(mp[di] * 1e6 + 0.5))
-        head["motif_idx"] = np.int64(mi)
-        head["motif_nn"] = np.int64(nn[mi])
-        head["motif_mp_u"] = np.int64(np.floor(mp[mi] * 1e6 + 0.5))
-        return head
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        # one numpy conversion per batch + boundary split (per-group
+        # pandas construction is ~40x the kernel cost on short series)
+        be_arr = pdf["_be"].to_numpy(np.int64)
+        sv = pdf["_sv"].to_numpy(np.float64)
+        karrs = {k: pdf[k].to_numpy() for k in keys}
+        change = np.zeros(len(pdf), dtype=bool)
+        for ka in karrs.values():
+            change[1:] |= ka[1:] != ka[:-1]
+        bounds = [0, *np.flatnonzero(change).tolist(), len(pdf)]
+        rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e <= s:
+                continue
+            got = matrix_profile_local(sv[s:e], m)
+            if got is None:
+                continue
+            mp, nn = got
+            di = int(np.nanargmax(mp))  # first index on ties, NaN-skipped
+            mi = int(np.nanargmin(mp))
+            rows.append((
+                *(ka[s] for ka in karrs.values()),
+                e - s, mp.size, di, int(be_arr[s + di]),
+                int(np.floor(mp[di] * 1e6 + 0.5)),
+                mi, int(nn[mi]), int(np.floor(mp[mi] * 1e6 + 0.5)),
+            ))
+        if not rows:
+            return None
+        return pd.DataFrame(rows, columns=out_cols)
 
-    return tier.groupBy(*keys).applyInPandas(per_series, out_schema)
+    def _gen(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the last series may continue in the next Arrow batch
+            is_last = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                is_last &= (pdf[k] == pdf[k].iloc[-1]).to_numpy()
+            carry = pdf.loc[is_last]
+            body = pdf.loc[~is_last]
+            if len(body):
+                out = _emit(body)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _emit(carry)
+            if out is not None:
+                yield out
+
+    return (
+        tier.repartition(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, "_be")
+        .mapInPandas(_gen, schema=out_schema)
+    )

@@ -300,15 +300,18 @@ def test_pagerank_no_per_iteration_count_scan(spark, sf_dir):
 
 
 def test_matrix_profile_single_python_stage_per_series(spark, sf_dir):
-    """One Arrow stage keyed on the series: exactly one
-    FlatMapGroupsInPandas, shuffled on series_id."""
+    """One Arrow stage total, with in-process series grouping: exactly
+    one MapInPandas and NO per-group FlatMapGroupsInPandas (the
+    one-Arrow-batch-per-group shape measured at 5.4 s of pure overhead
+    for 1500 groups at sf0.1 — see operators/sdt.py)."""
     from afspark.operators.matrixprofile import matrix_profile_discord
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("series_id"), "ts", "value"
     )
     plan = _plan(matrix_profile_discord(ev, 3600, 24))
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_url_canonicalization_is_shuffle_free(spark, sf_dir):
