@@ -558,17 +558,16 @@ def holt_linear(
         )
 
         def seq_pass(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
-                drop=True
-            )
+            pdf = pdf.reset_index(drop=True)  # sorted by (keys, ts, value)
             lv, tv, _ = local_loop(pdf[value_col].to_numpy(np.float64))
             pdf["level"], pdf["trend"] = lv, tv
             return pdf[[*keys, ts_col, value_col, "level", "trend"]]
 
-        return (
-            points.select(*keys, ts_col, value_col)
-            .groupBy(*keys)
-            .applyInPandas(lambda pdf: seq_pass(pdf), schema)
+        from ._grouped import grouped_map_in_pandas
+
+        return grouped_map_in_pandas(
+            points.select(*keys, ts_col, value_col),
+            keys, [ts_col, value_col], seq_pass, schema,
         )
 
     src = points.withColumn("_chunk", bucket_ts(F.col(ts_col), chunk_seconds))
@@ -580,9 +579,8 @@ def holt_linear(
     )
 
     def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
-            drop=True
-        )
+        # already sorted by (key_cols, ts, value) — _grouped contract
+        pdf = pdf.reset_index(drop=True)
         lv, tv, pw = local_loop(pdf[value_col].to_numpy(np.float64))
         pdf["_p"] = np.arange(len(pdf), dtype=np.int64)
         pdf["_l"], pdf["_b"] = lv, tv
@@ -592,10 +590,11 @@ def holt_linear(
              "_m11", "_m12", "_m21", "_m22"]
         ]
 
-    local = (
-        src.select(*key_cols, ts_col, value_col)
-        .groupBy(*key_cols)
-        .applyInPandas(lambda pdf: local_pass(pdf), local_schema)
+    from ._grouped import grouped_map_in_pandas
+
+    local = grouped_map_in_pandas(
+        src.select(*key_cols, ts_col, value_col),
+        key_cols, [ts_col, value_col], local_pass, local_schema,
     )
     # consumed twice (chunk-end aggregate + final join) — caller owns the
     # cache lifetime, as with ewma()
@@ -612,7 +611,7 @@ def holt_linear(
     carry_schema = f"{key_schema}, _chunk timestamp, _lin double, _bin double"
 
     def chunk_scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_chunk").reset_index(drop=True)
+        pdf = pdf.reset_index(drop=True)  # sorted by (keys, _chunk)
         l = b = 0.0
         lin, bin_ = [], []
         for e in pdf["_e"]:
@@ -625,9 +624,7 @@ def holt_linear(
         pdf["_lin"], pdf["_bin"] = lin, bin_
         return pdf[[*keys, "_chunk", "_lin", "_bin"]]
 
-    carries = last.groupBy(*keys).applyInPandas(
-        lambda pdf: chunk_scan(pdf), carry_schema
-    )
+    carries = grouped_map_in_pandas(last, keys, ["_chunk"], chunk_scan, carry_schema)
 
     out = local.join(carries, key_cols)
     level = F.col("_l") + F.col("_m11") * F.col("_lin") + F.col("_m12") * F.col("_bin")
@@ -815,9 +812,8 @@ def ewma(
     )
 
     def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
-            drop=True
-        )
+        # already sorted by (key_cols, ts, value) — _grouped contract
+        pdf = pdf.reset_index(drop=True)
         x = pdf[value_col].to_numpy(np.float64)
         # prepend-zero trick: pandas ewm(adjust=False) sets y_0 = x_0, so
         # seed with 0 to realize the y_{-1}=0 convention, then drop it
@@ -827,8 +823,11 @@ def ewma(
         pdf["_local"] = local
         return pdf[[*keys, "_chunk", ts_col, value_col, "_p", "_local"]]
 
-    local = src.select(*key_cols, ts_col, value_col).groupBy(*key_cols).applyInPandas(
-        lambda pdf: local_pass(pdf), local_schema
+    from ._grouped import grouped_map_in_pandas
+
+    local = grouped_map_in_pandas(
+        src.select(*key_cols, ts_col, value_col),
+        key_cols, [ts_col, value_col], local_pass, local_schema,
     )
     # consumed twice (chunk aggregates + final join): persist so the Arrow
     # pass runs once.  Cache lifetime is the CALLER's: the returned
@@ -848,7 +847,7 @@ def ewma(
     carry_schema = f"{key_schema}, _chunk timestamp, _carry double"
 
     def chunk_scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_chunk").reset_index(drop=True)
+        pdf = pdf.reset_index(drop=True)  # sorted by (keys, _chunk)
         state = 0.0
         carries = []
         for a, n in zip(pdf["_a"].to_numpy(), pdf["_n"].to_numpy()):
@@ -857,7 +856,7 @@ def ewma(
         pdf["_carry"] = carries
         return pdf[[*keys, "_chunk", "_carry"]]
 
-    carries = agg.groupBy(*keys).applyInPandas(lambda pdf: chunk_scan(pdf), carry_schema)
+    carries = grouped_map_in_pandas(agg, keys, ["_chunk"], chunk_scan, carry_schema)
 
     out = local.join(carries, key_cols)
     y = F.col("_local") + F.pow(F.lit(one_minus), F.col("_p") + 1) * F.col("_carry")
@@ -1371,7 +1370,7 @@ def holt_winters_fit(
         )
 
         def seq_fit(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            # already sorted by (keys, ts, value) — _grouped contract
             es = pdf["_es"].to_numpy(np.int64)
             v, _ = local_pass_np(
                 pdf[value_col].to_numpy(np.float64), phases_of(es)
@@ -1383,9 +1382,12 @@ def holt_winters_fit(
             head["last_es"] = int(es.max())
             return head
 
+        from ._grouped import grouped_map_in_pandas
+
         src = points.withColumn("_es", F.unix_timestamp(F.col(ts_col)))
-        return src.select(*keys, ts_col, value_col, "_es").groupBy(*keys).applyInPandas(
-            lambda pdf: seq_fit(pdf), out_schema
+        return grouped_map_in_pandas(
+            src.select(*keys, ts_col, value_col, "_es"),
+            keys, [ts_col, value_col], seq_fit, out_schema,
         )
 
     from .rollup import bucket_ts
@@ -1398,7 +1400,7 @@ def holt_winters_fit(
     )
 
     def chunk_pass(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        # already sorted by (keys, _chunk, ts, value) — _grouped contract
         es = pdf["_es"].to_numpy(np.int64)
         v, M = local_pass_np(
             pdf[value_col].to_numpy(np.float64), phases_of(es)
@@ -1410,10 +1412,11 @@ def holt_winters_fit(
         head["_m"] = [list(M.reshape(-1))]
         return head
 
-    per_chunk = (
-        src.select(*keys, "_chunk", ts_col, value_col, "_es")
-        .groupBy(*keys, "_chunk")
-        .applyInPandas(lambda pdf: chunk_pass(pdf), chunk_schema)
+    from ._grouped import grouped_map_in_pandas
+
+    per_chunk = grouped_map_in_pandas(
+        src.select(*keys, "_chunk", ts_col, value_col, "_es"),
+        [*keys, "_chunk"], [ts_col, value_col], chunk_pass, chunk_schema,
     )
 
     out_schema = (
@@ -1422,7 +1425,7 @@ def holt_winters_fit(
     )
 
     def series_scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_chunk").reset_index(drop=True)
+        pdf = pdf.reset_index(drop=True)  # sorted by (keys, _chunk)
         u = np.zeros(n_dim)
         for _, row in pdf.iterrows():
             M = np.asarray(row["_m"], dtype=np.float64).reshape(n_dim, n_dim)
@@ -1435,8 +1438,8 @@ def holt_winters_fit(
         head["last_es"] = int(pdf["_last_es"].max())
         return head
 
-    return per_chunk.groupBy(*keys).applyInPandas(
-        lambda pdf: series_scan(pdf), out_schema
+    return grouped_map_in_pandas(
+        per_chunk, keys, ["_chunk"], series_scan, out_schema
     )
 
 

@@ -366,3 +366,28 @@ def test_sdt_single_shuffle_on_series(spark):
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" not in plan
     assert "Sort" in plan  # the within-partition key/clock sort
+
+
+def test_linear_recurrence_family_no_per_group_arrow(spark):
+    """EWMA / Holt / Holt-Winters chunked decompositions run every Arrow
+    stage through the in-process grouped path (_grouped.py): zero
+    FlatMapGroupsInPandas anywhere in the plan — the one-batch-per-group
+    shape costs ~3.6 ms/group of pure overhead (operators/sdt.py
+    measurement), and the chunk grid multiplies group count by days."""
+    import datetime as dt
+
+    from afspark.operators.tsanalytics import ewma, holt_linear, holt_winters_fit
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", base + dt.timedelta(minutes=i), float(i % 7)) for i in range(50)],
+        "series_id string, ts timestamp, value double",
+    )
+    for out in (
+        ewma(df, 0.1, chunk_seconds=600),
+        holt_linear(df, 0.3, 0.1, chunk_seconds=600),
+        holt_winters_fit(df, 0.3, 0.1, 0.2, 3600, 6, chunk_seconds=600),
+    ):
+        plan = _plan(out)
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "MapInPandas" in plan
