@@ -2063,6 +2063,71 @@ SQL_COUNTER_RATE = """
 """
 
 
+def q_increase_extrapolated_1h(spark, sf_dir):
+    """PromQL ``increase()`` with Prometheus boundary extrapolation per
+    (series, 1h bucket) — strict in-bucket sample pairing, integer-
+    microsecond time math, counter-zero capped start extrapolation
+    (tsanalytics.increase_extrapolated_per_bucket).  The float
+    expression tree is written identically in the oracle, so cents-
+    integer counters match bit-for-bit."""
+    from .operators.tsanalytics import increase_extrapolated_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = increase_extrapolated_per_bucket(pts, 3600)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n_samples",
+        F.col("raw_increase").cast("long").alias("raw_c"),
+        _r(F.col("increase") / 100.0, 6).alias("inc_x"),
+        _r(F.col("rate_per_sec") / 100.0, 6).alias("rate_x"),
+    )
+
+
+SQL_INCREASE_EXTRAPOLATED = """
+    WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch_us(ts)/3600000000)*3600000000)::BIGINT AS bus
+               FROM events),
+    l AS (SELECT user_id, bus, us, v,
+                 lag(v) OVER (PARTITION BY user_id, bus ORDER BY us, v) AS pv
+          FROM s),
+    i AS (SELECT user_id, bus, us, v,
+                 CASE WHEN pv IS NULL THEN NULL
+                      WHEN v - pv < 0 THEN v ELSE v - pv END AS inc,
+                 row_number() OVER (PARTITION BY user_id, bus
+                                    ORDER BY us, v) AS rn
+          FROM l),
+    a AS (SELECT user_id, bus, count(*) AS n, sum(inc) AS raw,
+                 min(us) AS fus, max(us) AS lus,
+                 max(CASE WHEN rn = 1 THEN v END) AS fv
+          FROM i GROUP BY 1, 2),
+    e AS (SELECT user_id, bus, n, raw, fv,
+                 CAST(lus - fus AS DOUBLE) AS sampled,
+                 CAST(lus - fus AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgd,
+                 CAST(fus - bus AS DOUBLE) AS ds0,
+                 CAST(bus + 3600000000 - lus AS DOUBLE) AS de0
+          FROM a WHERE n >= 2 AND lus > fus),
+    x AS (SELECT *, CASE WHEN raw > 0 AND fv >= 0
+                              AND sampled * (fv / raw) < ds0
+                         THEN sampled * (fv / raw) ELSE ds0 END AS ds1
+          FROM e),
+    y AS (SELECT *,
+                 CASE WHEN ds1 >= avgd * 1.1 THEN avgd / 2.0 ELSE ds1 END AS ds,
+                 CASE WHEN de0 >= avgd * 1.1 THEN avgd / 2.0 ELSE de0 END AS de
+          FROM x)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           (bus / 1000000)::BIGINT AS bucket_epoch,
+           n AS n_samples,
+           CAST(raw AS BIGINT) AS raw_c,
+           floor((raw * ((sampled + ds + de) / sampled) / 100.0)
+                 * 1000000.0 + 0.5)/1000000.0 AS inc_x,
+           floor((raw * ((sampled + ds + de) / sampled) / 3600.0 / 100.0)
+                 * 1000000.0 + 0.5)/1000000.0 AS rate_x
+    FROM y
+"""
+
+
 def q_anomaly_zscore_1h(spark, sf_dir):
     """Rolling z-score anomalies over the 1h tier (24-bucket baseline).
 
@@ -5408,6 +5473,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
     "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
+    "increase_extrapolated_1h": (
+        q_increase_extrapolated_1h,
+        SQL_INCREASE_EXTRAPOLATED,
+    ),
     "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
     "ewma_events": (q_ewma_events, SQL_EWMA),
     "histogram_1h": (q_histogram_1h, SQL_HISTOGRAM_1H),

@@ -130,6 +130,108 @@ def rate_per_bucket(
     )
 
 
+def increase_extrapolated_per_bucket(
+    points: DataFrame,
+    bucket_seconds: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL ``increase()`` with Prometheus' boundary EXTRAPOLATION,
+    per (series, bucket) — the semantic rate_per_bucket deliberately
+    does NOT implement.
+
+    Prometheus does not return the raw sum of deltas over a range: it
+    extrapolates to the range boundaries (promql extrapolatedRate),
+    because samples rarely land exactly on the window edges.  Per
+    bucket, with samples paired strictly WITHIN the bucket (true PromQL
+    range pairing — the cross-boundary pair belongs to no bucket):
+
+        raw      = sum of reset-corrected deltas
+        sampled  = last_sample_time - first_sample_time
+        avg      = sampled / (n - 1)
+        d_start  = first_sample_time - bucket_start, capped by the
+                   counter-zero heuristic sampled * first_value / raw
+                   (a counter cannot have been negative before the
+                   window, so extrapolating past its zero point is
+                   wrong) when raw > 0 and first_value >= 0
+        d_end    = bucket_end - last_sample_time
+        each of d_start/d_end collapses to avg/2 when >= 1.1 * avg
+        increase = raw * (sampled + d_start + d_end) / sampled
+
+    All time math runs on integer MICROSECONDS (exact in both Spark and
+    the DuckDB oracle: unix_micros == epoch_us) and the float expression
+    tree is written identically on both sides, so results match bit-for-
+    bit on cents-integer counters.
+
+    Plan shape: one shuffle on (keys, bucket) shared by the in-bucket
+    lag window and the aggregation — parallelism grows with time, a hot
+    series spreads over its buckets (never one sort task per series).
+    Buckets with n < 2 or zero sampled interval are dropped (PromQL
+    needs two points).
+
+    Output: keys + bucket_ts, n_samples, raw_increase, increase
+    (extrapolated), rate_per_sec.
+    """
+    from .rollup import bucket_ts
+
+    bus = int(bucket_seconds) * 1_000_000
+    src = (
+        points.withColumn("bucket_ts", bucket_ts(F.col(ts_col), bucket_seconds))
+        # parquet timestamps load as NTZ; session tz is UTC (session.py),
+        # so the cast makes unix_micros the exact naive-as-UTC micros —
+        # the same integer DuckDB's epoch_us(ts) yields
+        .withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .withColumn("_v", F.col(value_col))
+    )
+    w = W.partitionBy(*keys, "bucket_ts").orderBy("_us", "_v")
+    prev = F.lag("_v").over(w)
+    delta = F.col("_v") - prev
+    inc = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(delta < 0, F.col("_v"))
+        .otherwise(delta)
+    )
+    agg = (
+        src.withColumn("_inc", inc)
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_inc").alias("_raw"),
+            F.min(F.struct("_us", "_v")).alias("_first"),
+            F.max("_us").alias("_lus"),
+        )
+    )
+    range_start = F.unix_micros(F.col("bucket_ts"))
+    sampled = (F.col("_lus") - F.col("_first._us")).cast("double")
+    n1 = (F.col("n_samples") - F.lit(1)).cast("double")
+    avg = sampled / n1
+    d_start = (F.col("_first._us") - range_start).cast("double")
+    d_end = (range_start + F.lit(bus) - F.col("_lus")).cast("double")
+    d_zero = sampled * (F.col("_first._v") / F.col("_raw"))
+    d_start = F.when(
+        (F.col("_raw") > 0) & (F.col("_first._v") >= 0) & (d_zero < d_start),
+        d_zero,
+    ).otherwise(d_start)
+    thr = avg * F.lit(1.1)
+    half = avg / F.lit(2.0)
+    d_start = F.when(d_start >= thr, half).otherwise(d_start)
+    d_end = F.when(d_end >= thr, half).otherwise(d_end)
+    factor = (sampled + d_start + d_end) / sampled
+    extrap = F.col("_raw") * factor
+    return (
+        agg.filter((F.col("n_samples") >= 2) & (F.col("_lus") > F.col("_first._us")))
+        .select(
+            *keys,
+            "bucket_ts",
+            "n_samples",
+            F.col("_raw").alias("raw_increase"),
+            extrap.alias("increase"),
+            (extrap / F.lit(float(bucket_seconds))).alias("rate_per_sec"),
+        )
+    )
+
+
 def instant_delta_per_bucket(
     points: DataFrame,
     bucket_seconds: int,
