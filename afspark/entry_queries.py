@@ -2128,6 +2128,61 @@ SQL_INCREASE_EXTRAPOLATED = """
 """
 
 
+def q_classical_decompose_1h(spark, sf_dir):
+    """Classical additive decomposition (trend/seasonal/remainder) over
+    the hourly tier with a 24-bucket centered moving average — the
+    statsmodels seasonal_decompose estimator, full-window rows only
+    (tsanalytics.classical_decompose).  Cents-integer tier sums keep
+    the window sums and scaled detrended values exact int64s, so each
+    output is one identical float expression per engine."""
+    from .operators.tsanalytics import classical_decompose
+
+    # per-user hourly buckets are too sparse for a full 24-window at
+    # small SF; event_type series are dense every hour
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_id"),
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value"),
+    )
+    out = classical_decompose(ev, 3600, 24)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("v_c"),
+        _r(F.col("trend") / 100.0, 6).alias("trend"),
+        _r(F.col("seasonal") / 100.0, 6).alias("seasonal"),
+        _r(F.col("remainder") / 100.0, 6).alias("remainder"),
+    )
+
+
+SQL_CLASSICAL_DECOMPOSE = """
+    WITH c AS (SELECT event_type, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT event_type AS series_id,
+                 (floor(epoch(ts)/3600))::BIGINT AS idx,
+                 sum(v) AS sv
+          FROM c GROUP BY 1, 2),
+    w AS (SELECT series_id, idx, sv,
+                 sum(sv) OVER win AS sw,
+                 count(*) OVER win AS cw
+          FROM t
+          WINDOW win AS (PARTITION BY series_id ORDER BY idx
+                         RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+    d AS (SELECT series_id, idx, sv, sw,
+                 sv * 24 - sw AS d24, idx % 24 AS phase
+          FROM w WHERE cw = 24),
+    s AS (SELECT series_id, phase,
+                 (CAST(sum(d24) AS DOUBLE) / count(*)) / 24.0 AS seas
+          FROM d GROUP BY 1, 2)
+    SELECT d.series_id, (d.idx * 3600)::BIGINT AS bucket_epoch,
+           CAST(d.sv AS BIGINT) AS v_c,
+           floor((d.sw / 24.0 / 100.0) * 1000000.0 + 0.5)/1000000.0 AS trend,
+           floor((s.seas / 100.0) * 1000000.0 + 0.5)/1000000.0 AS seasonal,
+           floor(((CAST(d.d24 AS DOUBLE) / 24.0 - s.seas) / 100.0)
+                 * 1000000.0 + 0.5)/1000000.0 AS remainder
+    FROM d JOIN s USING (series_id, phase)
+"""
+
+
 def q_anomaly_zscore_1h(spark, sf_dir):
     """Rolling z-score anomalies over the 1h tier (24-bucket baseline).
 
@@ -5476,6 +5531,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "increase_extrapolated_1h": (
         q_increase_extrapolated_1h,
         SQL_INCREASE_EXTRAPOLATED,
+    ),
+    "classical_decompose_1h": (
+        q_classical_decompose_1h,
+        SQL_CLASSICAL_DECOMPOSE,
     ),
     "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
     "ewma_events": (q_ewma_events, SQL_EWMA),

@@ -1965,3 +1965,75 @@ def offset_compare(
     for c in value_cols:
         out = out.withColumn(f"d_{c}", F.col(c) - F.col(f"prev_{c}"))
     return out
+
+
+def classical_decompose(
+    points: DataFrame,
+    bucket_seconds: int,
+    period_buckets: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition over the bucketed tier:
+    value = trend + seasonal + remainder, per (series, bucket) — the
+    moving-average decomposition behind every "STL-style" dashboard
+    panel (and the estimator statsmodels' seasonal_decompose uses).
+
+    trend is the ``period_buckets``-wide centered moving mean on the
+    bucket INDEX (offset-centered for even periods: [-p/2, p/2-1], the
+    1xM moving average); the RANGE frame is indexed by bucket number and
+    the window must be FULL (count == p) — calendar gaps disqualify a
+    window instead of silently shrinking it, so edges and sparse spans
+    yield no trend row.  seasonal is the per-(series, phase) mean of the
+    detrended values over full-window rows, with the phase taken from
+    the bucket's CALENDAR position (idx % p).  remainder is what's left.
+
+    Exactness: on cents-integer inputs the window sum S_w and the scaled
+    detrended d = v*p - S_w are exact int64s, so trend = S_w/p,
+    seasonal = (Σd / n)/p and remainder = d/p - seasonal are each ONE
+    identical float expression per engine — bit-stable across engines
+    and partitionings.
+
+    Scale shape: tier aggregate (map-side combined), one series-keyed
+    window over tier rows (bounded by retention — the documented tier
+    window bound), a tiny (series x p) seasonal aggregate joined back
+    broadcast.  No Python anywhere.
+
+    Output: keys + bucket_ts, value (tier sum), trend, seasonal,
+    remainder — rows where the trend window is full.
+    """
+    p = int(period_buckets)
+    be = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+          * bucket_seconds).cast("long")
+    tier = (
+        points.select(*keys, be.alias("_be"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_be")
+        .agg(F.sum("_v").alias("_sv"))
+        .withColumn("_idx", (F.col("_be") / bucket_seconds).cast("long"))
+    )
+    win = (
+        W.partitionBy(*keys).orderBy("_idx")
+        .rangeBetween(-(p // 2), p - p // 2 - 1)
+    )
+    full = (
+        tier.withColumn("_sw", F.sum("_sv").over(win))
+        .withColumn("_cw", F.count(F.lit(1)).over(win))
+        .filter(F.col("_cw") == p)
+        .withColumn("_d", F.col("_sv") * p - F.col("_sw"))
+        .withColumn("_phase", F.col("_idx") % p)
+    )
+    seas = full.groupBy(*keys, "_phase").agg(
+        ((F.sum("_d").cast("double") / F.count(F.lit(1))) / F.lit(float(p)))
+        .alias("_seas")
+    )
+    out = full.join(F.broadcast(seas), [*keys, "_phase"])
+    return out.select(
+        *keys,
+        F.timestamp_seconds(F.col("_be")).alias("bucket_ts"),
+        F.col("_sv").alias(value_col),
+        (F.col("_sw") / F.lit(float(p))).alias("trend"),
+        F.col("_seas").alias("seasonal"),
+        (F.col("_d").cast("double") / F.lit(float(p)) - F.col("_seas"))
+        .alias("remainder"),
+    )

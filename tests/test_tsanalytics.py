@@ -1245,3 +1245,57 @@ class TestIncreaseExtrapolated:
         r = increase_extrapolated_per_bucket(df, 3600).collect()[0]
         assert r["raw_increase"] == 590.0
         assert abs(r["increase"] - 590.0 * 3600 / 3540) < 1e-9
+
+
+class TestClassicalDecompose:
+    def test_linear_plus_seasonal_has_zero_remainder(self, spark):
+        """x_t = a*t + s_{t%p} with sum(s)=0: the offset-centered p-MA
+        gives trend = a*(t - 0.5), the detrended value is constant per
+        phase, so seasonal absorbs it exactly and remainder == 0."""
+        import datetime as dt
+
+        from afspark.operators.tsanalytics import classical_decompose
+
+        p, a = 6, 5.0
+        s = [3.0, -1.0, 4.0, -2.0, 0.0, -4.0]  # sums to 0
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("S", base + dt.timedelta(hours=t), a * t + s[t % p])
+            for t in range(48)
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+        out = classical_decompose(df, 3600, p).collect()
+        assert len(out) == 48 - (p - 1)  # full windows only
+        t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+        for r in out:
+            t = int(r["bucket_ts"].timestamp()) // 3600 - t0
+            assert abs(r["trend"] - (a * (t - 0.5))) < 1e-9
+            assert abs(r["remainder"]) < 1e-9
+            assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 1e-9
+
+    def test_calendar_gap_disqualifies_windows(self, spark):
+        """Removing one bucket must drop every window whose RANGE frame
+        covers it — the frame is indexed by calendar bucket, not rows."""
+        import datetime as dt
+
+        from afspark.operators.tsanalytics import classical_decompose
+
+        p = 4
+        base = dt.datetime(2024, 1, 1)
+        hole = 10
+        rows = [
+            ("S", base + dt.timedelta(hours=t), float(t))
+            for t in range(24) if t != hole
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+        t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+        got = {
+            int(r["bucket_ts"].timestamp()) // 3600 - t0
+            for r in classical_decompose(df, 3600, p).collect()
+        }
+        # window of bucket t covers [t-2, t+1]; any window touching the
+        # hole (t in [hole-1, hole+2]) is gone, as is the hole itself
+        assert got == {
+            t for t in range(2, 23)
+            if t != hole and not (hole - 1 <= t <= hole + 2)
+        }
