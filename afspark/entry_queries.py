@@ -2128,6 +2128,60 @@ SQL_INCREASE_EXTRAPOLATED = """
 """
 
 
+def q_delta_extrapolated_1h(spark, sf_dir):
+    """PromQL ``delta()`` (gauge semantics) with Prometheus boundary
+    extrapolation per (series, 1h bucket): raw = last - first, no reset
+    correction, no counter-zero cap — extrapolatedRate with
+    isCounter=false (tsanalytics.increase_extrapolated_per_bucket with
+    counter=False)."""
+    from .operators.tsanalytics import increase_extrapolated_per_bucket
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    out = increase_extrapolated_per_bucket(pts, 3600, counter=False)
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "n_samples",
+        F.col("raw_increase").cast("long").alias("raw_c"),
+        _r(F.col("increase") / 100.0, 6).alias("delta_x"),
+    )
+
+
+SQL_DELTA_EXTRAPOLATED = """
+    WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                      floor(value*100 + 0.5) AS v,
+                      (floor(epoch_us(ts)/3600000000)*3600000000)::BIGINT AS bus
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bus
+                                       ORDER BY us, v) AS rn,
+                 row_number() OVER (PARTITION BY user_id, bus
+                                    ORDER BY us DESC, v DESC) AS rnl
+          FROM s),
+    a AS (SELECT user_id, bus, count(*) AS n,
+                 min(us) AS fus, max(us) AS lus,
+                 max(CASE WHEN rnl = 1 THEN v END)
+                   - max(CASE WHEN rn = 1 THEN v END) AS raw
+          FROM r GROUP BY 1, 2),
+    e AS (SELECT user_id, bus, n, raw,
+                 CAST(lus - fus AS DOUBLE) AS sampled,
+                 CAST(lus - fus AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgd,
+                 CAST(fus - bus AS DOUBLE) AS ds0,
+                 CAST(bus + 3600000000 - lus AS DOUBLE) AS de0
+          FROM a WHERE n >= 2 AND lus > fus),
+    y AS (SELECT *,
+                 CASE WHEN ds0 >= avgd * 1.1 THEN avgd / 2.0 ELSE ds0 END AS ds,
+                 CASE WHEN de0 >= avgd * 1.1 THEN avgd / 2.0 ELSE de0 END AS de
+          FROM e)
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           (bus / 1000000)::BIGINT AS bucket_epoch,
+           n AS n_samples,
+           CAST(raw AS BIGINT) AS raw_c,
+           floor((raw * ((sampled + ds + de) / sampled) / 100.0)
+                 * 1000000.0 + 0.5)/1000000.0 AS delta_x
+    FROM y
+"""
+
+
 def q_classical_decompose_1h(spark, sf_dir):
     """Classical additive decomposition (trend/seasonal/remainder) over
     the hourly tier with a 24-bucket centered moving average — the
@@ -5535,6 +5589,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "classical_decompose_1h": (
         q_classical_decompose_1h,
         SQL_CLASSICAL_DECOMPOSE,
+    ),
+    "delta_extrapolated_1h": (
+        q_delta_extrapolated_1h,
+        SQL_DELTA_EXTRAPOLATED,
     ),
     "percentile_1h": (q_percentile_1h, SQL_PERCENTILE_1H),
     "ewma_events": (q_ewma_events, SQL_EWMA),

@@ -136,6 +136,7 @@ def increase_extrapolated_per_bucket(
     keys: list[str] = ["series_id"],
     ts_col: str = "ts",
     value_col: str = "value",
+    counter: bool = True,
 ) -> DataFrame:
     """PromQL ``increase()`` with Prometheus' boundary EXTRAPOLATION,
     per (series, bucket) — the semantic rate_per_bucket deliberately
@@ -163,6 +164,10 @@ def increase_extrapolated_per_bucket(
     the DuckDB oracle: unix_micros == epoch_us) and the float expression
     tree is written identically on both sides, so results match bit-for-
     bit on cents-integer counters.
+
+    ``counter=False`` gives PromQL ``delta()`` (gauge semantics):
+    raw = last - first with NO reset correction and NO counter-zero
+    cap — exactly Prometheus' extrapolatedRate with isCounter=false.
 
     Plan shape: one shuffle on (keys, bucket) shared by the in-bucket
     lag window and the aggregation — parallelism grows with time, a hot
@@ -192,12 +197,20 @@ def increase_extrapolated_per_bucket(
         .when(delta < 0, F.col("_v"))
         .otherwise(delta)
     )
+    if counter:
+        raw_agg = F.sum("_inc")
+        src = src.withColumn("_inc", inc)
+    else:
+        # gauge delta needs no lag window at all — last minus first
+        raw_agg = (
+            F.max(F.struct("_us", "_v"))["_v"] - F.min(F.struct("_us", "_v"))["_v"]
+        )
     agg = (
-        src.withColumn("_inc", inc)
+        src
         .groupBy(*keys, "bucket_ts")
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.sum("_inc").alias("_raw"),
+            raw_agg.alias("_raw"),
             F.min(F.struct("_us", "_v")).alias("_first"),
             F.max("_us").alias("_lus"),
         )
@@ -208,11 +221,12 @@ def increase_extrapolated_per_bucket(
     avg = sampled / n1
     d_start = (F.col("_first._us") - range_start).cast("double")
     d_end = (range_start + F.lit(bus) - F.col("_lus")).cast("double")
-    d_zero = sampled * (F.col("_first._v") / F.col("_raw"))
-    d_start = F.when(
-        (F.col("_raw") > 0) & (F.col("_first._v") >= 0) & (d_zero < d_start),
-        d_zero,
-    ).otherwise(d_start)
+    if counter:
+        d_zero = sampled * (F.col("_first._v") / F.col("_raw"))
+        d_start = F.when(
+            (F.col("_raw") > 0) & (F.col("_first._v") >= 0) & (d_zero < d_start),
+            d_zero,
+        ).otherwise(d_start)
     thr = avg * F.lit(1.1)
     half = avg / F.lit(2.0)
     d_start = F.when(d_start >= thr, half).otherwise(d_start)

@@ -1299,3 +1299,27 @@ class TestClassicalDecompose:
             t for t in range(2, 23)
             if t != hole and not (hole - 1 <= t <= hole + 2)
         }
+
+
+class TestDeltaExtrapolated:
+    def test_gauge_delta_ignores_resets(self, spark):
+        """A gauge that goes 100 -> 40 within the bucket has delta
+        -60 * extrapolation — NOT the counter interpretation (+40)."""
+        import datetime as dt
+
+        from afspark.operators.tsanalytics import increase_extrapolated_per_bucket
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("G", base + dt.timedelta(seconds=600), 100.0),
+            ("G", base + dt.timedelta(seconds=1800), 70.0),
+            ("G", base + dt.timedelta(seconds=3000), 40.0),
+        ]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+        r = increase_extrapolated_per_bucket(df, 3600, counter=False).collect()[0]
+        assert r["raw_increase"] == -60.0
+        # sampled = 2400s, avg = 1200s, d_start = d_end = 600s < 1.1*avg
+        assert abs(r["increase"] - (-60.0) * (2400 + 600 + 600) / 2400) < 1e-9
+        # counter mode on the same data resets at each drop: raw = 70+40
+        rc = increase_extrapolated_per_bucket(df, 3600, counter=True).collect()[0]
+        assert rc["raw_increase"] == 110.0
