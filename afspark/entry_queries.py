@@ -4522,6 +4522,18 @@ def q_matrix_profile_1h(spark, sf_dir):
     return matrix_profile_discord(pts, 3600, 24)
 
 
+def q_asap_smooth_1h(spark, sf_dir):
+    """Per-series ASAP auto-smoothing pick over the 1h cents tier:
+    the roughness-minimizing kurtosis-preserving moving-average window
+    (operators/asap.py, exhaustive variant of the VLDB'17 objective).
+    Golden VALUES oracle from the identical asap_smooth_local kernel
+    (tools/gen_goldens.py)."""
+    from .operators.asap import asap_smooth
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    return asap_smooth(pts, 3600)
+
+
 def q_pettitt_1h(spark, sf_dir):
     """Pettitt rank changepoint per series over the 1h cents tier —
     exact-integer U statistics via the rank recurrence."""
@@ -5674,6 +5686,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "trend_theilsen_1d": (q_trend_theilsen_1d, SQL_TREND_THEILSEN),
     "pagerank_3it": (q_pagerank_3it, SQL_PAGERANK),
+    "asap_smooth_1h": (
+        q_asap_smooth_1h,
+        GOLDEN_SQL.get("asap_smooth_1h"),
+    ),
     "matrix_profile_1h": (
         q_matrix_profile_1h,
         GOLDEN_SQL.get("matrix_profile_1h"),

@@ -504,6 +504,44 @@ def golden_matrix_profile():
     return values_sql(df, {"series_id"})
 
 
+def golden_asap_smooth():
+    """Numpy twin of entry_queries.q_asap_smooth_1h: pandas 1h cents
+    tier through the SAME asap_smooth_local kernel."""
+    from afspark.operators.asap import asap_smooth_local
+
+    e = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    v = np.floor(e["value"].to_numpy(np.float64) * 100 + 0.5)
+    be = (e["ts"].to_numpy("datetime64[s]").astype(np.int64) // 3600) * 3600
+    t = pd.DataFrame(
+        {"u": e["user_id"].to_numpy(np.int64), "be": be, "v": v}
+    ).groupby(["u", "be"], sort=True)["v"].sum().reset_index()
+    rows = []
+    for u, g in t.groupby("u"):
+        g = g.sort_values("be", kind="mergesort").reset_index(drop=True)
+        got = asap_smooth_local(g["v"].to_numpy(np.float64))
+        if got is None:
+            continue
+        w, kr, rr, ko, ro, cs = got
+        rows.append(
+            (
+                str(u), len(g), w,
+                int(np.floor(kr * 1e6 + 0.5)), int(np.floor(rr * 1e6 + 0.5)),
+                int(np.floor(ko * 1e6 + 0.5)), int(np.floor(ro * 1e6 + 0.5)),
+                cs,
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "series_id", "n_buckets", "w_opt", "kurt_raw_u",
+            "rough_raw_u", "kurt_opt_u", "rough_opt_u", "sma_checksum",
+        ],
+    )
+    return values_sql(df, {"series_id"})
+
+
 def golden_sdt_events():
     """Numpy twin of entry_queries.q_sdt_downsample_events: per-series
     swinging-door archive stats over the (ts, event_id)-ordered cents
@@ -548,6 +586,7 @@ def main():
         "dtw_events_1h": golden_dtw_events(),
         "dominant_period_1h": golden_dominant_period(),
         "matrix_profile_1h": golden_matrix_profile(),
+        "asap_smooth_1h": golden_asap_smooth(),
         "sdt_downsample_events": golden_sdt_events(),
     }
     path = os.path.join(
