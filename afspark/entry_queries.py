@@ -1713,6 +1713,26 @@ def q_rollup_incremental_1h(spark, sf_dir):
     return _rollup_out(refresh_tier_incremental(committed, new, TIERS["1h"]))
 
 
+def q_realtime_cagg_1h(spark, sf_dir):
+    """Real-time continuous-aggregate view through the driver gate.
+
+    The materialized 1h tier covers buckets before 2024-01-20 (the
+    refresh watermark); points at/after it are aggregated on the fly and
+    unioned — rollup.realtime_cagg, TimescaleDB's real-time CAGG
+    contract.  The oracle recomputes the whole tier from raw, so a green
+    row proves materialized-below-watermark ∪ rollup(tail) == full
+    recompute (cents units make the sums order-independent).
+    """
+    from .operators.rollup import realtime_cagg
+
+    wm = 1_705_708_800  # 2024-01-20T00:00:00Z, mid-range at every sf
+    pts = events_samples(spark, sf_dir, cents=True)
+    committed = rollup_points(
+        pts.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm))), TIERS["1h"]
+    )
+    return _rollup_out(realtime_cagg(committed, pts, TIERS["1h"], wm))
+
+
 def q_salted_domain_stats(spark, sf_dir):
     """Hot-key-safe per-source aggregate: two-level salted aggregation.
 
@@ -5540,6 +5560,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hop_window_counts": (q_hop_window_counts, SQL_HOP_WINDOW_COUNTS),
     "rollup_1m": (q_rollup_1m, _sql_rollup(60)),
     "rollup_1h_chained": (q_rollup_1h_chained, _sql_rollup(3600)),
+    "realtime_cagg_1h": (q_realtime_cagg_1h, _sql_rollup(3600)),
     "rollup_1d_chained": (q_rollup_1d_chained, _sql_rollup(86400)),
     "rollup_30d_chained": (q_rollup_30d_chained, _sql_rollup(30 * 86400)),
     "gapfill_locf_1h": (q_gapfill_locf_1h, SQL_GAPFILL_LOCF),

@@ -566,6 +566,44 @@ def refresh_all_tiers_incremental(
     }
 
 
+def realtime_cagg(
+    committed: DataFrame,
+    raw: DataFrame,
+    tier_seconds: int,
+    watermark_epoch: int,
+    keys: list[str] = ["series_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Real-time continuous-aggregate VIEW (TimescaleDB semantics).
+
+    Serves the tier as of NOW without waiting for the next refresh:
+    materialized rows for buckets strictly below the (bucket-aligned)
+    watermark, UNION an on-the-fly rollup of raw points at/after it.
+    When ``committed`` is complete below the watermark, the view equals a
+    full recompute bit-for-bit in cents units (driver oracle
+    ``realtime_cagg_1h`` + tests/test_rollup.py).
+
+    Scale shape — this is a pure union, NO join and NO shuffle of
+    committed rows: the committed side is a bucket-range filter
+    (partition-prunable on a date-partitioned tier store, compose with
+    ``ooo.pruned_store_scan``), and the raw side is a plain
+    ``ts >= watermark`` predicate that pushes down to the scan, so only
+    the recent files are read and the on-the-fly aggregation is bounded
+    by the refresh lag, not by history.  Late points BELOW the watermark
+    are intentionally invisible here (exactly TimescaleDB's contract):
+    they surface through ``refresh_tier_incremental``'s invalidation
+    merge, which also advances the watermark.
+    """
+    wm = (int(watermark_epoch) // tier_seconds) * tier_seconds
+    wm_ts = F.timestamp_seconds(F.lit(wm))
+    mat = committed.filter(F.col("bucket_ts") < wm_ts)
+    tail = raw.filter(F.col(ts_col) >= wm_ts)
+    return mat.unionByName(
+        rollup_points(tail, tier_seconds, keys, ts_col, value_col)
+    )
+
+
 def choose_tier(
     start_epoch: int,
     end_epoch: int,

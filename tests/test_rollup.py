@@ -546,3 +546,69 @@ def test_audit_tier_consistency_detects_corruption(spark, points):
     }
     assert bad[first.series_id] == 1
     assert sum(bad.values()) == 1
+
+
+def test_realtime_cagg_equals_full(spark, points):
+    """materialized-below-watermark UNION rollup(tail) == full recompute."""
+    from afspark.operators.rollup import realtime_cagg
+
+    pts = points.withColumn("value", F.floor(F.col("value") * 100 + 0.5))
+    wm = 1_705_708_800  # 2024-01-20, mid-range of the synthetic events
+    committed = rollup_points(
+        pts.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm))), TIERS["1h"]
+    )
+    view = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max, r.first, r.last)
+        for r in realtime_cagg(committed, pts, TIERS["1h"], wm).collect()
+    }
+    full = {
+        (r.series_id, r.bucket_ts): (r.cnt, r.sum, r.min, r.max, r.first, r.last)
+        for r in rollup_points(pts, TIERS["1h"]).collect()
+    }
+    assert view == full  # cents: exact equality incl. sums
+
+
+def test_realtime_cagg_watermark_aligned_and_late_invisible(spark):
+    """Unaligned watermark floors to a bucket edge; a late point below the
+    watermark that is MISSING from the materialization stays invisible
+    (TimescaleDB contract) until an incremental refresh merges it."""
+    from afspark.operators.rollup import realtime_cagg
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        ("s", t0 + dt.timedelta(minutes=m), float(v))
+        for m, v in [(0, 1.0), (30, 2.0), (70, 5.0), (130, 9.0)]
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    # materialization MISSED the 00:30 point (late arrival)
+    committed = rollup_points(
+        pts.filter(F.minute("ts") != 30).filter(
+            F.col("ts") < F.timestamp_seconds(F.lit(1_704_070_800))
+        ),
+        TIERS["1h"],
+    )
+    wm = 1_704_070_800 + 1234  # NOT bucket-aligned -> floors to 01:00
+    out = {
+        r.bucket_ts.replace(tzinfo=UTC): (r.cnt, r.sum)
+        for r in realtime_cagg(committed, pts, TIERS["1h"], wm).collect()
+    }
+    assert out[t0] == (1, 1.0)  # stale: late 00:30 point invisible
+    assert out[t0 + dt.timedelta(hours=1)] == (1, 5.0)  # live tail
+    assert out[t0 + dt.timedelta(hours=2)] == (1, 9.0)
+
+
+def test_realtime_cagg_plan_no_join_and_pushdown(spark, sf_dir):
+    """The view is a pure union: no join anywhere, and the raw-side
+    watermark predicate reaches the parquet scan as a pushed filter."""
+    from afspark.operators.rollup import realtime_cagg
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    wm = 1_705_708_800
+    committed = rollup_points(
+        raw.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm))), TIERS["1h"]
+    )
+    plan = realtime_cagg(committed, raw, TIERS["1h"], wm)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
