@@ -1713,6 +1713,77 @@ def q_rollup_incremental_1h(spark, sf_dir):
     return _rollup_out(refresh_tier_incremental(committed, new, TIERS["1h"]))
 
 
+def q_vector_ratio_1h(spark, sf_dir):
+    """PromQL vector-matching binary ops through the driver gate.
+
+    Error-count instant vector vs total-count vector, ONE-TO-ONE on
+    (series, bucket) — PromQL ``errors / total`` — then the same error
+    vector vs the GLOBAL per-bucket error total, MANY-TO-ONE
+    (``group_left``) on bucket only with the tiny "one" side broadcast.
+    Ratios are exact-integer divisions rounded by the identical floor
+    expression in both engines.
+    """
+    from .operators.tsanalytics import vector_binop
+
+    ev = _read(spark, sf_dir, "events")
+    be = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    tagged = ev.select(
+        F.col("user_id").cast("string").alias("series_id"),
+        be.alias("bucket_epoch"),
+        "event_type",
+    )
+    errors = (
+        tagged.filter(F.col("event_type") == "error")
+        .groupBy("series_id", "bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    total = tagged.groupBy("series_id", "bucket_epoch").agg(
+        F.count(F.lit(1)).alias("n_tot")
+    )
+    glob = (
+        tagged.filter(F.col("event_type") == "error")
+        .groupBy("bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("g_err"))
+    )
+    out = vector_binop(
+        errors, total, "div",
+        on=["series_id", "bucket_epoch"],
+        left_value="n_err", right_value="n_tot", out_col="err_ratio",
+    )
+    out = vector_binop(
+        out, glob, "div",
+        on=["bucket_epoch"],
+        left_value="n_err", right_value="g_err", out_col="global_share",
+        broadcast_right=True,
+    )
+    return out.select(
+        "series_id", "bucket_epoch", "n_err",
+        _r(F.col("err_ratio"), 9).alias("err_ratio"),
+        _r(F.col("global_share"), 9).alias("global_share"),
+    )
+
+
+SQL_VECTOR_RATIO = """
+    WITH e AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                      event_type
+               FROM events),
+    err AS (SELECT series_id, be, count(*) AS n_err FROM e
+            WHERE event_type = 'error' GROUP BY 1, 2),
+    tot AS (SELECT series_id, be, count(*) AS n_tot FROM e GROUP BY 1, 2),
+    g AS (SELECT be, count(*) AS g_err FROM e
+          WHERE event_type = 'error' GROUP BY 1)
+    SELECT err.series_id, err.be AS bucket_epoch, err.n_err,
+           floor((err.n_err / CAST(tot.n_tot AS DOUBLE)) * 1000000000.0
+                 + 0.5) / 1000000000.0 AS err_ratio,
+           floor((err.n_err / CAST(g.g_err AS DOUBLE)) * 1000000000.0
+                 + 0.5) / 1000000000.0 AS global_share
+    FROM err
+    JOIN tot ON err.series_id = tot.series_id AND err.be = tot.be
+    JOIN g ON err.be = g.be
+"""
+
+
 def q_realtime_cagg_1h(spark, sf_dir):
     """Real-time continuous-aggregate view through the driver gate.
 
@@ -5615,6 +5686,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
     "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
+    "vector_ratio_1h": (q_vector_ratio_1h, SQL_VECTOR_RATIO),
     "increase_extrapolated_1h": (
         q_increase_extrapolated_1h,
         SQL_INCREASE_EXTRAPOLATED,

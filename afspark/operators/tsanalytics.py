@@ -2051,3 +2051,49 @@ def classical_decompose(
         (F.col("_d").cast("double") / F.lit(float(p)) - F.col("_seas"))
         .alias("remainder"),
     )
+
+
+def vector_binop(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    on: list[str],
+    left_value: str = "value",
+    right_value: str = "value",
+    out_col: str = "value",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """PromQL-style binary operation between two instant vectors.
+
+    Matches ``left`` and ``right`` rows on the label/bucket columns
+    ``on`` and applies ``op`` ∈ {add, sub, mul, div} to their values —
+    PromQL's ``l <op> r`` vector matching.  One-to-one when ``on`` is
+    the full shared label set; MANY-TO-ONE (PromQL ``group_left``) when
+    ``on`` is a subset of left's labels — e.g. a per-series vector
+    against a per-bucket global aggregate keyed by bucket only.  As in
+    PromQL, unmatched left rows drop (inner join); ``div`` by zero
+    yields NULL (the row is kept, value absent) rather than relying on
+    engine-specific x/0 behavior — Spark 4 ANSI mode would throw.
+
+    Scale shape: a single equi-join on ``on``.  In the many-to-one case
+    the "one" side is an aggregate over the match keys — cardinality
+    == bucket count (tiny) — so pass ``broadcast_right=True`` and the
+    join is a broadcast hash join with NO shuffle of the big side; the
+    one-to-one case co-partitions both tiers on the same keys (one
+    shuffle each, AQE-planned).  All columns of ``left`` pass through
+    (PromQL keeps the left vector's labels).
+    """
+    if op not in ("add", "sub", "mul", "div"):
+        raise ValueError(f"op must be add|sub|mul|div, got {op!r}")
+    r = right.select(*on, F.col(right_value).alias("_rv"))
+    if broadcast_right:
+        r = F.broadcast(r)
+    j = left.join(r, on, "inner")
+    lv, rv = F.col(left_value), F.col("_rv")
+    expr = {
+        "add": lv + rv,
+        "sub": lv - rv,
+        "mul": lv * rv,
+        "div": F.when(rv != 0, lv / rv),
+    }[op]
+    return j.withColumn(out_col, expr).drop("_rv")

@@ -1323,3 +1323,71 @@ class TestDeltaExtrapolated:
         # counter mode on the same data resets at each drop: raw = 70+40
         rc = increase_extrapolated_per_bucket(df, 3600, counter=True).collect()[0]
         assert rc["raw_increase"] == 110.0
+
+
+class TestVectorBinop:
+    def _mk(self, spark, rows, schema="series_id string, be long, value double"):
+        return spark.createDataFrame(rows, schema)
+
+    def test_one_to_one_matching(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        left = self._mk(spark, [("a", 0, 10.0), ("a", 60, 4.0), ("b", 0, 1.0)])
+        right = self._mk(spark, [("a", 0, 5.0), ("a", 60, 8.0), ("c", 0, 2.0)])
+        out = {
+            (r.series_id, r.be): r.value
+            for r in vector_binop(
+                left, right, "div", on=["series_id", "be"]
+            ).collect()
+        }
+        # unmatched left ("b",0) and right ("c",0) rows drop (PromQL inner)
+        assert out == {("a", 0): 2.0, ("a", 60): 0.5}
+
+    def test_group_left_many_to_one(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        left = self._mk(spark, [("a", 0, 3.0), ("b", 0, 1.0), ("a", 60, 2.0)])
+        glob = spark.createDataFrame([(0, 4.0), (60, 2.0)], "be long, value double")
+        out = {
+            (r.series_id, r.be): r.value
+            for r in vector_binop(
+                left, glob, "div", on=["be"], broadcast_right=True
+            ).collect()
+        }
+        assert out == {("a", 0): 0.75, ("b", 0): 0.25, ("a", 60): 1.0}
+
+    def test_div_by_zero_yields_null(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        left = self._mk(spark, [("a", 0, 3.0)])
+        right = self._mk(spark, [("a", 0, 0.0)])
+        rows = vector_binop(left, right, "div", on=["series_id", "be"]).collect()
+        assert len(rows) == 1 and rows[0].value is None
+
+    def test_add_sub_mul(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        left = self._mk(spark, [("a", 0, 3.0)])
+        right = self._mk(spark, [("a", 0, 2.0)])
+        for op, want in [("add", 5.0), ("sub", 1.0), ("mul", 6.0)]:
+            got = vector_binop(left, right, op, on=["series_id", "be"]).collect()
+            assert got[0].value == want
+
+    def test_bad_op_raises(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        with pytest.raises(ValueError):
+            vector_binop(
+                self._mk(spark, []), self._mk(spark, []), "pow", on=["be"]
+            )
+
+    def test_broadcast_plan(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        left = self._mk(spark, [("a", 0, 3.0)])
+        glob = spark.createDataFrame([(0, 4.0)], "be long, value double")
+        plan = (
+            vector_binop(left, glob, "div", on=["be"], broadcast_right=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
