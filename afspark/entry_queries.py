@@ -2273,23 +2273,25 @@ SQL_DELTA_EXTRAPOLATED = """
 """
 
 
-def q_classical_decompose_1h(spark, sf_dir):
+def q_classical_decompose_1d(spark, sf_dir):
     """Classical additive decomposition (trend/seasonal/remainder) over
-    the hourly tier with a 24-bucket centered moving average — the
-    statsmodels seasonal_decompose estimator, full-window rows only
+    the daily tier with a 7-bucket (weekly) centered moving average —
+    the statsmodels seasonal_decompose estimator, full-window rows only
     (tsanalytics.classical_decompose).  Cents-integer tier sums keep
     the window sums and scaled detrended values exact int64s, so each
     output is one identical float expression per engine."""
     from .operators.tsanalytics import classical_decompose
 
-    # per-user hourly buckets are too sparse for a full 24-window at
-    # small SF; event_type series are dense every hour
+    # per-user buckets are too sparse at small SF; event_type daily
+    # series are non-empty every day at every sf (full-window gating
+    # needs p CONSECUTIVE buckets — the 1h/24 variant had none at
+    # sf0.001)
     ev = _read(spark, sf_dir, "events").select(
         F.col("event_type").alias("series_id"),
         "ts",
         F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value"),
     )
-    out = classical_decompose(ev, 3600, 24)
+    out = classical_decompose(ev, 86_400, 7)
     return out.select(
         "series_id",
         F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
@@ -2303,7 +2305,7 @@ def q_classical_decompose_1h(spark, sf_dir):
 SQL_CLASSICAL_DECOMPOSE = """
     WITH c AS (SELECT event_type, ts, floor(value*100 + 0.5) AS v FROM events),
     t AS (SELECT event_type AS series_id,
-                 (floor(epoch(ts)/3600))::BIGINT AS idx,
+                 (floor(epoch(ts)/86400))::BIGINT AS idx,
                  sum(v) AS sv
           FROM c GROUP BY 1, 2),
     w AS (SELECT series_id, idx, sv,
@@ -2311,18 +2313,18 @@ SQL_CLASSICAL_DECOMPOSE = """
                  count(*) OVER win AS cw
           FROM t
           WINDOW win AS (PARTITION BY series_id ORDER BY idx
-                         RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+                         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
     d AS (SELECT series_id, idx, sv, sw,
-                 sv * 24 - sw AS d24, idx % 24 AS phase
-          FROM w WHERE cw = 24),
+                 sv * 7 - sw AS d7, idx % 7 AS phase
+          FROM w WHERE cw = 7),
     s AS (SELECT series_id, phase,
-                 (CAST(sum(d24) AS DOUBLE) / count(*)) / 24.0 AS seas
+                 (CAST(sum(d7) AS DOUBLE) / count(*)) / 7.0 AS seas
           FROM d GROUP BY 1, 2)
-    SELECT d.series_id, (d.idx * 3600)::BIGINT AS bucket_epoch,
+    SELECT d.series_id, (d.idx * 86400)::BIGINT AS bucket_epoch,
            CAST(d.sv AS BIGINT) AS v_c,
-           floor((d.sw / 24.0 / 100.0) * 1000000.0 + 0.5)/1000000.0 AS trend,
+           floor((d.sw / 7.0 / 100.0) * 1000000.0 + 0.5)/1000000.0 AS trend,
            floor((s.seas / 100.0) * 1000000.0 + 0.5)/1000000.0 AS seasonal,
-           floor(((CAST(d.d24 AS DOUBLE) / 24.0 - s.seas) / 100.0)
+           floor(((CAST(d.d7 AS DOUBLE) / 7.0 - s.seas) / 100.0)
                  * 1000000.0 + 0.5)/1000000.0 AS remainder
     FROM d JOIN s USING (series_id, phase)
 """
@@ -5691,8 +5693,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_increase_extrapolated_1h,
         SQL_INCREASE_EXTRAPOLATED,
     ),
-    "classical_decompose_1h": (
-        q_classical_decompose_1h,
+    "classical_decompose_1d": (
+        q_classical_decompose_1d,
         SQL_CLASSICAL_DECOMPOSE,
     ),
     "delta_extrapolated_1h": (
