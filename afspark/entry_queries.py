@@ -1713,6 +1713,65 @@ def q_rollup_incremental_1h(spark, sf_dir):
     return _rollup_out(refresh_tier_incremental(committed, new, TIERS["1h"]))
 
 
+def q_stitched_read_7d(spark, sf_dir):
+    """Multi-resolution stitched range read through the driver gate.
+
+    Query range Jan 5 .. Jan 30 12:00 with "now" = Jan 30 12:00: the 1h
+    tier (7-day retention) serves the recent tail from its aligned
+    handoff at Jan 24 00:00 (ceil of Jan 23 12:00 to the 1d bucket
+    edge), the 1d tier serves everything older — one union, no join
+    (rollup.stitched_range_read).  The 1d tier is CHAINED from the 1h
+    tier, so a green row also re-proves the algebraic tier merge under
+    range filters.
+    """
+    from .operators.rollup import stitched_range_read
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    t1h = rollup_points(pts, TIERS["1h"])
+    t1d = rollup_tier(t1h, TIERS["1d"])
+    out = stitched_range_read(
+        {"1h": t1h, "1d": t1d},
+        {"1h": 3600, "1d": 86_400},
+        {"1h": 7 * 86_400, "1d": 3650 * 86_400},
+        now_epoch=1_706_616_000,  # 2024-01-30T12:00:00Z
+        t0_epoch=1_704_412_800,  # 2024-01-05T00:00:00Z
+        t1_epoch=1_706_616_000,
+    )
+    return out.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "cnt",
+        F.col("sum").cast("long").alias("sum_c"),
+        F.col("min").cast("long").alias("min_c"),
+        F.col("max").cast("long").alias("max_c"),
+        "tier",
+        "resolution_s",
+    )
+
+
+SQL_STITCHED_READ = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id, ts,
+                      floor(value*100 + 0.5) AS v FROM events),
+    h AS (SELECT series_id, (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+                 count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_c,
+                 CAST(min(v) AS BIGINT) AS min_c,
+                 CAST(max(v) AS BIGINT) AS max_c
+          FROM c GROUP BY 1, 2),
+    d AS (SELECT series_id, (floor(epoch(ts)/86400)*86400)::BIGINT AS be,
+                 count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_c,
+                 CAST(min(v) AS BIGINT) AS min_c,
+                 CAST(max(v) AS BIGINT) AS max_c
+          FROM c GROUP BY 1, 2)
+    SELECT series_id, be AS bucket_epoch, cnt, sum_c, min_c, max_c,
+           '1h' AS tier, CAST(3600 AS BIGINT) AS resolution_s
+    FROM h WHERE be >= 1706054400 AND be < 1706616000
+    UNION ALL
+    SELECT series_id, be AS bucket_epoch, cnt, sum_c, min_c, max_c,
+           '1d' AS tier, CAST(86400 AS BIGINT) AS resolution_s
+    FROM d WHERE be >= 1704412800 AND be < 1706054400
+"""
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector-matching binary ops through the driver gate.
 
@@ -5634,6 +5693,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_1m": (q_rollup_1m, _sql_rollup(60)),
     "rollup_1h_chained": (q_rollup_1h_chained, _sql_rollup(3600)),
     "realtime_cagg_1h": (q_realtime_cagg_1h, _sql_rollup(3600)),
+    "stitched_read_7d": (q_stitched_read_7d, SQL_STITCHED_READ),
     "rollup_1d_chained": (q_rollup_1d_chained, _sql_rollup(86400)),
     "rollup_30d_chained": (q_rollup_30d_chained, _sql_rollup(30 * 86400)),
     "gapfill_locf_1h": (q_gapfill_locf_1h, SQL_GAPFILL_LOCF),

@@ -604,6 +604,64 @@ def realtime_cagg(
     )
 
 
+def stitched_range_read(
+    tiers: dict[str, DataFrame],
+    tier_seconds: dict[str, int],
+    retention_seconds: dict[str, int],
+    now_epoch: int,
+    t0_epoch: int,
+    t1_epoch: int,
+) -> DataFrame:
+    """Multi-resolution range read across retention boundaries (the
+    Thanos/M3 serve path): each span of [t0, t1) is served by the FINEST
+    tier that still retains it — the recent tail at full resolution,
+    older spans from progressively coarser tiers, in ONE result.
+
+    Handoffs align UP to the next-coarser tier's bucket edge so no
+    coarse bucket is split (the fine tier retains ≥ its retention, so
+    the ceil never reads expired data).  Spans are disjoint by
+    construction and cover [t0, t1) clipped to what any tier retains.
+
+    Scale shape: per tier one bucket-range filter + union — no join, no
+    shuffle; on a date-partitioned tier store the filters are partition
+    prunes (compose with ``read_tier_range``), and each coarser tier
+    contributes ~60x fewer rows, so the result size is dominated by the
+    fine tail regardless of how far back t0 reaches.
+
+    Output: the tier rows (keys + bucket_ts + stats) plus ``tier`` and
+    ``resolution_s`` columns recording which tier served each row.
+    """
+    names = sorted(tiers, key=lambda n: tier_seconds[n])  # fine -> coarse
+    parts: list[DataFrame] = []
+    hi = int(t1_epoch)
+    for i, name in enumerate(names):
+        if hi <= t0_epoch:
+            break
+        oldest = int(now_epoch) - int(retention_seconds[name])
+        if i + 1 < len(names):
+            coarse = tier_seconds[names[i + 1]]
+            lo = max(int(t0_epoch), -(-oldest // coarse) * coarse)  # ceil
+        else:
+            lo = int(t0_epoch)  # coarsest tier: serve the whole remainder
+        if lo < hi:
+            parts.append(
+                tiers[name]
+                .filter(
+                    (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(lo)))
+                    & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(hi)))
+                )
+                .withColumn("tier", F.lit(name))
+                .withColumn("resolution_s", F.lit(tier_seconds[name]).cast("long"))
+            )
+        hi = min(hi, lo)
+    if not parts:
+        raise ValueError("no tier retains any part of the requested range")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def choose_tier(
     start_epoch: int,
     end_epoch: int,

@@ -612,3 +612,78 @@ def test_realtime_cagg_plan_no_join_and_pushdown(spark, sf_dir):
     plan = realtime_cagg(committed, raw, TIERS["1h"], wm)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
+def _mk_tier(spark, rows, sec):
+    """rows: (series_id, bucket_epoch, cnt). Minimal tier frame."""
+    df = spark.createDataFrame(rows, "series_id string, be long, cnt long")
+    return df.select(
+        "series_id", F.timestamp_seconds("be").alias("bucket_ts"), "cnt"
+    )
+
+
+def test_stitched_read_disjoint_and_aligned(spark):
+    """Fine tier serves from the CEIL-aligned handoff; spans disjoint."""
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    now = 10 * day + 12 * 3600  # mid-day "now" -> unaligned retention edge
+    h_rows = [("s", e, 1) for e in range(7 * day, now, 3600)]
+    d_rows = [("s", e, 24) for e in range(0, 10 * day, day)]
+    out = stitched_range_read(
+        {"1h": _mk_tier(spark, h_rows, 3600), "1d": _mk_tier(spark, d_rows, day)},
+        {"1h": 3600, "1d": day},
+        {"1h": 3 * day, "1d": 365 * day},
+        now_epoch=now,
+        t0_epoch=2 * day,
+        t1_epoch=now,
+    ).collect()
+    # oldest 1h-retained = now - 3d = 7.5d -> ceil to day 8
+    cut = 8 * day
+    by_tier = {}
+    for r in out:
+        e = int(r.bucket_ts.timestamp())
+        by_tier.setdefault(r.tier, []).append(e)
+        if r.tier == "1h":
+            assert cut <= e < now and r.resolution_s == 3600
+        else:
+            assert 2 * day <= e < cut and r.resolution_s == day
+    assert sorted(by_tier["1h"]) == list(range(cut, now, 3600))
+    assert sorted(by_tier["1d"]) == list(range(2 * day, cut, day))
+
+
+def test_stitched_read_three_tiers(spark):
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    now = 100 * day
+    tiers = {
+        "1h": _mk_tier(spark, [("s", now - 3600, 1)], 3600),
+        "1d": _mk_tier(spark, [("s", 95 * day, 1), ("s", 80 * day, 1)], day),
+        "30d": _mk_tier(spark, [("s", 0, 1), ("s", 30 * day, 1), ("s", 90 * day, 1)], 30 * day),
+    }
+    out = stitched_range_read(
+        tiers,
+        {"1h": 3600, "1d": day, "30d": 30 * day},
+        {"1h": day, "1d": 10 * day, "30d": 3650 * day},
+        now_epoch=now, t0_epoch=0, t1_epoch=now,
+    ).collect()
+    got = {(r.tier, int(r.bucket_ts.timestamp())) for r in out}
+    # 1h serves [99d, now); 1d serves [90d, 99d); 30d serves [0, 90d)
+    assert got == {
+        ("1h", now - 3600),
+        ("1d", 95 * day),
+        ("30d", 0),
+        ("30d", 30 * day),
+    }
+
+
+def test_stitched_read_empty_range_raises(spark):
+    from afspark.operators.rollup import stitched_range_read
+
+    with pytest.raises(ValueError):
+        stitched_range_read(
+            {"1h": _mk_tier(spark, [], 3600)},
+            {"1h": 3600}, {"1h": 86_400},
+            now_epoch=10, t0_epoch=100, t1_epoch=100,
+        )
