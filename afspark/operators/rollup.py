@@ -618,9 +618,22 @@ def stitched_range_read(
     older spans from progressively coarser tiers, in ONE result.
 
     Handoffs align UP to the next-coarser tier's bucket edge so no
-    coarse bucket is split (the fine tier retains ≥ its retention, so
-    the ceil never reads expired data).  Spans are disjoint by
-    construction and cover [t0, t1) clipped to what any tier retains.
+    coarse bucket is split — except when a tier retains all the way back
+    to t0, in which case it serves from t0 directly (no alignment gap).
+    Spans are disjoint by construction and cover [t0, t1) clipped to
+    what the coarsest tier retains.  Whole-bucket serve semantics at the
+    range edges (as in Thanos/M3): the bucket straddling t1, the bucket
+    straddling t0, and the coarsest tier's bucket straddling its own
+    retention edge are all INCLUDED — each overlaps the served range and
+    nothing else serves that span, so no data is double-counted.
+
+    Config contract (validated): resolutions strictly increase and NEST
+    (each coarser is an integer multiple of the finer — otherwise a
+    coarse handoff edge would split a finer bucket), and retention is
+    non-decreasing with coarseness.  A middle tier whose retention is
+    too short to take the finer tier's handoff raises (serving it would
+    silently double-count the handoff span through a straddling
+    coarsest-tier bucket).
 
     Scale shape: per tier one bucket-range filter + union — no join, no
     shuffle; on a date-partitioned tier store the filters are partition
@@ -632,26 +645,50 @@ def stitched_range_read(
     ``resolution_s`` columns recording which tier served each row.
     """
     names = sorted(tiers, key=lambda n: tier_seconds[n])  # fine -> coarse
+    for a, b in zip(names, names[1:]):
+        if tier_seconds[b] % tier_seconds[a] != 0:
+            raise ValueError(
+                f"tier resolutions must nest: {b}={tier_seconds[b]}s is not "
+                f"a multiple of {a}={tier_seconds[a]}s"
+            )
+        if retention_seconds[b] < retention_seconds[a]:
+            raise ValueError(
+                f"retention must not shrink with coarseness: {b} retains "
+                f"{retention_seconds[b]}s < {a}'s {retention_seconds[a]}s"
+            )
+    t0, t1 = int(t0_epoch), int(t1_epoch)
     parts: list[DataFrame] = []
-    hi = int(t1_epoch)
+    hi = t1
     for i, name in enumerate(names):
-        if hi <= t0_epoch:
+        if hi <= t0:
             break
+        sec = tier_seconds[name]
         oldest = int(now_epoch) - int(retention_seconds[name])
-        if i + 1 < len(names):
+        if oldest <= t0:
+            lo = t0  # retains the whole remaining range: serve it all
+        elif i + 1 < len(names):
             coarse = tier_seconds[names[i + 1]]
-            lo = max(int(t0_epoch), -(-oldest // coarse) * coarse)  # ceil
+            lo = -(-oldest // coarse) * coarse  # ceil to the handoff edge
+            if lo > hi:
+                raise ValueError(
+                    f"tier {name} retains only back to {oldest} (aligned "
+                    f"{lo}) but must take the handoff at {hi}; extend its "
+                    "retention or shorten the finer tier's"
+                )
         else:
-            lo = int(t0_epoch)  # coarsest tier: serve the whole remainder
+            lo = max(t0, oldest // sec * sec)  # retention clip, floor-align
         if lo < hi:
+            # whole-bucket semantics at the span start that nothing
+            # finer-or-older serves: include the straddling bucket
+            flo = (lo // sec * sec) if lo <= t0 else lo
             parts.append(
                 tiers[name]
                 .filter(
-                    (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(lo)))
+                    (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(flo)))
                     & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(hi)))
                 )
                 .withColumn("tier", F.lit(name))
-                .withColumn("resolution_s", F.lit(tier_seconds[name]).cast("long"))
+                .withColumn("resolution_s", F.lit(sec).cast("long"))
             )
         hi = min(hi, lo)
     if not parts:

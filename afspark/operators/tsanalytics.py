@@ -2062,6 +2062,7 @@ def vector_binop(
     right_value: str = "value",
     out_col: str = "value",
     broadcast_right: bool = False,
+    check_right_unique: bool = False,
 ) -> DataFrame:
     """PromQL-style binary operation between two instant vectors.
 
@@ -2082,10 +2083,37 @@ def vector_binop(
     one-to-one case co-partitions both tiers on the same keys (one
     shuffle each, AQE-planned).  All columns of ``left`` pass through
     (PromQL keeps the left vector's labels).
+
+    PRECONDITION: ``right`` must have at most ONE row per ``on`` key —
+    PromQL rejects many-to-many match groups at query time; a duplicate
+    right key here would silently fan out left rows and double-count
+    downstream.  Aggregates (``groupBy(on).agg``) satisfy this by
+    construction; for untrusted inputs pass ``check_right_unique=True``
+    to fail the job on the first duplicate (one extra window count over
+    the small side — keep it off in hot paths fed by aggregates).
     """
     if op not in ("add", "sub", "mul", "div"):
         raise ValueError(f"op must be add|sub|mul|div, got {op!r}")
     r = right.select(*on, F.col(right_value).alias("_rv"))
+    if check_right_unique:
+        r = (
+            r.withColumn("_rn", F.count(F.lit(1)).over(W.partitionBy(*on)))
+            .withColumn(
+                "_rv",
+                F.when(
+                    F.col("_rn") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("vector_binop: duplicate right series for "
+                                  "match group ("),
+                            F.concat_ws(",", *[F.col(c).cast("string") for c in on]),
+                            F.lit(")"),
+                        )
+                    ),
+                ).otherwise(F.col("_rv")),
+            )
+            .drop("_rn")
+        )
     if broadcast_right:
         r = F.broadcast(r)
     j = left.join(r, on, "inner")

@@ -687,3 +687,99 @@ def test_stitched_read_empty_range_raises(spark):
             {"1h": 3600}, {"1h": 86_400},
             now_epoch=10, t0_epoch=100, t1_epoch=100,
         )
+
+
+def test_stitched_read_no_gap_when_fine_retains_past_t0(spark):
+    """Regression (review finding): fine tier retains back past t0 but
+    its retention edge is unaligned — it must serve from t0, not from
+    the ceil-aligned edge (which left a coverage hole for the coarse
+    tier to 'serve' with no aligned buckets)."""
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    now = 100 * day + 12 * 3600
+    t0 = 93 * day + 18 * 3600  # hour-aligned, above the 1h retention edge
+    h_rows = [("s", e, 1) for e in range(93 * day + 12 * 3600, now, 3600)]
+    d_rows = [("s", e, 24) for e in range(90 * day, 100 * day, day)]
+    out = stitched_range_read(
+        {"1h": _mk_tier(spark, h_rows, 3600), "1d": _mk_tier(spark, d_rows, day)},
+        {"1h": 3600, "1d": day},
+        {"1h": 7 * day, "1d": 365 * day},  # 1h retains to 93.5d < t0
+        now_epoch=now, t0_epoch=t0, t1_epoch=now,
+    ).collect()
+    got = sorted(int(r.bucket_ts.timestamp()) for r in out)
+    assert all(r.tier == "1h" for r in out)  # no daily rows at all
+    assert got == list(range(t0, now, 3600))  # every hour from t0: no gap
+
+
+def test_stitched_read_straddling_t0_bucket_included(spark):
+    """Whole-bucket serve semantics: an unaligned t0 returns the coarse
+    bucket that straddles it (Thanos behavior), not a silent hole."""
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    d_rows = [("s", e, 24) for e in range(0, 10 * day, day)]
+    out = stitched_range_read(
+        {"1d": _mk_tier(spark, d_rows, day)},
+        {"1d": day}, {"1d": 365 * day},
+        now_epoch=10 * day, t0_epoch=5 * day + 12 * 3600, t1_epoch=8 * day,
+    ).collect()
+    got = sorted(int(r.bucket_ts.timestamp()) for r in out)
+    assert got == [5 * day, 6 * day, 7 * day]  # day-5 straddler included
+
+
+def test_stitched_read_coarsest_clipped_to_retention(spark):
+    """The coarsest tier stops at its own retention (floor-aligned so
+    the straddling bucket is served), instead of reading expired rows
+    from a not-yet-pruned store."""
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    d_rows = [("s", e, 24) for e in range(0, 10 * day, day)]
+    out = stitched_range_read(
+        {"1d": _mk_tier(spark, d_rows, day)},
+        {"1d": day}, {"1d": 3 * day},
+        now_epoch=9 * day + 12 * 3600, t0_epoch=0, t1_epoch=9 * day,
+    ).collect()
+    got = sorted(int(r.bucket_ts.timestamp()) for r in out)
+    # retains to 6.5d -> floor to day 6 (straddler served), days 0-5 expired
+    assert got == [6 * day, 7 * day, 8 * day]
+
+
+def test_stitched_read_config_validation(spark):
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    t = {"a": _mk_tier(spark, [], 3600), "b": _mk_tier(spark, [], day)}
+    with pytest.raises(ValueError, match="nest"):
+        stitched_range_read(
+            t, {"a": 3600, "b": 5000}, {"a": day, "b": day},
+            now_epoch=day, t0_epoch=0, t1_epoch=day,
+        )
+    with pytest.raises(ValueError, match="retention"):
+        stitched_range_read(
+            t, {"a": 3600, "b": day}, {"a": 10 * day, "b": day},
+            now_epoch=day, t0_epoch=0, t1_epoch=day,
+        )
+
+
+def test_stitched_read_unreachable_handoff_raises(spark):
+    """A middle tier that cannot take the finer tier's handoff is a
+    config error (serving past it would double-count through a
+    straddling coarsest bucket), not a silent skip."""
+    from afspark.operators.rollup import stitched_range_read
+
+    day = 86_400
+    t = {
+        "1h": _mk_tier(spark, [], 3600),
+        "1d": _mk_tier(spark, [], day),
+        "30d": _mk_tier(spark, [], 30 * day),
+    }
+    with pytest.raises(ValueError, match="handoff"):
+        stitched_range_read(
+            t,
+            {"1h": 3600, "1d": day, "30d": 30 * day},
+            # 1d ceil-aligned start (day 120) overshoots the 1h handoff
+            {"1h": 5 * day, "1d": 6 * day, "30d": 3650 * day},
+            now_epoch=100 * day, t0_epoch=0, t1_epoch=100 * day,
+        )

@@ -1391,3 +1391,23 @@ class TestVectorBinop:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_check_right_unique_raises_on_duplicate(self, spark):
+        from afspark.operators.tsanalytics import vector_binop
+
+        left = self._mk(spark, [("a", 0, 3.0)])
+        dup = self._mk(spark, [("a", 0, 1.0), ("a", 0, 2.0)])
+        out = vector_binop(
+            left, dup, "div", on=["series_id", "be"], check_right_unique=True
+        )
+        with pytest.raises(Exception, match="duplicate right series"):
+            out.collect()
+        # and the same inputs pass when the key is actually unique
+        ok = vector_binop(
+            left,
+            self._mk(spark, [("a", 0, 2.0)]),
+            "div",
+            on=["series_id", "be"],
+            check_right_unique=True,
+        ).collect()
+        assert ok[0].value == 1.5
