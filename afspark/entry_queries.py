@@ -3136,11 +3136,14 @@ def q_holt_forecast_events(spark, sf_dir):
     from .operators.tsanalytics import holt_linear
 
     pts = events_samples(spark, sf_dir, cents=True)
-    out = holt_linear(pts, 0.3, 0.1, chunk_seconds=86400)
+    out = holt_linear(pts, 0.3, 0.1, chunk_seconds=86400, keep_order=True)
+    # (_chunk, _p) tiebreak: duplicate (ts, cents) rows carry different
+    # per-row states; the recurrence POSITION picks the true final one
     agg = out.groupBy("series_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.max_by(
-            F.struct("ts", "value", "level", "trend"), F.struct("ts", "value")
+            F.struct("ts", "value", "level", "trend"),
+            F.struct("ts", "value", "_chunk", "_p"),
         ).alias("_e"),
     )
     lvl = F.col("_e.level") / 100.0
@@ -4040,10 +4043,13 @@ def q_seasonal_holt_events(spark, sf_dir):
     from .operators.tsanalytics import seasonal_holt
 
     pts = events_samples(spark, sf_dir, cents=True)
-    sm, idx = seasonal_holt(pts, 0.3, 0.1, 86400, 24)
+    sm, idx = seasonal_holt(pts, 0.3, 0.1, 86400, 24, keep_order=True)
     last = sm.groupBy("series_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.max_by(F.struct("level", "trend"), F.struct("ts", "value")).alias("_e"),
+        F.max_by(
+            F.struct("level", "trend"),
+            F.struct("ts", "value", "_chunk", "_p"),
+        ).alias("_e"),
         F.max(F.unix_timestamp("ts")).alias("_les"),
     )
     j = last.withColumn(
@@ -4771,10 +4777,14 @@ SQL_BENFORD = """
           FROM c WHERE c > 0),
     n AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
     t AS (SELECT event_type, sum(n) AS n_total FROM n GROUP BY 1),
-    j AS (SELECT n.event_type, n.digit, n.n, t.n_total,
-                 n.n / t.n_total AS p_obs,
-                 log10(1.0 + 1.0/n.digit) AS p_exp
-          FROM n JOIN t USING (event_type))
+    s AS (SELECT t.event_type, t.n_total, g.digit
+          FROM t CROSS JOIN
+               (SELECT unnest(generate_series(1, 9)) AS digit) g),
+    j AS (SELECT s.event_type, s.digit, coalesce(n.n, 0) AS n, s.n_total,
+                 coalesce(n.n, 0) / s.n_total AS p_obs,
+                 log10(1.0 + 1.0/s.digit) AS p_exp
+          FROM s LEFT JOIN n
+            ON s.event_type = n.event_type AND s.digit = n.digit)
     SELECT event_type, digit, CAST(n AS BIGINT) AS n,
            floor(p_obs * 1000000000.0 + 0.5) / 1000000000.0 AS p_obs,
            floor(p_exp * 1000000000.0 + 0.5) / 1000000000.0 AS p_benford,

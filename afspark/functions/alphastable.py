@@ -237,7 +237,10 @@ def rand_alpha_stable(
             (hp + beta * u) * np.tan(u)
             - beta * np.log((hp * w * np.cos(u)) / (hp + beta * u))
         )
-        return scale * x
+        # S1 scaling at alpha == 1 is NOT pure multiplication: if X is
+        # standard S1(1, beta), then sigma*X + (2/pi)*beta*sigma*ln(sigma)
+        # ~ S1(1, beta, sigma) (Weron 1996, eq. for alpha = 1)
+        return scale * x + (1.0 / hp) * beta * scale * np.log(scale)
     u = rng.uniform(-np.pi / 2, np.pi / 2, size)
     w = rng.exponential(1.0, size)
     t = beta * np.tan(np.pi * alpha / 2.0)

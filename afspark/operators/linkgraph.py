@@ -162,6 +162,9 @@ def hits_fixed(
     iteration.  Output: id, hub_fp, auth_fp (fixed-point, SCALE = 1.0
     total mass each).
     """
+    if n_iter < 1:
+        raise ValueError("hits_fixed needs n_iter >= 1 (auth is undefined "
+                         "before the first half-step)")
     n = int(nodes.count()) if n_nodes is None else int(n_nodes)
     ids = nodes.select(F.col(id_col).alias("_id"))
     init = int(SCALE // n) if n else 0

@@ -124,7 +124,6 @@ def chi2_independence(
     df: DataFrame,
     row_col: str,
     col_col: str,
-    exact_nanos: bool = True,
 ) -> DataFrame:
     """Pearson chi-squared test of independence between two categorical
     columns (e.g. lang x source over a web-pages corpus) + Cramer's V
@@ -165,8 +164,10 @@ def chi2_independence(
         F.col("_rt"),
         F.col("_ct"),
         e.alias("_e"),
-        (F.floor(term * 1e9 + 0.5).cast("long")
-         if exact_nanos else term).alias("_t"),
+        # always nanos: the absent-cell closed form below adds N*1e9 -
+        # Σe_nanos, which is only unit-consistent with nano-scaled terms
+        # (a raw-float variant would mix units and emit garbage)
+        F.floor(term * 1e9 + 0.5).cast("long").alias("_t"),
         # absent-cell correction needs Σ_present e as exact-as-possible
         # float; rounded to nanos for the same order-independence
         F.floor(e * 1e9 + 0.5).cast("long").alias("_e_nanos"),
@@ -224,6 +225,10 @@ def benford_first_digit(
     Output per (keys, digit): n, p_obs, p_benford, and the chi-squared
     contribution n_total*(p_obs - p_benford)^2 / p_benford in nanos
     (exact-integer per-cell rounding; sum them for the test statistic).
+    ALL nine digits are emitted per key — a digit the feed never
+    produces appears with n = 0 and contribution n_total*p_benford, so
+    the summed statistic keeps the zero-cell mass (a feed that simply
+    never leads with 9s must score HIGHER, not lower).
 
     Scale shape: one groupBy(keys, digit) count (9 digits per key),
     one tiny totals join — map-side combined, broadcast-sized after the
@@ -242,10 +247,13 @@ def benford_first_digit(
     )
     counts = base.groupBy(*keys, "digit").agg(F.count(F.lit(1)).alias("n"))
     totals = counts.groupBy(*keys).agg(F.sum("n").alias("n_total"))
-    if keys:
-        j = counts.join(F.broadcast(totals), keys)
-    else:
-        j = counts.crossJoin(F.broadcast(totals))
+    # 9-digit spine per key: absent digits keep their zero-cell mass
+    spine = totals.withColumn(
+        "digit", F.explode(F.sequence(F.lit(1), F.lit(9)))
+    )
+    j = spine.join(counts, [*keys, "digit"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
     p_obs = F.col("n") / F.col("n_total")
     p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     chi2c = (

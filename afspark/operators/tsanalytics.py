@@ -505,7 +505,12 @@ def lagged_cross_correlation(
         F.col("_v").alias("_y"),
     )
     cond = [a["_join_be"] == b["_join_be"]]
-    pair_filter = a[f"a_{keys[0]}"] < b[f"b_{keys[0]}"]
+    # ordered-pair filter over the FULL key tuple (struct comparison is
+    # lexicographic): with composite keys, comparing only the first
+    # column would drop every cross-series pair sharing it
+    pair_filter = F.struct(*[a[f"a_{k}"] for k in keys]) < F.struct(
+        *[b[f"b_{k}"] for k in keys]
+    )
     joined = a.join(b, cond).filter(pair_filter)
     x, y = F.col("_x"), F.col("_y")
     agg = joined.groupBy(
@@ -606,6 +611,7 @@ def holt_linear(
     ts_col: str = "ts",
     value_col: str = "value",
     chunk_seconds: int | None = 86400,
+    keep_order: bool = False,
 ) -> DataFrame:
     """Chunk-parallel Holt linear (double exponential) smoothing per series.
 
@@ -632,6 +638,14 @@ def holt_linear(
     (tested rtol 1e-9 vs a numpy loop).  ``chunk_seconds=None`` runs the
     sequential form in one task per series (testing/oracle twin).
     Output: input columns + level, trend.
+
+    Rows are processed in (keys, ts, value) order; duplicate (ts, value)
+    pairs leave the recurrence unchanged (identical inputs in either
+    order) but carry DIFFERENT per-row states.  ``keep_order=True``
+    additionally emits the recurrence position (``_chunk``, ``_p``) so a
+    final-state pick can break such ties deterministically —
+    ``max_by(..., struct(ts, value, _chunk, _p))`` always returns the
+    state after the LAST input, matching a sequential twin.
     """
     import numpy as np
     import pandas as pd
@@ -668,16 +682,22 @@ def holt_linear(
         return lv, tv, pw
 
     if chunk_seconds is None:
+        extra = ", _chunk timestamp, _p long" if keep_order else ""
         schema = (
             f"{key_schema}, {ts_col} {ts_t}, {value_col} double, "
-            "level double, trend double"
+            f"level double, trend double{extra}"
         )
 
         def seq_pass(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.reset_index(drop=True)  # sorted by (keys, ts, value)
             lv, tv, _ = local_loop(pdf[value_col].to_numpy(np.float64))
             pdf["level"], pdf["trend"] = lv, tv
-            return pdf[[*keys, ts_col, value_col, "level", "trend"]]
+            cols = [*keys, ts_col, value_col, "level", "trend"]
+            if keep_order:
+                pdf["_chunk"] = pd.Timestamp(0)
+                pdf["_p"] = np.arange(len(pdf), dtype=np.int64)
+                cols += ["_chunk", "_p"]
+            return pdf[cols]
 
         from ._grouped import grouped_map_in_pandas
 
@@ -745,12 +765,12 @@ def holt_linear(
     out = local.join(carries, key_cols)
     level = F.col("_l") + F.col("_m11") * F.col("_lin") + F.col("_m12") * F.col("_bin")
     trend = F.col("_b") + F.col("_m21") * F.col("_lin") + F.col("_m22") * F.col("_bin")
-    return (
+    res = (
         out.withColumn("level", level)
         .withColumn("trend", trend)
-        .drop("_chunk", "_p", "_l", "_b", "_m11", "_m12", "_m21", "_m22",
-              "_lin", "_bin")
+        .drop("_l", "_b", "_m11", "_m12", "_m21", "_m22", "_lin", "_bin")
     )
+    return res if keep_order else res.drop("_chunk", "_p")
 
 
 def seasonal_zscore(
@@ -1284,6 +1304,7 @@ def seasonal_holt(
     ts_col: str = "ts",
     value_col: str = "value",
     chunk_seconds: int | None = 86400,
+    keep_order: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Seasonal Holt forecast via classical additive decomposition:
     per-(series, phase) seasonal indices (phase mean minus series mean)
@@ -1327,7 +1348,7 @@ def seasonal_holt(
     )
     smoothed = holt_linear(
         adj, alpha, beta, keys=keys, ts_col=ts_col, value_col=value_col,
-        chunk_seconds=chunk_seconds,
+        chunk_seconds=chunk_seconds, keep_order=keep_order,
     )
     return smoothed, indices
 

@@ -565,3 +565,18 @@ def test_cms_sampler_alpha_one_skewed_branch():
     x0 = rand_alpha_stable(rng, alpha=1.0, beta=0.0, scale=1.0, size=300_000)
     q75, q25 = np.percentile(x0, [75, 25])
     assert (q75 - q25) == pytest.approx(2.0, abs=0.05)
+
+
+def test_alpha1_sampler_scale_location_correction():
+    """S1 scaling at alpha=1 is affine, not multiplicative (Weron 1996):
+    sigma*X + (2/pi)*beta*sigma*ln(sigma) — same rng seed makes the
+    identity exact elementwise."""
+    import numpy as np
+
+    from afspark.functions.alphastable import rand_alpha_stable
+
+    beta, sigma = 0.5, 10.0
+    a = rand_alpha_stable(np.random.default_rng(42), 1.0, beta, sigma, 5000)
+    b = rand_alpha_stable(np.random.default_rng(42), 1.0, beta, 1.0, 5000)
+    want = sigma * b + (2.0 / np.pi) * beta * sigma * np.log(sigma)
+    assert np.allclose(a, want, rtol=0, atol=1e-12)

@@ -149,7 +149,7 @@ class TestBenford:
 
         out = {r["digit"]: r for r in
                benford_first_digit(df, "value").collect()}
-        assert set(out) == {1, 2, 9}
+        assert set(out) == set(range(1, 10))  # all digits, zeros included
         assert out[1]["n"] == 3  # 1, 19, 199
         assert out[2]["n"] == 1  # 2000
         assert out[9]["n"] == 1  # 950
@@ -157,6 +157,10 @@ class TestBenford:
 
         assert abs(out[1]["p_obs"] - 3 / 5) < 1e-12
         assert abs(out[1]["p_benford"] - math.log10(2)) < 1e-12
+        # absent digit keeps its zero-cell chi2 mass: n_total * p_benford
+        assert out[3]["n"] == 0 and out[3]["p_obs"] == 0.0
+        want = 5 * math.log10(1 + 1 / 3)
+        assert out[3]["chi2c_nanos"] == math.floor(want * 1e9 + 0.5)
 
     def test_benford_sample_scores_low(self, spark):
         # magnitudes spanning decades (log-uniform) ~ Benford

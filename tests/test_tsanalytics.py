@@ -1411,3 +1411,69 @@ class TestVectorBinop:
             check_right_unique=True,
         ).collect()
         assert ok[0].value == 1.5
+
+
+class TestReviewRegressions:
+    def test_holt_final_state_deterministic_on_duplicates(self, spark):
+        """Duplicate (ts, value) samples: the keep_order tiebreak must
+        pick the state after the LAST input, == the sequential loop."""
+        import datetime as dt
+
+        import numpy as np
+
+        from afspark.operators.tsanalytics import holt_linear
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("s", t0 + dt.timedelta(hours=h), v) for h, v in
+                [(0, 5.0), (1, 7.0), (1, 7.0), (1, 7.0), (2, 3.0)]]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        ).repartition(4)
+        out = holt_linear(df, 0.3, 0.1, chunk_seconds=3600, keep_order=True)
+        from pyspark.sql import functions as F
+
+        got = out.groupBy("series_id").agg(
+            F.max_by(
+                F.struct("level", "trend"),
+                F.struct("ts", "value", "_chunk", "_p"),
+            ).alias("e")
+        ).collect()[0]["e"]
+        # sequential twin
+        l = b = 0.0
+        for x in [5.0, 7.0, 7.0, 7.0, 3.0]:
+            l, b = 0.7 * l + 0.7 * b + 0.3 * x, -0.03 * l + 0.97 * b + 0.03 * x
+        assert abs(got["level"] - l) < 1e-9
+        assert abs(got["trend"] - b) < 1e-9
+
+    def test_cross_corr_multi_key_pairs_not_dropped(self, spark):
+        """Composite keys: same-first-component pairs must appear."""
+        import datetime as dt
+
+        from afspark.operators.tsanalytics import lagged_cross_correlation
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for m, vals in [("x", [1, 2, 3, 4]), ("y", [2, 4, 6, 8])]:
+            for h, v in enumerate(vals):
+                rows.append(("a", m, t0 + dt.timedelta(hours=h), float(v)))
+        tier = spark.createDataFrame(
+            rows,
+            "domain string, metric string, bucket_ts timestamp, sum double",
+        )
+        out = lagged_cross_correlation(
+            tier, 3600, lags=[0], keys=["domain", "metric"], min_overlap=3
+        ).collect()
+        pairs = {(r["a_domain"], r["a_metric"], r["b_domain"], r["b_metric"])
+                 for r in out}
+        assert ("a", "x", "a", "y") in pairs  # was silently dropped
+        corr = [r["corr"] for r in out
+                if (r["a_metric"], r["b_metric"]) == ("x", "y")][0]
+        assert abs(corr - 1.0) < 1e-12
+
+    def test_hits_zero_iterations_rejected(self, spark):
+        from afspark.operators.linkgraph import hits_fixed
+
+        nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="n_iter"):
+            hits_fixed(nodes, edges, n_iter=0)
