@@ -50,8 +50,6 @@ def grouped_map_in_pandas(
     not match NaN/None); every caller here groups on series keys or
     bucketed timestamps, which satisfy that.
     """
-    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-
     def _run(pdf: pd.DataFrame):
         change = np.zeros(len(pdf), dtype=bool)
         for k in group_cols:
@@ -68,6 +66,32 @@ def grouped_map_in_pandas(
             return None
         return pd.concat(outs, ignore_index=True)
 
+    return grouped_batch_in_pandas(
+        df, group_cols, order_cols, _run, schema, n_partitions
+    )
+
+
+def grouped_batch_in_pandas(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    batch_fn: Callable[[pd.DataFrame], pd.DataFrame | None],
+    schema: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Whole-batch variant of :func:`grouped_map_in_pandas`.
+
+    ``batch_fn`` receives a reset-index pandas batch that contains only
+    COMPLETE groups (the trailing group of each Arrow batch is carried
+    into the next one by the shared generator below), sorted by
+    ``group_cols + order_cols``.  Use this instead of the per-group
+    ``segment_fn`` form when per-group pandas slice construction would
+    dominate the kernel (measured ~40x on historian-shaped short
+    series — operators/sdt.py); the batch_fn then does its own numpy
+    boundary split via the same change-point scan.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+
     def _gen(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -82,12 +106,12 @@ def grouped_map_in_pandas(
             carry = pdf.loc[is_last]
             body = pdf.loc[~is_last]
             if len(body):
-                out = _run(body.reset_index(drop=True))
-                if out is not None:
+                out = batch_fn(body.reset_index(drop=True))
+                if out is not None and len(out):
                     yield out
         if carry is not None and len(carry):
-            out = _run(carry.reset_index(drop=True))
-            if out is not None:
+            out = batch_fn(carry.reset_index(drop=True))
+            if out is not None and len(out):
                 yield out
 
     return (

@@ -208,8 +208,32 @@ def hits_fixed(
     )
 
 
+def _undirected_simple(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected simple graph (u < v) induced by an edge list."""
+    return (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """(x, d) undirected degree table of a (u, v) simple-edge frame."""
+    return (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    und: DataFrame | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph induced
     by the edge list (self-loops and duplicates dropped) — the local
@@ -229,21 +253,16 @@ def triangle_counts(
     join, closing-edge semi-join); counts aggregate map-side.  Each
     triangle is counted exactly once at its lowest-rank vertex; the
     per-node output credits all three corners via the final explode.
+
+    ``und``/``deg`` accept the caller's precomputed simple-edge and
+    degree frames (clustering_coefficient shares them — identical
+    subplans let Spark's ReuseExchange serve both sides of the reuse
+    from one shuffle).
     """
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    if und is None:
+        und = _undirected_simple(edges, src_col, dst_col)
+    if deg is None:
+        deg = _degrees(und)
     ranked = (
         und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
@@ -287,22 +306,15 @@ def clustering_coefficient(
     undefined).  The division is one IEEE op on two exact integers
     (2*triangles and deg*(deg-1)) so the value is engine-portable.
 
-    Cost is triangle_counts plus one degree aggregation and one
-    equi-join; at web scale the triangle stage dominates.
+    Cost is triangle_counts plus one equi-join: the simple-edge dedup
+    and degree frames are built once and SHARED with the triangle stage
+    (identical subplans — Spark's ReuseExchange serves both consumers
+    from one shuffle; previously each was computed twice).
     """
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_counts(edges, src_col, dst_col)
+    und = _undirected_simple(edges, src_col, dst_col)
+    degs = _degrees(und)
+    deg = degs.select(F.col("x").alias("node"), F.col("d").alias("deg"))
+    tri = triangle_counts(edges, src_col, dst_col, und=und, deg=degs)
     j = deg.filter(F.col("deg") >= 2).join(tri, "node", "left")
     t2 = F.coalesce(F.col("triangles"), F.lit(0)).cast("long") * 2
     return j.select(

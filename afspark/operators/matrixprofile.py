@@ -155,30 +155,8 @@ def matrix_profile_discord(
             return None
         return pd.DataFrame(rows, columns=out_cols)
 
-    def _gen(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # the last series may continue in the next Arrow batch
-            is_last = np.ones(len(pdf), dtype=bool)
-            for k in keys:
-                is_last &= (pdf[k] == pdf[k].iloc[-1]).to_numpy()
-            carry = pdf.loc[is_last]
-            body = pdf.loc[~is_last]
-            if len(body):
-                out = _emit(body)
-                if out is not None:
-                    yield out
-        if carry is not None and len(carry):
-            out = _emit(carry)
-            if out is not None:
-                yield out
+    from ._grouped import grouped_batch_in_pandas
 
-    return (
-        tier.repartition(n, *[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys, "_be")
-        .mapInPandas(_gen, schema=out_schema)
+    return grouped_batch_in_pandas(
+        tier, list(keys), ["_be"], _emit, out_schema, n_partitions=n
     )

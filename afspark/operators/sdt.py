@@ -33,7 +33,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def sdt_mask(t: np.ndarray, v: np.ndarray, dev: float) -> np.ndarray:
@@ -152,29 +151,8 @@ def sdt_downsample(
                 keep[s:e] = sdt_mask(clock[s:e], vals[s:e], dev / 2.0)
         return pdf.loc[keep]
 
-    def _gen(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # the last series may continue in the next Arrow batch:
-            # hold its rows back, compress everything before it
-            last = tuple(pdf[k].iloc[-1] for k in keys)
-            is_last = np.ones(len(pdf), dtype=bool)
-            for k, v in zip(keys, last):
-                is_last &= (pdf[k] == v).to_numpy()
-            carry = pdf.loc[is_last]
-            body = pdf.loc[~is_last]
-            if len(body):
-                yield _compress(body)
-        if carry is not None and len(carry):
-            yield _compress(carry)
+    from ._grouped import grouped_batch_in_pandas
 
-    return (
-        points.repartition(n, *[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys, order)
-        .mapInPandas(_gen, schema=schema)
-        .select(*cols)
-    )
+    return grouped_batch_in_pandas(
+        points, list(keys), [order], _compress, schema, n_partitions=n
+    ).select(*cols)
