@@ -2361,6 +2361,96 @@ def q_classical_decompose_1d(spark, sf_dir):
     )
 
 
+def q_remainder_anomaly_1d(spark, sf_dir):
+    """Seasonal-hybrid anomaly screen (S-H-ESD-lite) as an OPERATOR
+    COMPOSITION through the driver gate: classical decomposition strips
+    trend+seasonality, then the Iglewicz-Hoban modified-z MAD screen
+    runs on the REMAINDER — anomalies relative to the seasonal pattern,
+    not the raw level (a weekday spike isn't an anomaly; the same value
+    on a quiet Sunday is).  Remainders are micros-rounded BIGINTs
+    (identical floor expression per engine), so the percentile /
+    quantile_cont medians interpolate exact integers-or-halves and the
+    z expression is one identical float computation per engine.
+    """
+    from .operators.tsanalytics import classical_decompose
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_id"),
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value"),
+    )
+    dec = classical_decompose(ev, 86_400, 7)
+    t = dec.select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.floor((F.col("remainder") / 100.0) * 1e6 + 0.5)
+        .cast("long").alias("r_u"),
+    )
+    med = t.groupBy("series_id").agg(
+        F.percentile("r_u", F.lit(0.5)).alias("_med")
+    )
+    mad = (
+        t.join(med, "series_id")
+        .groupBy("series_id")
+        .agg(
+            F.first("_med").alias("_med"),
+            F.percentile(F.abs(F.col("r_u") - F.col("_med")), F.lit(0.5))
+            .alias("_mad"),
+        )
+    )
+    j = t.join(mad, "series_id")
+    z = F.lit(0.6745) * (F.col("r_u") - F.col("_med")) / F.col("_mad")
+    return j.select(
+        "series_id",
+        "bucket_epoch",
+        "r_u",
+        _r(F.col("_med"), 6).alias("med"),
+        _r(F.col("_mad"), 6).alias("mad"),
+        F.when(F.col("_mad") > 0, _r(z, 6)).alias("z"),
+        F.when(F.col("_mad") > 0, F.abs(z) > 3.5)
+        .otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
+SQL_REMAINDER_ANOMALY = """
+    WITH c AS (SELECT event_type, ts, floor(value*100 + 0.5) AS v FROM events),
+    t AS (SELECT event_type AS series_id,
+                 (floor(epoch(ts)/86400))::BIGINT AS idx,
+                 sum(v) AS sv
+          FROM c GROUP BY 1, 2),
+    w AS (SELECT series_id, idx, sv,
+                 sum(sv) OVER win AS sw,
+                 count(*) OVER win AS cw
+          FROM t
+          WINDOW win AS (PARTITION BY series_id ORDER BY idx
+                         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    d AS (SELECT series_id, idx, sv, sw,
+                 sv * 7 - sw AS d7, idx % 7 AS phase
+          FROM w WHERE cw = 7),
+    s AS (SELECT series_id, phase,
+                 (CAST(sum(d7) AS DOUBLE) / count(*)) / 7.0 AS seas
+          FROM d GROUP BY 1, 2),
+    r AS (SELECT d.series_id, (d.idx * 86400)::BIGINT AS bucket_epoch,
+                 CAST(floor(((CAST(d.d7 AS DOUBLE) / 7.0 - s.seas) / 100.0)
+                            * 1000000.0 + 0.5) AS BIGINT) AS r_u
+          FROM d JOIN s USING (series_id, phase)),
+    m AS (SELECT series_id, quantile_cont(r_u, 0.5) AS med FROM r GROUP BY 1),
+    md AS (SELECT r.series_id, max(m.med) AS med,
+                  quantile_cont(abs(r.r_u - m.med), 0.5) AS mad
+           FROM r JOIN m USING (series_id) GROUP BY 1),
+    j AS (SELECT r.series_id, r.bucket_epoch, r.r_u, md.med, md.mad,
+                 0.6745 * (r.r_u - md.med) / md.mad AS z
+          FROM r JOIN md USING (series_id))
+    SELECT series_id, bucket_epoch, r_u,
+           floor(med * 1000000.0 + 0.5) / 1000000.0 AS med,
+           floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad,
+           CASE WHEN mad > 0 THEN floor(z * 1000000.0 + 0.5) / 1000000.0
+           END AS z,
+           CASE WHEN mad > 0 THEN abs(z) > 3.5 ELSE FALSE END AS is_anomaly
+    FROM j
+"""
+
+
 SQL_CLASSICAL_DECOMPOSE = """
     WITH c AS (SELECT event_type, ts, floor(value*100 + 0.5) AS v FROM events),
     t AS (SELECT event_type AS series_id,
@@ -5763,6 +5853,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_increase_extrapolated_1h,
         SQL_INCREASE_EXTRAPOLATED,
     ),
+    "remainder_anomaly_1d": (q_remainder_anomaly_1d, SQL_REMAINDER_ANOMALY),
     "classical_decompose_1d": (
         q_classical_decompose_1d,
         SQL_CLASSICAL_DECOMPOSE,
