@@ -644,7 +644,46 @@ def stitched_range_read(
     Output: the tier rows (keys + bucket_ts + stats) plus ``tier`` and
     ``resolution_s`` columns recording which tier served each row.
     """
-    names = sorted(tiers, key=lambda n: tier_seconds[n])  # fine -> coarse
+    spans = stitch_spans(
+        sorted(tiers, key=lambda n: tier_seconds[n]),
+        tier_seconds,
+        retention_seconds,
+        int(now_epoch),
+        int(t0_epoch),
+        int(t1_epoch),
+    )
+    parts: list[DataFrame] = []
+    for name, flo, hi in spans:
+        parts.append(
+            tiers[name]
+            .filter(
+                (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(flo)))
+                & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(hi)))
+            )
+            .withColumn("tier", F.lit(name))
+            .withColumn(
+                "resolution_s", F.lit(tier_seconds[name]).cast("long")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def stitch_spans(
+    names: list[str],
+    tier_seconds: dict[str, int],
+    retention_seconds: dict[str, int],
+    now_epoch: int,
+    t0: int,
+    t1: int,
+) -> list[tuple[str, int, int]]:
+    """Pure span arithmetic behind :func:`stitched_range_read`:
+    fine-to-coarse ``names`` -> list of (tier, filter_lo, hi) bucket
+    ranges.  Separated so the disjointness / coverage / alignment
+    invariants can be property-tested without a SparkSession
+    (tests/test_properties.py)."""
     for a, b in zip(names, names[1:]):
         if tier_seconds[b] % tier_seconds[a] != 0:
             raise ValueError(
@@ -656,14 +695,13 @@ def stitched_range_read(
                 f"retention must not shrink with coarseness: {b} retains "
                 f"{retention_seconds[b]}s < {a}'s {retention_seconds[a]}s"
             )
-    t0, t1 = int(t0_epoch), int(t1_epoch)
-    parts: list[DataFrame] = []
+    spans: list[tuple[str, int, int]] = []
     hi = t1
     for i, name in enumerate(names):
         if hi <= t0:
             break
         sec = tier_seconds[name]
-        oldest = int(now_epoch) - int(retention_seconds[name])
+        oldest = now_epoch - int(retention_seconds[name])
         if oldest <= t0:
             lo = t0  # retains the whole remaining range: serve it all
         elif i + 1 < len(names):
@@ -681,22 +719,11 @@ def stitched_range_read(
             # whole-bucket semantics at the span start that nothing
             # finer-or-older serves: include the straddling bucket
             flo = (lo // sec * sec) if lo <= t0 else lo
-            parts.append(
-                tiers[name]
-                .filter(
-                    (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(flo)))
-                    & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(hi)))
-                )
-                .withColumn("tier", F.lit(name))
-                .withColumn("resolution_s", F.lit(sec).cast("long"))
-            )
+            spans.append((name, flo, hi))
         hi = min(hi, lo)
-    if not parts:
+    if not spans:
         raise ValueError("no tier retains any part of the requested range")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spans
 
 
 def choose_tier(

@@ -138,3 +138,92 @@ def test_choose_tier_is_coarsest_satisfying(span, target):
     for other, osec in TIERS.items():
         if osec > sec:
             assert span // osec < target, (name, other)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8).flatmap(
+        lambda a: st.tuples(
+            st.just(60 * a),
+            st.integers(min_value=1, max_value=48),
+            st.integers(min_value=1, max_value=40),
+        )
+    ),
+    st.integers(min_value=1, max_value=10_000),  # 1h retention units
+    st.integers(min_value=0, max_value=20_000),  # extra coarse retention
+    st.integers(min_value=0, max_value=500_000),
+    st.integers(min_value=1, max_value=500_000),
+)
+def test_stitch_spans_disjoint_aligned_and_covering(cfg, r1, r2, t0, width):
+    """Over random 3-tier configs: spans are disjoint, ordered, aligned
+    to the serving tier at internal handoffs, and cover [t0, t1) up to
+    the documented whole-bucket edges — or the config raises."""
+    from afspark.operators.rollup import stitch_spans
+
+    s1, m2, m3 = cfg
+    secs = {"a": s1, "b": s1 * m2, "c": s1 * m2 * m3}
+    now = 1_000_000_000
+    rets = {"a": r1 * 3600, "b": r1 * 3600 + r2 * 3600, "c": 10**10}
+    t1 = t0 + width
+    try:
+        spans = stitch_spans(["a", "b", "c"], secs, rets, now, t0, t1)
+    except ValueError:
+        return  # unreachable-handoff configs must raise, not mis-serve
+    # fine -> coarse, contiguous, disjoint
+    hi_prev = t1
+    for name, flo, hi in spans:
+        assert hi == hi_prev  # contiguous from the top
+        assert flo < hi
+        hi_prev = flo
+    # every internal handoff boundary is a bucket edge of the tier BELOW
+    # it (the coarser server): no coarse bucket straddles into a finer span
+    for (n_fine, _f1, _h1), (n_coarse, _f2, h2) in zip(spans, spans[1:]):
+        assert h2 % secs[n_coarse] == 0
+    # coverage: the union of [flo, hi) contains [max(t0, lowest flo), t1)
+    lo_all = min(f for _n, f, _h in spans)
+    covered = sorted((f, h) for _n, f, h in spans)
+    cursor = lo_all
+    for f, h in covered:
+        assert f <= cursor  # no gap
+        cursor = max(cursor, h)
+    assert cursor == t1
+    # the start tier reaches t0 unless clipped by the coarsest retention
+    oldest_c = now - rets["c"]
+    if oldest_c <= t0:
+        assert lo_all <= t0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=8,
+        max_size=200,
+    )
+)
+def test_asap_objective_invariants(xs):
+    """ASAP pick: smoothing never increases roughness, kurtosis of the
+    pick is >= raw (or w==1), and w_opt matches a brute-force rescan."""
+    import numpy as np
+
+    from afspark.operators.asap import (
+        _kurtosis,
+        _roughness,
+        asap_smooth_local,
+    )
+
+    x = np.asarray(xs, dtype=np.float64)
+    got = asap_smooth_local(x)
+    assert got is not None
+    w, kr, rr, ko, ro, cs = got
+    assert ro <= rr
+    assert w == 1 or ko >= kr
+    best_w, best_r = 1, rr
+    for cand in range(2, max(1, x.size // 5) + 1):
+        sma = np.convolve(x, np.ones(cand) / cand, mode="valid")
+        if _kurtosis(sma) < kr:
+            continue
+        r = _roughness(sma)
+        if r < best_r:
+            best_w, best_r = cand, r
+    assert w == best_w
