@@ -247,7 +247,11 @@ def benford_first_digit(
     )
     counts = base.groupBy(*keys, "digit").agg(F.count(F.lit(1)).alias("n"))
     totals = counts.groupBy(*keys).agg(F.sum("n").alias("n_total"))
-    # 9-digit spine per key: absent digits keep their zero-cell mass
+    # 9-digit spine per key: absent digits keep their zero-cell mass.
+    # Both join sides are O(9·|keys|) keyed aggregates: AQE broadcasts
+    # when the key cardinality is small, and at per-domain scale a
+    # co-keyed shuffle join is the right shape anyway (a forced
+    # broadcast of a millions-of-keys totals table would be the bug).
     spine = totals.withColumn(
         "digit", F.explode(F.sequence(F.lit(1), F.lit(9)))
     )

@@ -818,14 +818,28 @@ def score_pages_to_tiers(
     from .score import score_pages
 
     scored = score_pages(pages_with_offsets, features, winlen, noverlap, fs=fs)
-    pts = scored.select(
+    return rollup_all_tiers(
+        scores_to_points(scored, fs, origin_epoch), keys=keys, tiers=tiers
+    )
+
+
+def scores_to_points(
+    scored: DataFrame, fs: float, origin_epoch: int = 1_700_000_000
+) -> DataFrame:
+    """Long score rows -> tier points: the ONE place the tier-key and
+    timestamp conventions live (series key = ``series_id|feature``,
+    ts = origin + win_start/fs).  Shared by the fused pipeline above
+    and the resumable deployment job (jobs/rollup_job.py) so the two
+    cannot silently diverge."""
+    from pyspark.sql import functions as F
+
+    return scored.select(
         F.concat_ws("|", "series_id", "feature").alias("series_id"),
         F.timestamp_seconds(
             F.lit(origin_epoch) + F.col("win_start") / F.lit(float(fs))
         ).alias("ts"),
         "value",
     )
-    return rollup_all_tiers(pts, keys=keys, tiers=tiers)
 
 
 def audit_tier_consistency(

@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from afspark.functions import kernels as K  # noqa: E402
-from afspark.operators.rollup import TIERS, rollup_points, rollup_tier  # noqa: E402
+from afspark.operators.rollup import (  # noqa: E402
+    TIERS,
+    rollup_points,
+    rollup_tier,
+    scores_to_points,
+)
 from afspark.operators.score import score_pages  # noqa: E402
 from afspark.streaming.checkpoint import CheckpointLog, run_resumable  # noqa: E402
 
@@ -89,14 +94,7 @@ def score_unit(
     scored = score_pages(need, features, winlen, noverlap, fs=fs).filter(
         (F.col("win_start") >= lo) & (F.col("win_start") <= hi)
     )
-    pts = scored.select(
-        F.concat_ws("|", "series_id", "feature").alias("series_id"),
-        F.timestamp_seconds(
-            F.lit(origin_epoch) + F.col("win_start") / F.lit(float(fs))
-        ).alias("ts"),
-        "value",
-    )
-    return rollup_points(pts, TIERS["1m"])
+    return rollup_points(scores_to_points(scored, fs, origin_epoch), TIERS["1m"])
 
 
 def main() -> None:
@@ -125,7 +123,7 @@ def main() -> None:
     spark: SparkSession = get_session(app_name="afspark-rollup-job")
     pages = (
         generate_pages(spark, args.synth)
-        if args.synth
+        if args.synth is not None
         else spark.read.parquet(args.pages)
     )
     offs = with_series_offsets(pages).persist()
@@ -144,7 +142,11 @@ def main() -> None:
     n_samples = offs.agg(
         F.max(F.col("sample_offset") + F.octet_length("text")).alias("n")
     ).first()["n"] or 0
-    n_units = max(1, -(-int(n_samples) // unit_samples))
+    # last valid 1-based window start; its unit is floor(s_max/U) under
+    # the half-open [u*U, (u+1)*U) ownership (ceil(n/U) would drop the
+    # final window when winlen==1 and n is an exact unit multiple)
+    s_max = max(0, int(n_samples) - args.winlen + 1)
+    n_units = s_max // unit_samples + 1
     log = CheckpointLog(spark, args.checkpoint)
 
     stats = run_resumable(

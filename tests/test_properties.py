@@ -218,9 +218,13 @@ def test_asap_objective_invariants(xs):
     w, kr, rr, ko, ro, cs = got
     assert ro <= rr
     assert w == 1 or ko >= kr
+    # rescan with the SAME cumsum SMA the kernel uses: a convolve-based
+    # SMA rounds differently and can land on the other side of the
+    # kurtosis gate at exact ties (affine-of-x smoothed series)
+    c = np.concatenate([[0.0], np.cumsum(x)])
     best_w, best_r = 1, rr
     for cand in range(2, max(1, x.size // 5) + 1):
-        sma = np.convolve(x, np.ones(cand) / cand, mode="valid")
+        sma = (c[cand:] - c[:-cand]) / cand
         if _kurtosis(sma) < kr:
             continue
         r = _roughness(sma)
