@@ -1843,6 +1843,72 @@ SQL_VECTOR_RATIO = """
 """
 
 
+def q_manifest_store_check(spark, sf_dir):
+    """Snapshot-store round-trip through the driver gate: the 1h cents
+    tier is COMMITTED to a manifest-pinned store (sources/manifest.py,
+    date-partitioned), one date partition is then REPAIRED via a
+    snapshot overwrite (recomputed from raw — the OoO shape), and the
+    latest snapshot is read back and multiset-diffed against the
+    directly-computed tier.  The oracle asserts the clean outcome: per
+    series, the direct tier's bucket count with n_mismatch = 0 — i.e.
+    append + overwrite + snapshot read reproduce the tier exactly.
+    """
+    import shutil
+    import tempfile
+
+    from .sources.manifest import (
+        commit_append,
+        commit_overwrite_partitions,
+        read_snapshot,
+    )
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"]).select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("be"),
+        F.col("cnt"),
+        F.col("sum").cast("long").alias("sum_c"),
+        F.to_date(F.col("bucket_ts")).cast("string").alias("bucket_date"),
+    )
+    store = tempfile.mkdtemp(prefix="afspark_manifest_")
+    try:
+        commit_append(spark, tier, store, ["bucket_date"])
+        repair_date = "2024-01-15"  # mid-range at every sf
+        commit_overwrite_partitions(
+            spark,
+            tier.filter(F.col("bucket_date") == repair_date),
+            store,
+            ["bucket_date"],
+        )
+        back = read_snapshot(spark, store)
+        keys = ["series_id", "be", "cnt", "sum_c"]
+        a = tier.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_a"))
+        b = back.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_b"))
+        joined = a.join(b, keys, "full_outer").select(
+            "series_id",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        out = joined.groupBy("series_id").agg(
+            F.sum("n_a").alias("n"),
+            F.sum(F.abs(F.col("n_a") - F.col("n_b"))).alias("n_mismatch"),
+        )
+        out = out.localCheckpoint()  # materialize before the store vanishes
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+SQL_MANIFEST_CHECK = """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
+                      (floor(epoch(ts)/3600)*3600)::BIGINT AS be
+               FROM events)
+    SELECT series_id, count(DISTINCT be) AS n,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM c GROUP BY 1
+"""
+
+
 def q_realtime_cagg_1h(spark, sf_dir):
     """Real-time continuous-aggregate view through the driver gate.
 
@@ -5794,6 +5860,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_1h_chained": (q_rollup_1h_chained, _sql_rollup(3600)),
     "realtime_cagg_1h": (q_realtime_cagg_1h, _sql_rollup(3600)),
     "stitched_read_7d": (q_stitched_read_7d, SQL_STITCHED_READ),
+    "manifest_store_check": (q_manifest_store_check, SQL_MANIFEST_CHECK),
     "rollup_1d_chained": (q_rollup_1d_chained, _sql_rollup(86400)),
     "rollup_30d_chained": (q_rollup_30d_chained, _sql_rollup(30 * 86400)),
     "gapfill_locf_1h": (q_gapfill_locf_1h, SQL_GAPFILL_LOCF),

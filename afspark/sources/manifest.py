@@ -1,0 +1,266 @@
+"""Manifest-pinned snapshot store on plain parquet (mini-Iceberg).
+
+Closes the "no Iceberg runtime jar in the container" gap at the
+SEMANTICS level: atomic commits, snapshot-isolated reads, time travel,
+and partition-level overwrite (the OoO-repair shape) on a plain
+filesystem — no table-format runtime required.  The layout mirrors what
+Iceberg does so the call sites swap cleanly when a jar appears (data
+files are immutable once committed; a commit is ONE atomic metadata
+rename; readers pin a manifest, so an in-flight rewrite — or a crash
+mid-rewrite — is invisible to them):
+
+    store/
+      data/<snapshot-uuid>/[p=v/...]part-*.parquet   (immutable)
+      manifests/<seq>-<uuid>.json                    (atomic rename)
+
+A manifest lists every live data file with the partition values baked
+into its path, so ``commit_overwrite_partitions`` drops replaced files
+without reading them and ``read_snapshot`` prunes by partition before
+touching a parquet footer.  This also removes the read-and-overwrite-
+the-same-path hazard the dynamic-overwrite stores carry (the shuffle
+barrier there is load-bearing; here the old files simply remain until
+``expire_snapshots``).
+
+Single-writer assumption (same as streaming/stream_tier's journal): one
+committer per store; readers are unrestricted and lock-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(store: str) -> str:
+    return os.path.join(store, "manifests")
+
+
+def _list_manifests(store: str) -> list[str]:
+    d = _manifest_dir(store)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+
+def _load(store: str, name: str) -> dict:
+    with open(os.path.join(_manifest_dir(store), name)) as fh:
+        return json.load(fh)
+
+
+def _parse_partition(relpath: str, partition_cols: list[str]) -> dict:
+    vals = {}
+    for seg in relpath.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                vals[k] = v
+    return vals
+
+
+def _write_manifest(store: str, manifest: dict) -> str:
+    d = _manifest_dir(store)
+    os.makedirs(d, exist_ok=True)
+    seq = manifest["seq"]
+    name = f"{seq:08d}-{manifest['snapshot_id']}.json"
+    tmp = os.path.join(d, f".tmp-{manifest['snapshot_id']}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(d, name))  # the atomic commit point
+    return manifest["snapshot_id"]
+
+
+def _write_data(
+    df: DataFrame, store: str, partition_cols: list[str]
+) -> tuple[str, list[dict], dict]:
+    """Write df under a fresh immutable snapshot dir; return its file
+    list and the declared types of the partition columns (directory
+    discovery re-infers them — e.g. a '2024-01-01' string comes back as
+    DATE — so reads cast back to the committed schema)."""
+    ptypes = {
+        c: df.schema[c].dataType.simpleString() for c in partition_cols
+    }
+    snap = uuid.uuid4().hex
+    root = os.path.join(store, "data", snap)
+    w = df.write.mode("error")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(root)
+    files = []
+    for dp, _dn, fn in os.walk(root):
+        for f in fn:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dp, f), store)
+                files.append(
+                    {
+                        "path": rel,
+                        "base": os.path.relpath(root, store),
+                        "partition": _parse_partition(
+                            os.path.relpath(os.path.join(dp, f), root),
+                            partition_cols,
+                        ),
+                    }
+                )
+    return snap, files, ptypes
+
+
+def _commit(
+    store: str,
+    op: str,
+    files: list[dict],
+    snap: str,
+    partition_cols: list[str],
+    partition_types: dict,
+) -> str:
+    manifests = _list_manifests(store)
+    parent = manifests[-1] if manifests else None
+    seq = (_load(store, parent)["seq"] + 1) if parent else 0
+    return _write_manifest(
+        store,
+        {
+            "snapshot_id": snap,
+            "seq": seq,
+            "op": op,
+            "parent": parent,
+            "partition_cols": partition_cols,
+            "partition_types": partition_types,
+            "files": files,
+            "committed_at": time.time(),
+        },
+    )
+
+
+def commit_append(
+    spark: SparkSession,
+    df: DataFrame,
+    store: str,
+    partition_cols: list[str] = [],
+) -> str:
+    """Append df as a new snapshot: previous files + the new ones."""
+    snap, new_files, ptypes = _write_data(df, store, partition_cols)
+    manifests = _list_manifests(store)
+    prev = _load(store, manifests[-1])["files"] if manifests else []
+    return _commit(
+        store, "append", prev + new_files, snap, partition_cols, ptypes
+    )
+
+
+def commit_overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    store: str,
+    partition_cols: list[str],
+) -> str:
+    """Replace exactly the partitions present in df (the OoO-repair /
+    incremental-refresh writer): the new manifest keeps every previous
+    file whose partition df does NOT touch, plus df's files.  Old files
+    are not deleted — pinned readers keep a consistent view until
+    ``expire_snapshots``."""
+    if not partition_cols:
+        raise ValueError("overwrite needs partition_cols")
+    snap, new_files, ptypes = _write_data(df, store, partition_cols)
+    touched = {tuple(sorted(f["partition"].items())) for f in new_files}
+    manifests = _list_manifests(store)
+    prev = _load(store, manifests[-1])["files"] if manifests else []
+    kept = [
+        f for f in prev
+        if tuple(sorted(f["partition"].items())) not in touched
+    ]
+    return _commit(
+        store, "overwrite", kept + new_files, snap, partition_cols, ptypes
+    )
+
+
+def snapshots(store: str) -> list[dict]:
+    """Commit history, oldest first: id, seq, op, n_files, committed_at."""
+    out = []
+    for name in _list_manifests(store):
+        m = _load(store, name)
+        out.append(
+            {
+                "snapshot_id": m["snapshot_id"],
+                "seq": m["seq"],
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "committed_at": m["committed_at"],
+            }
+        )
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession,
+    store: str,
+    snapshot_id: str | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Snapshot-isolated read: the pinned (default: latest) manifest's
+    file list, pruned by exact-match ``partition_filter`` BEFORE any
+    parquet footer is opened.  Files are read per snapshot-dir group
+    with that dir as basePath, so partition columns come back as
+    ordinary columns."""
+    manifests = _list_manifests(store)
+    if not manifests:
+        raise ValueError(f"no committed snapshot in {store}")
+    chosen = None
+    for name in manifests:
+        m = _load(store, name)
+        if snapshot_id is None or m["snapshot_id"] == snapshot_id:
+            chosen = m
+            if snapshot_id is not None:
+                break
+    if chosen is None or (
+        snapshot_id is not None and chosen["snapshot_id"] != snapshot_id
+    ):
+        raise ValueError(f"snapshot {snapshot_id} not found in {store}")
+    files = chosen["files"]
+    if partition_filter:
+        want = {k: str(v) for k, v in partition_filter.items()}
+        files = [
+            f for f in files
+            if all(f["partition"].get(k) == v for k, v in want.items())
+        ]
+    if not files:
+        raise ValueError("no files match the requested snapshot/partitions")
+    by_base: dict[str, list[str]] = {}
+    for f in files:
+        by_base.setdefault(f["base"], []).append(os.path.join(store, f["path"]))
+    out = None
+    for base, paths in sorted(by_base.items()):
+        part = spark.read.option(
+            "basePath", os.path.join(store, base)
+        ).parquet(*sorted(paths))
+        out = part if out is None else out.unionByName(part)
+    # directory discovery re-infers partition column types; cast back to
+    # the schema the data was COMMITTED with
+    from pyspark.sql import functions as F
+
+    for c, t in chosen.get("partition_types", {}).items():
+        out = out.withColumn(c, F.col(c).cast(t))
+    return out
+
+
+def expire_snapshots(store: str, keep_last: int = 1) -> dict:
+    """Retention for the metadata layer: drop all but the newest
+    ``keep_last`` manifests and delete data files no kept manifest
+    references.  Returns {"manifests_removed": n, "files_removed": n}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    manifests = _list_manifests(store)
+    drop, keep = manifests[:-keep_last], manifests[-keep_last:]
+    live = set()
+    for name in keep:
+        live |= {f["path"] for f in _load(store, name)["files"]}
+    removed_files = 0
+    for name in drop:
+        for f in _load(store, name)["files"]:
+            if f["path"] not in live:
+                p = os.path.join(store, f["path"])
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed_files += 1
+        os.remove(os.path.join(_manifest_dir(store), name))
+    return {"manifests_removed": len(drop), "files_removed": removed_files}

@@ -1,0 +1,108 @@
+"""Manifest-pinned snapshot store (sources/manifest.py): atomic commits,
+time travel, partition overwrite, crash invisibility, expiry."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from afspark.sources.manifest import (
+    commit_append,
+    commit_overwrite_partitions,
+    expire_snapshots,
+    read_snapshot,
+    snapshots,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r.series_id, r.d, int(r.v)) for r in df.select("series_id", "d", "v").collect()
+    )
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "series_id string, d string, v long")
+
+
+def test_append_roundtrip_and_history(spark, tmpdir):
+    store = str(tmpdir.join("s"))
+    a = [("x", "2024-01-01", 1), ("y", "2024-01-01", 2)]
+    b = [("x", "2024-01-02", 3)]
+    s1 = commit_append(spark, _mk(spark, a), store, ["d"])
+    s2 = commit_append(spark, _mk(spark, b), store, ["d"])
+    assert _rows(read_snapshot(spark, store)) == sorted(
+        (r[0], r[1], r[2]) for r in a + b
+    )
+    # time travel: snapshot 1 still shows only the first commit
+    assert _rows(read_snapshot(spark, store, snapshot_id=s1)) == sorted(a)
+    hist = snapshots(store)
+    assert [h["snapshot_id"] for h in hist] == [s1, s2]
+    assert [h["op"] for h in hist] == ["append", "append"]
+
+
+def test_overwrite_partition_isolated_from_pinned_reader(spark, tmpdir):
+    store = str(tmpdir.join("s"))
+    s1 = commit_append(
+        spark,
+        _mk(spark, [("x", "2024-01-01", 1), ("x", "2024-01-02", 2)]),
+        store,
+        ["d"],
+    )
+    # repair day 1 (the OoO shape): only that partition's rows replaced
+    s2 = commit_overwrite_partitions(
+        spark, _mk(spark, [("x", "2024-01-01", 9)]), store, ["d"]
+    )
+    assert _rows(read_snapshot(spark, store)) == [
+        ("x", "2024-01-01", 9),
+        ("x", "2024-01-02", 2),
+    ]
+    # a reader pinned to s1 is untouched by the rewrite
+    assert _rows(read_snapshot(spark, store, snapshot_id=s1)) == [
+        ("x", "2024-01-01", 1),
+        ("x", "2024-01-02", 2),
+    ]
+    assert snapshots(store)[-1]["op"] == "overwrite"
+
+
+def test_uncommitted_data_files_invisible(spark, tmpdir):
+    """Crash between data write and manifest rename: files exist on disk
+    but no reader can see them."""
+    store = str(tmpdir.join("s"))
+    commit_append(spark, _mk(spark, [("x", "2024-01-01", 1)]), store, ["d"])
+    # simulate a crashed writer: data files land, manifest never renames
+    orphan = _mk(spark, [("z", "2024-01-09", 99)])
+    orphan.write.partitionBy("d").parquet(
+        os.path.join(store, "data", "deadbeef")
+    )
+    got = _rows(read_snapshot(spark, store))
+    assert got == [("x", "2024-01-01", 1)]  # orphan invisible
+
+
+def test_partition_filter_prunes_before_read(spark, tmpdir):
+    store = str(tmpdir.join("s"))
+    commit_append(
+        spark,
+        _mk(spark, [("x", "2024-01-01", 1), ("x", "2024-01-02", 2)]),
+        store,
+        ["d"],
+    )
+    out = read_snapshot(spark, store, partition_filter={"d": "2024-01-02"})
+    assert _rows(out) == [("x", "2024-01-02", 2)]
+    # pruning happens on the manifest: asking for a missing partition
+    # fails fast without touching parquet
+    with pytest.raises(ValueError, match="no files"):
+        read_snapshot(spark, store, partition_filter={"d": "2024-09-09"})
+
+
+def test_expire_keeps_latest_and_deletes_unreferenced(spark, tmpdir):
+    store = str(tmpdir.join("s"))
+    commit_append(spark, _mk(spark, [("x", "2024-01-01", 1)]), store, ["d"])
+    commit_overwrite_partitions(
+        spark, _mk(spark, [("x", "2024-01-01", 7)]), store, ["d"]
+    )
+    stats = expire_snapshots(store, keep_last=1)
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] >= 1  # the replaced day-1 file is gone
+    assert _rows(read_snapshot(spark, store)) == [("x", "2024-01-01", 7)]
+    assert len(snapshots(store)) == 1
