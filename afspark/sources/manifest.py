@@ -23,6 +23,14 @@ barrier there is load-bearing; here the old files simply remain until
 
 Single-writer assumption (same as streaming/stream_tier's journal): one
 committer per store; readers are unrestricted and lock-free.
+
+Scale note: a manifest here is ONE json listing every live file — right
+for stores whose file count is bounded (rolled-up tiers, compacted
+chunk stores: ~10^4-10^6 files), which is exactly what this engine
+writes.  A raw 10^12-row ingest table would need Iceberg's extra
+indirection (manifest LISTS of manifest files, written once and reused
+across commits) — at that point use the real thing; this module's call
+sites are shaped to swap to it.
 """
 
 from __future__ import annotations
