@@ -1843,6 +1843,41 @@ SQL_VECTOR_RATIO = """
 """
 
 
+def q_link_components(spark, sf_dir):
+    """Weakly-connected components of the link graph (site clusters):
+    out_degree=1 LCG links make a functional graph whose rho-shaped
+    components have O(sqrt n) diameter — exactly the adversarial case
+    the large-star/small-star CC (O(log n) rounds) exists for; plain
+    min-label propagation would need ~diameter rounds.  Oracle is a
+    DuckDB recursive-CTE transitive closure over the same LCG edges.
+    """
+    from .operators.dedup import connected_components_star
+    from .operators.linkgraph import derive_links
+
+    docs = _read(spark, sf_dir, "documents")
+    links = derive_links(docs, out_degree=1)
+    comp = connected_components_star(links, id_a="src", id_b="dst")
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("component"),
+    )
+
+
+SQL_LINK_COMPONENTS = """
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    e0 AS (SELECT doc_id AS src,
+                  (doc_id*1103515245 + 7) % (SELECT n FROM nn) AS dst
+           FROM documents),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    walk(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id
+"""
+
+
 def q_manifest_store_check(spark, sf_dir):
     """Snapshot-store round-trip through the driver gate: the 1h cents
     tier is COMMITTED to a manifest-pinned store (sources/manifest.py,
@@ -5861,6 +5896,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "realtime_cagg_1h": (q_realtime_cagg_1h, _sql_rollup(3600)),
     "stitched_read_7d": (q_stitched_read_7d, SQL_STITCHED_READ),
     "manifest_store_check": (q_manifest_store_check, SQL_MANIFEST_CHECK),
+    "link_components": (q_link_components, SQL_LINK_COMPONENTS),
     "rollup_1d_chained": (q_rollup_1d_chained, _sql_rollup(86400)),
     "rollup_30d_chained": (q_rollup_30d_chained, _sql_rollup(30 * 86400)),
     "gapfill_locf_1h": (q_gapfill_locf_1h, SQL_GAPFILL_LOCF),
