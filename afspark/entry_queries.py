@@ -5341,6 +5341,61 @@ SQL_HDR_PERCENTILE_1H = _hdr_cells_sql(3600) + f"""
 """
 
 
+def q_hdr_global_p99_1h(spark, sf_dir):
+    """Cluster-wide percentile per hour — the cross-SERIES sketch merge
+    (the monitoring query "global p99 this hour"): per-series 1h HDR
+    cells merged over the series axis (hdr_merge with keys=[]), then
+    rank read-back.  Proves the sketch is mergeable along BOTH axes —
+    hdr_1d_chained covers time, this covers series — from the same
+    committed per-series tier, no raw re-scan."""
+    from .operators.hdrsketch import hdr_merge, hdr_quantile, hdr_rollup
+
+    s = events_samples(spark, sf_dir, cents=True)
+    cells = hdr_rollup(s, TIERS["1h"])
+    glob = hdr_merge(cells, TIERS["1h"], keys=[])  # series-axis merge
+    parts = []
+    for qn, lab in [(50, "p50"), (99, "p99")]:
+        e = hdr_quantile(glob, qn, 100, keys=[])
+        parts.append(
+            e.select(
+                F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+                F.col("total").cast("long").alias("total"),
+                "est",
+            ).withColumn("qlab", F.lit(lab))
+        )
+    return parts[0].unionByName(parts[1])
+
+
+SQL_HDR_GLOBAL_P99 = """
+    WITH c AS (
+      SELECT (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), cells AS (
+      SELECT bucket_epoch,
+             CASE WHEN v <= 0 THEN CAST(-1 AS BIGINT)
+                  ELSE (length(bin(v))-1)*16
+                       + ((v*16) // (CAST(1 AS BIGINT) << (length(bin(v))-1))
+                          - 16)
+             END AS idx,
+             count(*) AS n
+      FROM c GROUP BY 1, 2
+    ), cum AS (
+      SELECT *,
+             sum(n) OVER (PARTITION BY bucket_epoch ORDER BY idx) AS cum,
+             sum(n) OVER (PARTITION BY bucket_epoch) AS total
+      FROM cells
+    ), q AS (SELECT 50 AS qn, 'p50' AS qlab UNION ALL SELECT 99, 'p99')
+    SELECT bucket_epoch, total::BIGINT AS total,
+           CASE WHEN idx < 0 THEN 0.0 ELSE
+             ((CAST(1 AS BIGINT) << CAST(idx // 16 AS INT))
+              * (2*(16 + idx % 16) + 1))::DOUBLE / 3200.0 END AS est,
+           qlab
+    FROM cum, q
+    WHERE cum*100 >= total*qn AND (cum-n)*100 < total*qn
+"""
+
+
 def q_hdr_1d_chained(spark, sf_dir):
     """p90 per (series, 1d) where the 1d sketch is MERGED from the 1h
     sketch cells (hdr_merge) — oracle builds 1d cells straight from raw;
@@ -6066,6 +6121,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gini_chars_by_source": (q_gini_chars_by_source, SQL_GINI),
     "completeness_1h": (q_completeness_1h, SQL_COMPLETENESS),
     "hdr_percentile_1h": (q_hdr_percentile_1h, SQL_HDR_PERCENTILE_1H),
+    "hdr_global_p99_1h": (q_hdr_global_p99_1h, SQL_HDR_GLOBAL_P99),
     "hdr_1d_chained": (q_hdr_1d_chained, SQL_HDR_1D_CHAINED),
     "recrawl_change_rate": (q_recrawl_change_rate, SQL_RECRAWL_CHANGE_RATE),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL),
