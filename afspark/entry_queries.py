@@ -27,6 +27,7 @@ from .operators.gapfill import gapfill
 from .operators.rollup import (
     TIERS,
     refresh_tier_incremental,
+    rollup_all_tiers,
     rollup_points,
     rollup_tier,
 )
@@ -5396,6 +5397,85 @@ SQL_HDR_GLOBAL_P99 = """
 """
 
 
+def q_serve_range_30d(spark, sf_dir):
+    """The dashboard serve path through the driver gate: a 30-day range
+    at maxDataPoints=200 routes to the 1h tier (coarsest that still
+    resolves >= 200 buckets), clips, and M4-pixels the hourly averages
+    into 4h pixels (<= 180 x 4 witnesses) — rollup.serve_range.  Avgs
+    are exact-int ratios; witness values round by the identical floor
+    expression per engine, ties broken by the unique bucket index.
+    """
+    from .operators.rollup import serve_range
+
+    pts = events_samples(spark, sf_dir, cents=True)
+    tiers = rollup_all_tiers(pts, materialize=False)
+    name, px, out = serve_range(
+        tiers,
+        {k: v for k, v in TIERS.items()},
+        t0_epoch=1_704_067_200,  # 2024-01-01
+        t1_epoch=1_706_659_200,  # 2024-01-31
+        max_points=200,
+    )
+    assert name == "1h" and px == 14_400  # deterministic routing
+    return out.select(
+        "series_id",
+        "bucket_epoch",
+        "n",
+        *[
+            c
+            for tag in ("first", "last", "min", "max")
+            for c in (
+                F.col(f"t_{tag}"),
+                _r(F.col(f"v_{tag}") / 100.0, 6).alias(f"v_{tag}"),
+            )
+        ],
+    ).withColumn("tier", F.lit(name)).withColumn(
+        "px_s", F.lit(px).cast("long")
+    )
+
+
+SQL_SERVE_RANGE = """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+             floor(value*100 + 0.5) AS v
+      FROM events
+    ),
+    h AS (SELECT series_id, be, sum(v)/count(*) AS av
+          FROM c WHERE be >= 1704067200 AND be < 1706659200
+          GROUP BY 1, 2),
+    r AS (
+      SELECT series_id, (be // 14400) * 14400 AS bucket_epoch, be, av,
+             be // 3600 AS seq,
+             row_number() OVER (PARTITION BY series_id, be // 14400
+                                ORDER BY be // 3600) AS rf,
+             row_number() OVER (PARTITION BY series_id, be // 14400
+                                ORDER BY be // 3600 DESC) AS rl,
+             row_number() OVER (PARTITION BY series_id, be // 14400
+                                ORDER BY av, be // 3600) AS rmin,
+             row_number() OVER (PARTITION BY series_id, be // 14400
+                                ORDER BY av DESC, be // 3600 DESC) AS rmax
+      FROM h
+    )
+    SELECT series_id, CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+           count(*) AS n,
+           max(CASE WHEN rf = 1 THEN be END) AS t_first,
+           floor(max(CASE WHEN rf = 1 THEN av END) / 100.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS v_first,
+           max(CASE WHEN rl = 1 THEN be END) AS t_last,
+           floor(max(CASE WHEN rl = 1 THEN av END) / 100.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS v_last,
+           max(CASE WHEN rmin = 1 THEN be END) AS t_min,
+           floor(max(CASE WHEN rmin = 1 THEN av END) / 100.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS v_min,
+           max(CASE WHEN rmax = 1 THEN be END) AS t_max,
+           floor(max(CASE WHEN rmax = 1 THEN av END) / 100.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS v_max,
+           '1h' AS tier, CAST(14400 AS BIGINT) AS px_s
+    FROM r GROUP BY 1, 2
+"""
+
+
 def q_hdr_1d_chained(spark, sf_dir):
     """p90 per (series, 1d) where the 1d sketch is MERGED from the 1h
     sketch cells (hdr_merge) — oracle builds 1d cells straight from raw;
@@ -6122,6 +6202,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "completeness_1h": (q_completeness_1h, SQL_COMPLETENESS),
     "hdr_percentile_1h": (q_hdr_percentile_1h, SQL_HDR_PERCENTILE_1H),
     "hdr_global_p99_1h": (q_hdr_global_p99_1h, SQL_HDR_GLOBAL_P99),
+    "serve_range_30d": (q_serve_range_30d, SQL_SERVE_RANGE),
     "hdr_1d_chained": (q_hdr_1d_chained, SQL_HDR_1D_CHAINED),
     "recrawl_change_rate": (q_recrawl_change_rate, SQL_RECRAWL_CHANGE_RATE),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL),

@@ -745,6 +745,48 @@ def choose_tier(
     return best
 
 
+def serve_range(
+    tiers: dict[str, DataFrame],
+    tier_seconds: dict[str, int],
+    t0_epoch: int,
+    t1_epoch: int,
+    max_points: int = 1000,
+) -> tuple[str, int, DataFrame]:
+    """The dashboard read path (Grafana ``maxDataPoints`` contract):
+    route to the coarsest tier that still resolves the range
+    (choose_tier), clip to [t0, t1), then M4-pixel the tier's avg
+    series so the response carries at most ~``max_points`` pixel
+    buckets x 4 witness points PER SERIES — error-free for line
+    rendering (min/max/first/last preserved), regardless of how wide
+    the range is.  Filter the tier to the panel's series upstream, as a
+    dashboard does; the per-series bound is the contract.
+
+    Scale shape: one bucket-range filter on the chosen tier (partition-
+    prunable) + M4's single algebraic aggregation; response size is
+    bounded by max_points, not by the range.  Returns
+    (tier_name, pixel_seconds, df).
+    """
+    from .lttb import m4_downsample
+
+    span = max(0, int(t1_epoch) - int(t0_epoch))
+    name = choose_tier(t0_epoch, t1_epoch, max_points, tier_seconds)
+    sec = tier_seconds[name]
+    px_raw = -(-span // max(1, max_points))  # ceil seconds per pixel
+    px = max(sec, -(-px_raw // sec) * sec)  # align up to the tier grid
+    clipped = tiers[name].filter(
+        (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(int(t0_epoch))))
+        & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(int(t1_epoch))))
+    )
+    pts = clipped.select(
+        "series_id",
+        F.col("bucket_ts").alias("ts"),
+        F.col("avg").alias("value"),
+        # bucket index: the unique, order-preserving M4 tie-break key
+        (F.unix_timestamp("bucket_ts") / sec).cast("long").alias("seq"),
+    )
+    return name, px, m4_downsample(pts, px)
+
+
 def read_tier_range(
     spark,
     store_paths: dict[str, str],

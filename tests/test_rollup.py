@@ -783,3 +783,20 @@ def test_stitched_read_unreachable_handoff_raises(spark):
             {"1h": 5 * day, "1d": 6 * day, "30d": 3650 * day},
             now_epoch=100 * day, t0_epoch=0, t1_epoch=100 * day,
         )
+
+
+def test_serve_range_routing_and_pixel_bound(spark, points):
+    """Grafana maxDataPoints contract: tier routing, pixel alignment,
+    and the per-series pixel-count bound."""
+    from afspark.operators.rollup import rollup_all_tiers, serve_range
+
+    pts = points.withColumn("value", F.floor(F.col("value") * 100 + 0.5))
+    tiers = rollup_all_tiers(pts, materialize=False)
+    t0, t1 = 1_704_067_200, 1_706_659_200  # Jan 1 .. Jan 31
+    name, px, out = serve_range(tiers, TIERS, t0, t1, max_points=200)
+    assert name == "1h" and px == 14_400  # 30d/200 -> 4h pixels
+    per_series = out.groupBy("series_id").count().agg(F.max("count")).first()[0]
+    assert per_series <= 200
+    # short range: falls back to the finest tier, pixel >= tier width
+    name2, px2, _ = serve_range(tiers, TIERS, t0, t0 + 1800, max_points=500)
+    assert name2 == "1m" and px2 == 60
