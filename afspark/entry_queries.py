@@ -6231,6 +6231,37 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_dedup_pairs": (q_incremental_dedup_pairs, SQL_INCR_DEDUP),
 }
 
+# --- driver-certification rotation (round 5) -------------------------------
+# The driver's CORRECTNESS snapshot covers only the FIRST 50 registry keys.
+# Rounds 1-4 certified these 54; rotate them to the back so the snapshot
+# certifies 50 of the 94 never-snapshotted queries this round (VERDICT.md
+# round-5 task #1).  Relative order is otherwise preserved, and the content
+# of the registry is unchanged — only dict insertion order moves.
+_DRIVER_CERTIFIED_R1_R4 = frozenset({
+    "ann_nn_bruteforce", "asof_latest_event", "bpe_token_stats",
+    "chunk_roundtrip_check", "dedup_exact", "deterministic_sample",
+    "doc_fingerprint", "embedding_neardup_pairs", "energy_win_sliding",
+    "energy_win_tumbling", "gapfill_linear_1h", "gapfill_locf_1h",
+    "gapfill_locf_maxgap_1h", "hop_window_counts", "ivf_recall_check",
+    "langid_features", "link_components", "manifest_store_check",
+    "minhash_lsh_pairs", "minhash_signatures", "myriad_win_tumbling",
+    "neardup_clusters", "neardup_clusters_star", "ngram_jaccard_pairs",
+    "pressure_scalar", "quality_filter_dedup", "quality_scores",
+    "range_join_sessions", "realtime_cagg_1h", "repetition_stats",
+    "rolling_fingerprints", "rollup_1d_chained", "rollup_1h_chained",
+    "rollup_1m", "rollup_30d_chained", "rollup_incremental_1h",
+    "salted_domain_stats", "samples_from_documents",
+    "score_freq_contours_docs", "score_impulse_sas_events",
+    "score_kernels_docs", "score_psd_docs", "score_to_rollup_1m",
+    "session_stats", "simhash16", "simhash_near_pairs", "spl_win_tumbling",
+    "stitched_read_7d", "stopword_langid", "token_stats", "top_terms",
+    "topk_cosine_centroid", "tpch_q1", "zcr_win_tumbling",
+})
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CERTIFIED_R1_R4},
+    **{k: v for k, v in QUERIES.items() if k in _DRIVER_CERTIFIED_R1_R4},
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 events -> samples -> multi-feature windowed Score."""
