@@ -150,9 +150,10 @@ def hits_fixed(
     rounds in fixed-point integers: auth = Σ_in hub, hub = Σ_out auth,
     each re-normalized to total mass SCALE after every half-step.
 
-    Normalization needs the global mass — ONE driver-side scalar
-    aggregate per half-step (a few longs over the wire; the same
-    pattern as k-means centroid pulls).  The normalizing division
+    Normalization needs the global mass — folded in as a broadcast
+    scalar crossJoin (one-row aggregate subplan, no driver collect(),
+    no synchronous barrier per half-step; same pattern as
+    profile.py's chi² total).  The normalizing division
     floor(x * SCALE_float / total) is a single identical IEEE
     expression per engine, applied to exact-integer x — cross-engine
     deterministic like pagerank_fixed.
@@ -183,11 +184,15 @@ def hits_fixed(
         raw = ids.join(
             mass.withColumnRenamed(dst_col, "_id"), "_id", "left"
         ).select("_id", F.coalesce("_m", F.lit(0)).alias("_raw"))
-        total = raw.agg(F.sum("_raw")).collect()[0][0] or 1
-        return raw.select(
+        total = raw.agg(
+            F.greatest(F.sum("_raw"), F.lit(1)).alias("_tot")
+        )
+        return raw.crossJoin(F.broadcast(total)).select(
             "_id",
-            F.floor(F.col("_raw") * F.lit(float(SCALE)) / F.lit(float(total)))
-            .cast("long").alias(out_col),
+            F.floor(
+                F.col("_raw") * F.lit(float(SCALE))
+                / F.col("_tot").cast("double")
+            ).cast("long").alias(out_col),
         )
 
     auth = None

@@ -469,6 +469,9 @@ def lagged_cross_correlation(
     keys: list[str] = ["series_id"],
     bucket_col: str = "bucket_ts",
     value_col: str = "sum",
+    block_keys: list[str] | None = None,
+    candidate_top_k: int | None = None,
+    max_pair_estimate: int | None = 50_000_000,
 ) -> DataFrame:
     """Pearson cross-correlation between series pairs at bucket lags.
 
@@ -478,20 +481,70 @@ def lagged_cross_correlation(
     exact integers when the tier carries cents sums, so the final
     correlation is the identical float expression in Spark and DuckDB.
 
-    Plan shape: the tier self-joins on the shifted bucket key — a plain
-    shuffled equi-join whose per-key fan-out is (series per bucket)², the
-    inherent cost of all-pairs correlation.  At 100 TB you don't run
-    all-pairs across a million series: pre-filter each side to a
-    candidate set (same domain / same metric family / top-k by variance)
-    and this exact operator runs unchanged on the reduced tier — the
-    aggregation itself is algebraic and map-side combined.  Pairs with
-    fewer than ``min_overlap`` common buckets are dropped (their
-    correlation is noise).
+    Plan shape: the tier self-joins on the (block, shifted-bucket) key.
+    Without blocking, per-bucket fan-out is (series per bucket)² — fine
+    for a pre-filtered candidate tier, quadratic death on a full 100-TB
+    tier.  Two dials bound it:
+
+    * ``block_keys`` — a subset of ``keys`` (domain / metric family)
+      folded into the equi-join key, so the shuffle partitions on
+      (block, bucket) and pairs only form within a block.  Fan-out drops
+      to (series per bucket per block)².
+    * ``candidate_top_k`` — keep only the k highest-variance series per
+      block (globally when unblocked) before pairing; ties broken by
+      key for determinism.
+
+    A fail-fast guard estimates the joined row count
+    (len(lags) x sum over (block, bucket) of series-count²) with one
+    cheap scalar aggregate and raises ``ValueError`` when it exceeds
+    ``max_pair_estimate`` — so handing the operator an unfiltered
+    million-series tier fails in seconds instead of emitting 10¹²
+    pairs.  Pass ``None`` to skip the guard (and its extra job).
+    Pairs with fewer than ``min_overlap`` common buckets are dropped
+    (their correlation is noise).
     """
+    block_keys = list(block_keys or [])
+    if not set(block_keys) <= set(keys):
+        raise ValueError(
+            f"block_keys {block_keys} must be a subset of keys {keys}"
+        )
     epoch = F.unix_timestamp(F.col(bucket_col))
     base = tier.select(
         *keys, epoch.alias("_be"), F.col(value_col).alias("_v")
     )
+    if candidate_top_k is not None:
+        # variance proxy n*Σx² − (Σx)² is exact with integer cents; the
+        # full-key tiebreak makes the cut deterministic across engines
+        x = F.col("_v")
+        stats = base.groupBy(*keys).agg(
+            (F.count(F.lit(1)) * F.sum(x * x) - F.sum(x) * F.sum(x)).alias(
+                "_varp"
+            )
+        )
+        wv = W.partitionBy(*block_keys).orderBy(
+            F.col("_varp").desc(), *[F.col(k) for k in keys]
+        )
+        keep = (
+            stats.withColumn("_rk", F.row_number().over(wv))
+            .filter(F.col("_rk") <= int(candidate_top_k))
+            .select(*keys)
+        )
+        base = base.join(F.broadcast(keep), keys, "left_semi")
+    if max_pair_estimate is not None:
+        est = (
+            base.groupBy(*block_keys, "_be")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")))
+            .collect()[0][0]
+        ) or 0
+        est *= len(lags)
+        if est > max_pair_estimate:
+            raise ValueError(
+                f"lagged_cross_correlation: estimated pair fan-out {est:,} "
+                f"exceeds max_pair_estimate={max_pair_estimate:,}; pass "
+                "block_keys= (domain / metric family), candidate_top_k=, "
+                "or raise/disable max_pair_estimate explicitly"
+            )
     lagged = base.withColumn("lag", F.explode(F.array(*[F.lit(int(x)) for x in lags])))
     a = lagged.select(
         *[F.col(k).alias(f"a_{k}") for k in keys],
@@ -504,7 +557,9 @@ def lagged_cross_correlation(
         F.col("_be").alias("_join_be"),
         F.col("_v").alias("_y"),
     )
-    cond = [a["_join_be"] == b["_join_be"]]
+    cond = [a["_join_be"] == b["_join_be"]] + [
+        a[f"a_{k}"] == b[f"b_{k}"] for k in block_keys
+    ]
     # ordered-pair filter over the FULL key tuple (struct comparison is
     # lexicographic): with composite keys, comparing only the first
     # column would drop every cross-series pair sharing it

@@ -393,6 +393,110 @@ def test_cross_correlation_zero_variance_guard(spark):
     assert len(out) == 1 and out[0].corr is None  # flat series -> null
 
 
+def _cross_corr_block_fixture(spark, n_domains=3, n_series=4, n_buckets=24):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(n_domains):
+        for s in range(n_series):
+            for i in range(n_buckets):
+                rows.append(
+                    (f"d{d}", f"s{s}", t(i * 3600), float(rng.integers(1, 100)))
+                )
+    return spark.createDataFrame(
+        rows, "domain string, series_id string, bucket_ts timestamp, sum double"
+    )
+
+
+def test_cross_correlation_block_keys_bound_fanout(spark):
+    """block_keys folds the domain into the join key: no cross-domain
+    pairs, per-bucket fan-out bounded by the block size, and the
+    physical join keys carry the block column (shuffle partitions on
+    it, not on the bucket alone)."""
+    from afspark.operators.tsanalytics import lagged_cross_correlation
+
+    tier = _cross_corr_block_fixture(spark)
+    out = lagged_cross_correlation(
+        tier,
+        3600,
+        lags=[0],
+        min_overlap=5,
+        keys=["domain", "series_id"],
+        block_keys=["domain"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "a_domain" in plan.split("Join")[1][:400]  # block key in join keys
+    rows = out.collect()
+    assert rows, "blocked cross-corr produced no pairs"
+    assert all(r.a_domain == r.b_domain for r in rows)
+    # per-block ordered pairs of 4 series = C(4,2) = 6, times 3 domains
+    assert len(rows) == 18
+    # unblocked run on the same tier pairs across domains too
+    un = lagged_cross_correlation(
+        tier, 3600, lags=[0], min_overlap=5, keys=["domain", "series_id"]
+    ).collect()
+    assert len(un) == 66  # C(12,2)
+
+
+def test_cross_correlation_fanout_guard_fails_fast(spark):
+    from afspark.operators.tsanalytics import lagged_cross_correlation
+
+    tier = _cross_corr_block_fixture(spark)
+    # 12 series x 24 buckets -> estimate 24*144 = 3456 pairs > 100
+    with pytest.raises(ValueError, match="max_pair_estimate"):
+        lagged_cross_correlation(
+            tier,
+            3600,
+            lags=[0],
+            keys=["domain", "series_id"],
+            max_pair_estimate=100,
+        )
+    # blocking brings the estimate under the same cap: 24*3*16 = 1152...
+    # still over 100, but candidate_top_k=1 per domain -> 24*3*1 = 72 <= 100
+    out = lagged_cross_correlation(
+        tier,
+        3600,
+        lags=[0],
+        min_overlap=5,
+        keys=["domain", "series_id"],
+        block_keys=["domain"],
+        candidate_top_k=1,
+        max_pair_estimate=100,
+    ).collect()
+    assert out == []  # one series per block -> no pairs, but no blowup
+
+
+def test_cross_correlation_candidate_top_k(spark):
+    """top-k-by-variance candidate select keeps the k liveliest series
+    (deterministic tiebreak) and pairs only those."""
+    from afspark.operators.tsanalytics import lagged_cross_correlation
+
+    rows = []
+    amp = {"a": 100.0, "b": 50.0, "c": 1.0, "d": 0.0}
+    for s, a in amp.items():
+        for i in range(24):
+            rows.append((s, t(i * 3600), a * (i % 2) + 5.0))
+    tier = spark.createDataFrame(
+        rows, "series_id string, bucket_ts timestamp, sum double"
+    )
+    out = lagged_cross_correlation(
+        tier, 3600, lags=[0], min_overlap=5, candidate_top_k=2
+    ).collect()
+    assert {(r.a_series_id, r.b_series_id) for r in out} == {("a", "b")}
+    assert out[0].corr == pytest.approx(1.0)  # same square wave
+
+
+def test_cross_correlation_block_keys_must_be_subset(spark):
+    from afspark.operators.tsanalytics import lagged_cross_correlation
+
+    tier = _cross_corr_block_fixture(spark)
+    with pytest.raises(ValueError, match="subset"):
+        lagged_cross_correlation(
+            tier, 3600, keys=["series_id"], block_keys=["domain"]
+        )
+
+
 def test_alert_firing_hysteresis_and_gap_reset(spark):
     """for:3 alerting: fires on the 3rd consecutive exceeding bucket,
     clears on a dip, and a MISSING bucket resets the pending run."""
