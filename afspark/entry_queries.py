@@ -2816,7 +2816,8 @@ def q_deriv_1h(spark, sf_dir):
 
 SQL_DERIV = """
     WITH c AS (SELECT user_id, ts,
-                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
     b AS (SELECT user_id, v,
                  (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
                  floor(epoch(ts))::BIGINT
@@ -3471,7 +3472,8 @@ def q_time_weight_1d(spark, sf_dir):
 
 _TW_SEGMENTS_CTE = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -3545,7 +3547,8 @@ def q_coalesced_intervals(spark, sf_dir):
 
 SQL_COALESCED_INTERVALS = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -3595,7 +3598,8 @@ def q_ohlc_1h(spark, sf_dir):
 
 _OHLC_CTE = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -3735,7 +3739,8 @@ def q_time_weight_interp_1d(spark, sf_dir):
 
 SQL_TIME_WEIGHT_INTERP_1D = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -5278,7 +5283,8 @@ def _hdr_cells_sql(sec: int) -> str:
     WITH c AS (
       SELECT CAST(user_id AS VARCHAR) AS series_id,
              (floor(epoch(ts)/{sec})*{sec})::BIGINT AS bucket_epoch,
-             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+             least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
       FROM events
     ), cells AS (
       SELECT series_id, bucket_epoch,
@@ -5370,7 +5376,8 @@ def q_hdr_global_p99_1h(spark, sf_dir):
 SQL_HDR_GLOBAL_P99 = """
     WITH c AS (
       SELECT (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
-             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+             least(CAST(floor(value*100 + 0.5) AS BIGINT),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
       FROM events
     ), cells AS (
       SELECT bucket_epoch,

@@ -290,15 +290,18 @@ class SpectralFlatness(Feature):
 
     def compute(self, x, fs=1.0):
         m2 = np.abs(np.fft.rfft(x)) ** 2
-        with np.errstate(divide="ignore"):
+        # all-zero window: log(0)=-inf -> geomean 0, mean 0 -> 0/0 = NaN
+        # by design (flatness of silence is undefined); silence both the
+        # divide (log) and invalid (0/0) warnings so real ones stay visible
+        with np.errstate(divide="ignore", invalid="ignore"):
             g = np.exp(np.mean(np.log(m2)))
-        return np.array([g / np.mean(m2)])
+            return np.array([g / np.mean(m2)])
 
     def compute_batch(self, W, fs=1.0):
         m2 = np.abs(np.fft.rfft(W, axis=1)) ** 2
-        with np.errstate(divide="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"):
             g = np.exp(np.mean(np.log(m2), axis=1))
-        return (g / np.mean(m2, axis=1))[:, None]
+            return (g / np.mean(m2, axis=1))[:, None]
 
 
 def _pattern_probs_batch(

@@ -90,6 +90,12 @@ def grouped_batch_in_pandas(
     series — operators/sdt.py); the batch_fn then does its own numpy
     boundary split via the same change-point scan.
     """
+    if not group_cols:
+        # repartition(n) with no columns is round-robin and the is_last
+        # scan is all-True: every partition would emit its own "result"
+        # for the single global group instead of one.  No caller needs a
+        # global group; fail loudly instead of degenerating silently.
+        raise ValueError("group_cols must be non-empty")
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     def _gen(batches):

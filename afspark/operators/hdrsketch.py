@@ -42,6 +42,9 @@ from .rollup import bucket_ts
 SUBBUCKETS = 16  # sub-divisions per octave; rel. error <= 1/32 ~ 3.1%
 
 
+MAX_SCALED = (1 << 57) - 1  # octave-56 ceiling; see _idx_sql
+
+
 def _idx_sql(v_col: str, subbuckets: int) -> str:
     """Bucket index as a SQL expression over a named integral column.
 
@@ -50,8 +53,17 @@ def _idx_sql(v_col: str, subbuckets: int) -> str:
     ``[2^msb*(S+sub)/S, 2^msb*(S+sub+1)/S)``.  ``shiftleft`` keeps 2^msb
     integer-exact (no libm pow); non-positive values map to the underflow
     cell idx = -1 (estimated as 0 at read-back).
+
+    Domain bound: scaled values saturate at ``MAX_SCALED = 2^57 - 1``
+    (the top of octave 56) via the same integer ``least()`` in every
+    engine.  Above that, ``v*subbuckets`` here and the read-back midpoint
+    ``2^msb*(2*(S+sub)+1)`` would exceed int64 — where Spark silently
+    wraps but DuckDB raises, breaking the bit-exact cross-engine
+    contract.  Saturation keeps both engines identical over the whole
+    int64 domain; anything past 2^57 scaled units (1.4e15 cents) is far
+    outside the sketch's stated relative-error regime anyway.
     """
-    v = f"CAST({v_col} AS BIGINT)"
+    v = f"least(CAST({v_col} AS BIGINT), CAST({MAX_SCALED} AS BIGINT))"
     msb = f"(length(bin({v})) - 1)"
     two_msb = f"shiftleft(CAST(1 AS BIGINT), {msb})"
     sub = f"(({v} * {subbuckets}) DIV {two_msb} - {subbuckets})"

@@ -2067,17 +2067,24 @@ def classical_decompose(
 ) -> DataFrame:
     """Classical additive seasonal decomposition over the bucketed tier:
     value = trend + seasonal + remainder, per (series, bucket) — the
-    moving-average decomposition behind every "STL-style" dashboard
-    panel (and the estimator statsmodels' seasonal_decompose uses).
+    moving-average family behind every "STL-style" dashboard panel.
+    Same decomposition identity as statsmodels' seasonal_decompose but
+    NOT the same estimator; the two deliberate deviations are below.
 
     trend is the ``period_buckets``-wide centered moving mean on the
     bucket INDEX (offset-centered for even periods: [-p/2, p/2-1], the
-    1xM moving average); the RANGE frame is indexed by bucket number and
-    the window must be FULL (count == p) — calendar gaps disqualify a
-    window instead of silently shrinking it, so edges and sparse spans
-    yield no trend row.  seasonal is the per-(series, phase) mean of the
-    detrended values over full-window rows, with the phase taken from
-    the bucket's CALENDAR position (idx % p).  remainder is what's left.
+    1xM moving average — statsmodels uses the symmetric 2xM average for
+    even p, so trends differ by half a bucket of smoothing there; for
+    odd p the estimators coincide); the RANGE frame is indexed by bucket
+    number and the window must be FULL (count == p) — calendar gaps
+    disqualify a window instead of silently shrinking it, so edges and
+    sparse spans yield no trend row.  seasonal is the per-(series,
+    phase) mean of the detrended values over full-window rows, with the
+    phase taken from the bucket's CALENDAR position (idx % p); it is
+    NOT re-normalized to zero mean (statsmodels subtracts the
+    period-average), so any nonzero seasonal mean stays in ``seasonal``
+    rather than being shifted into trend/remainder — the additive
+    identity still holds exactly.
 
     Exactness: on cents-integer inputs the window sum S_w and the scaled
     detrended d = v*p - S_w are exact int64s, so trend = S_w/p,

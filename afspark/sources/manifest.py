@@ -251,17 +251,32 @@ def read_snapshot(
     return out
 
 
-def expire_snapshots(store: str, keep_last: int = 1) -> dict:
+def expire_snapshots(
+    store: str, keep_last: int = 1, orphan_grace_seconds: float = 3600.0
+) -> dict:
     """Retention for the metadata layer: drop all but the newest
-    ``keep_last`` manifests and delete data files no kept manifest
-    references.  Returns {"manifests_removed": n, "files_removed": n}."""
+    ``keep_last`` manifests, delete data files no kept manifest
+    references, then sweep ORPHANED snapshot dirs — ``data/<snapshot>``
+    trees no kept manifest references at all.  Orphans arise from a
+    crash between ``_write_data`` and the manifest rename (data written,
+    commit never happened) and from dropped manifests whose dirs
+    emptied; without the sweep they accumulate forever.  A dir whose
+    newest mtime is within ``orphan_grace_seconds`` is left alone — it
+    may be an IN-FLIGHT commit that has written data but not yet renamed
+    its manifest (the single-writer assumption makes anything older than
+    the grace window definitively dead).  Returns
+    {"manifests_removed", "files_removed", "orphan_dirs_removed"}."""
+    import shutil
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     manifests = _list_manifests(store)
     drop, keep = manifests[:-keep_last], manifests[-keep_last:]
-    live = set()
+    live, live_bases = set(), set()
     for name in keep:
-        live |= {f["path"] for f in _load(store, name)["files"]}
+        for f in _load(store, name)["files"]:
+            live.add(f["path"])
+            live_bases.add(f["base"])
     removed_files = 0
     for name in drop:
         for f in _load(store, name)["files"]:
@@ -271,4 +286,28 @@ def expire_snapshots(store: str, keep_last: int = 1) -> dict:
                     os.remove(p)
                     removed_files += 1
         os.remove(os.path.join(_manifest_dir(store), name))
-    return {"manifests_removed": len(drop), "files_removed": removed_files}
+    data_dir = os.path.join(store, "data")
+    orphan_dirs = 0
+    now = time.time()
+    if os.path.isdir(data_dir):
+        for snap in os.listdir(data_dir):
+            root = os.path.join(data_dir, snap)
+            if os.path.join("data", snap) in live_bases or not os.path.isdir(root):
+                continue
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(dp, n))
+                    for dp, dns, fns in os.walk(root)
+                    for n in (*dns, *fns)
+                ),
+                default=os.path.getmtime(root),
+            )
+            if now - newest < orphan_grace_seconds:
+                continue
+            shutil.rmtree(root)
+            orphan_dirs += 1
+    return {
+        "manifests_removed": len(drop),
+        "files_removed": removed_files,
+        "orphan_dirs_removed": orphan_dirs,
+    }

@@ -26,6 +26,7 @@ restart would replay ids from 0 and silently drop new data).
 
 from __future__ import annotations
 
+import contextlib
 import json
 from pathlib import Path
 
@@ -126,6 +127,40 @@ def _write_journal(path: str, journal: dict) -> None:
     os.replace(tmp, p)  # atomic: the journal is never observed half-written
 
 
+@contextlib.contextmanager
+def _journal_lock(path: str):
+    """Exclusive advisory lock serializing the journal's read-modify-write.
+
+    Hardens the single-writer contract on POSIX filesystems: a second
+    concurrent writer (a misconfigured duplicate stream, an ad hoc batch
+    job pointed at the same store) fails fast with a clear error instead
+    of racing the journal read-modify-write.  Held across the whole
+    intent -> merge -> commit span so interleaved writers can't see a
+    half-applied journal.  Advisory only: object stores / filesystems
+    without flock keep the lineage tripwire as the remaining guard
+    (import-gated, never blocks the happy path)."""
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: lineage tripwire only
+        yield
+        return
+    with open(p / "_journal.lock", "w") as fh:
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            raise RuntimeError(
+                f"another writer holds the journal lock for {path}: exactly "
+                "one stream/batch writer may target a tier store at a time "
+                "(see the single-writer contract in apply_batch_once)"
+            ) from e
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
 def apply_batch_once(
     spark: SparkSession,
     path: str,
@@ -141,39 +176,40 @@ def apply_batch_once(
     (checkpoint location) mismatch raises rather than colliding batch
     ids from a different stream.  Returns True if applied.
 
-    SINGLE-WRITER assumption: each journal write is atomic
-    (_write_journal's rename), but this function's read-modify-write of
-    the journal is not locked — exactly ONE stream may target a given
-    store path at a time (Structured Streaming's checkpoint lock
-    guarantees this for one query; do not point a second query or an ad
-    hoc batch job at the same path concurrently).  The lineage check
-    catches the accidental second stream on its FIRST batch only if the
-    journal write wins the race; it is a tripwire, not a lock."""
-    journal = _read_journal(path)
-    if lineage is not None:
-        if journal["lineage"] not in (None, lineage):
+    SINGLE-WRITER contract: exactly ONE stream may target a given store
+    path at a time (Structured Streaming's checkpoint lock guarantees
+    this for one query; do not point a second query or an ad hoc batch
+    job at the same path concurrently).  The whole intent -> merge ->
+    commit span runs under an exclusive flock (``_journal_lock``), so on
+    a POSIX store a second concurrent writer fails fast instead of
+    racing the journal's read-modify-write; where flock is unavailable
+    the lineage check remains as a tripwire."""
+    with _journal_lock(path):
+        journal = _read_journal(path)
+        if lineage is not None:
+            if journal["lineage"] not in (None, lineage):
+                raise RuntimeError(
+                    f"tier store {path} was written by checkpoint lineage "
+                    f"{journal['lineage']!r}; refusing batch ids from {lineage!r} "
+                    "— batch ids are only comparable within one checkpoint"
+                )
+            journal["lineage"] = lineage
+        state = journal["batches"].get(str(batch_id))
+        if state == "committed":
+            return False
+        if state == "intent":
             raise RuntimeError(
-                f"tier store {path} was written by checkpoint lineage "
-                f"{journal['lineage']!r}; refusing batch ids from {lineage!r} "
-                "— batch ids are only comparable within one checkpoint"
+                f"batch {batch_id} has a dangling intent in {path}: a previous "
+                "attempt crashed inside the merge-commit window and it is unknown "
+                "whether its partial merge landed. Rebuild the touched dates from "
+                "the batch/OoO path, then clear the entry from _applied_batches.json"
             )
-        journal["lineage"] = lineage
-    state = journal["batches"].get(str(batch_id))
-    if state == "committed":
-        return False
-    if state == "intent":
-        raise RuntimeError(
-            f"batch {batch_id} has a dangling intent in {path}: a previous "
-            "attempt crashed inside the merge-commit window and it is unknown "
-            "whether its partial merge landed. Rebuild the touched dates from "
-            "the batch/OoO path, then clear the entry from _applied_batches.json"
-        )
-    journal["batches"][str(batch_id)] = "intent"
-    _write_journal(path, journal)
-    refresh_tier_store(spark, path, batch_df, tier_seconds, keys)
-    journal["batches"][str(batch_id)] = "committed"
-    _write_journal(path, journal)
-    return True
+        journal["batches"][str(batch_id)] = "intent"
+        _write_journal(path, journal)
+        refresh_tier_store(spark, path, batch_df, tier_seconds, keys)
+        journal["batches"][str(batch_id)] = "committed"
+        _write_journal(path, journal)
+        return True
 
 
 def stream_to_tier_store(

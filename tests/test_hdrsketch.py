@@ -62,6 +62,27 @@ def test_index_matches_numpy_golden(spark):
     assert np.array_equal(np.sort(got), np.sort(want))
 
 
+def test_huge_values_saturate_no_int64_wrap(spark):
+    """Scaled values past 2^57-1 saturate into the top octave-56 cell
+    (MAX_SCALED) instead of overflowing v*S / the read-back midpoint —
+    Spark would silently wrap where DuckDB raises, so the domain is
+    bounded identically in both engines."""
+    from afspark.operators.hdrsketch import MAX_SCALED
+
+    vals = [MAX_SCALED, MAX_SCALED + 1, 2**60, 2**62 + 3]
+    df = (
+        spark.createDataFrame([(int(v),) for v in vals], "value long")
+        .withColumn("series_id", F.lit("s"))
+        .withColumn("ts", F.lit(dt.datetime(2024, 1, 1, tzinfo=UTC)))
+    )
+    cells = hdr_rollup(df, TIERS["1h"])
+    rows = cells.collect()
+    top = int(np_idx(np.array([MAX_SCALED]))[0])
+    assert [(r.idx, r.n) for r in rows] == [(top, len(vals))]
+    est = hdr_quantile(cells, 99, 100).collect()[0].est
+    assert est > 0 and np.isfinite(est)  # wrapped midpoint would go negative
+
+
 def test_merge_identity_1d_from_1h(cents):
     """Sketch cells merged 1h -> 1d == sketch built from raw at 1d."""
     t1h = hdr_rollup(cents, TIERS["1h"])

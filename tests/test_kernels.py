@@ -199,6 +199,21 @@ def test_spectral_flatness_tone_vs_noise():
     assert vn[0, 0] > v[0, 0]
 
 
+def test_spectral_flatness_all_zero_window_nan_no_warning():
+    """Flatness of silence is 0/0 = NaN by design, and the kernel must
+    not leak RuntimeWarnings (real warnings would drown in the property
+    suite otherwise)."""
+    import warnings
+
+    zeros = np.zeros(64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, _, v = K.score_local(K.SpectralFlatness(), zeros)
+        vb = K.SpectralFlatness().compute_batch(np.zeros((3, 64)))
+    assert np.isnan(v[0, 0])
+    assert np.isnan(vb).all() and vb.shape == (3, 1)
+
+
 # --- PermutationEntropy goldens (runtests.jl:294-337) ------------------------
 
 PE_X = np.array([4, 7, 9, 10, 6, 11, 3], dtype=float)

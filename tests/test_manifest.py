@@ -106,3 +106,30 @@ def test_expire_keeps_latest_and_deletes_unreferenced(spark, tmpdir):
     assert stats["files_removed"] >= 1  # the replaced day-1 file is gone
     assert _rows(read_snapshot(spark, store)) == [("x", "2024-01-01", 7)]
     assert len(snapshots(store)) == 1
+
+
+def test_expire_sweeps_orphan_dirs_with_grace(spark, tmpdir):
+    """A crash between _write_data and the manifest rename leaves a
+    data/<snapshot> dir no manifest references.  expire_snapshots sweeps
+    it once it ages past the grace window — and the emptied dir of a
+    dropped manifest too — while a FRESH orphan (possibly an in-flight
+    commit) survives."""
+    store = str(tmpdir.join("s"))
+    commit_append(spark, _mk(spark, [("x", "2024-01-01", 1)]), store, ["d"])
+    commit_overwrite_partitions(
+        spark, _mk(spark, [("x", "2024-01-01", 7)]), store, ["d"]
+    )
+    orphan = _mk(spark, [("z", "2024-01-09", 99)])
+    orphan.write.partitionBy("d").parquet(os.path.join(store, "data", "deadbeef"))
+    # fresh orphan inside the grace window: untouched
+    stats = expire_snapshots(store, keep_last=1)
+    assert stats["orphan_dirs_removed"] == 0
+    assert os.path.isdir(os.path.join(store, "data", "deadbeef"))
+    # aged past the grace window: swept, along with the emptied dir of
+    # the dropped first snapshot
+    stats = expire_snapshots(store, keep_last=1, orphan_grace_seconds=0.0)
+    assert stats["orphan_dirs_removed"] >= 1
+    assert not os.path.isdir(os.path.join(store, "data", "deadbeef"))
+    live = snapshots(store)[-1]["snapshot_id"]
+    assert sorted(os.listdir(os.path.join(store, "data"))) == [live]
+    assert _rows(read_snapshot(spark, store)) == [("x", "2024-01-01", 7)]

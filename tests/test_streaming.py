@@ -155,6 +155,29 @@ def test_tier_store_two_phase_journal_and_lineage(spark, sf_dir, tmpdir):
         apply_batch_once(spark, store, ev, 2, TIERS["1h"], lineage="ckpt-B")
 
 
+def test_tier_store_journal_lock_excludes_second_writer(spark, sf_dir, tmpdir):
+    """A concurrent writer holding the journal flock fails fast instead of
+    racing the read-modify-write (flock conflicts are per open file
+    description, so a second fd in the same process exercises it)."""
+    import fcntl
+    from pathlib import Path
+
+    from afspark.operators.rollup import TIERS
+    from afspark.streaming.stream_tier import apply_batch_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    ).limit(50)
+    store = f"{tmpdir}/tier"
+    assert apply_batch_once(spark, store, ev, 0, TIERS["1h"], lineage="ckpt-A")
+    with open(Path(store) / "_journal.lock", "w") as holder:
+        fcntl.flock(holder, fcntl.LOCK_EX)
+        with pytest.raises(RuntimeError, match="journal lock"):
+            apply_batch_once(spark, store, ev, 1, TIERS["1h"], lineage="ckpt-A")
+    # lock released: the same batch now applies
+    assert apply_batch_once(spark, store, ev, 1, TIERS["1h"], lineage="ckpt-A")
+
+
 def _write_sample_files(src, series, cuts):
     """Write len(cuts)-1 sequential parquet files of (series_id, seq, value)
     rows, mtime-spaced so the file source processes them in order."""
