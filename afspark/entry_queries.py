@@ -3146,6 +3146,77 @@ SQL_DUP_SPANS = """
 """
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring span REMOVAL (Lee et al. rewrite step): plant a
+    duplicate 12-token prefix of each doc as a new doc, rewrite both
+    sides; the oracle value-checks the rebuilt text byte-for-byte."""
+    from .operators.text import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    base = docs.select(
+        "doc_id", F.regexp_replace("text", "\\s+", " ").alias("text")
+    )
+    planted = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)),
+                F.lit(" uniq"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    out = remove_duplicate_spans(planted, window_tokens=8, hash_mode="md5")
+    return out.select("doc_id", "text_dedup", "n_tokens", "n_tokens_removed")
+
+
+SQL_REMOVE_DUP_SPANS = """
+    WITH base AS (
+      SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 60
+    ), planted AS (
+      SELECT doc_id, t FROM base
+      UNION ALL
+      SELECT doc_id + 1000,
+             array_to_string((string_split(t, ' '))[1:12], ' ')
+               || ' uniq' || CAST(doc_id AS VARCHAR)
+      FROM base
+    ), toks AS (
+      SELECT doc_id, t, string_split(t, ' ') AS ts FROM planted
+    ), w AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(ts[i:i+7], ' ')) AS fp
+      FROM toks, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE len(ts) >= 8
+    ), d AS (
+      SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM w)
+      GROUP BY fp HAVING count(*) >= 2
+    ), m AS (
+      SELECT DISTINCT w.doc_id, w.pos + u.o AS j
+      FROM w JOIN d USING (fp), unnest(generate_series(0, 7)) AS u(o)
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             unnest(generate_series(1, len(ts))) - 1 AS j
+      FROM toks
+    ), kept AS (
+      SELECT tok.doc_id, tok.j, tok.tok FROM tok ANTI JOIN m USING (doc_id, j)
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS txt
+      FROM kept GROUP BY doc_id
+    ), nrem AS (
+      SELECT doc_id, count(*) AS nrm FROM m GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CASE WHEN nrm IS NULL THEN p.t ELSE COALESCE(txt, '') END
+             AS text_dedup,
+           CAST(len(string_split(p.t, ' ')) AS INT) AS n_tokens,
+           CAST(COALESCE(nrm, 0) AS BIGINT) AS n_tokens_removed
+    FROM planted p
+    LEFT JOIN rebuilt USING (doc_id)
+    LEFT JOIN nrem USING (doc_id)
+"""
+
+
 def q_retention_7d(spark, sf_dir):
     """Day-over-day retention matrix (lags 1..7) off the daily distinct
     tier: entity-keyed self-join over deduped (day, user) tuples."""
@@ -6027,6 +6098,9 @@ SQL_URL_CANONICAL = r"""
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # round-5 additions lead: never driver-certified, so the rotation
+    # below keeps them inside the snapshot's first-50 window
+    "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "energy_win_tumbling": (q_energy_win_tumbling, SQL_ENERGY_TUMBLING),
     "spl_win_tumbling": (q_spl_win_tumbling, SQL_SPL_TUMBLING),
     "myriad_win_tumbling": (q_myriad_win_tumbling, SQL_MYRIAD_TUMBLING),

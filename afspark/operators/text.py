@@ -432,6 +432,110 @@ def duplicated_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    hash_mode: str = "xxhash64",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite ``text`` with cross-document duplicated spans REMOVED.
+
+    The acting half of :func:`duplicated_span_stats` — the
+    exact-substring *removal* step of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", §ExactSubstr) as used
+    by RefinedWeb/CCNet-style pipelines: a token is dropped when it is
+    covered by ANY ``window_tokens``-token window whose hash occurs in
+    >= ``min_docs`` distinct documents; every other token is preserved
+    in order.  All occurrences are removed (the paper reports removing
+    all copies vs keeping one is a wash for LM quality); pair with a
+    doc-level keeper if one canonical copy must survive.
+
+    Whitespace is normalized to single spaces before tokenization (the
+    standard token-stream form), so on already-normalized text —
+    e.g. the output of ``extract.extract_text`` — the untouched
+    remainder is **byte-exact**: removing a span never perturbs bytes
+    outside it.  ``tests/test_pipeline_ops.py`` asserts byte-exactness
+    and idempotence on planted duplicate paragraphs.
+
+    Output: ``(id_col, text_dedup, n_tokens, n_tokens_removed)`` — one
+    row per input doc; a fully-duplicated doc yields ``text_dedup = ''``
+    (filter ``n_tokens_removed < n_tokens`` to drop husks).
+
+    Plan shape at 100 TB: window hashing explodes to ~token count rows
+    (inherent to exact-substring dedup); duplicated-fp detection is the
+    same two-level (fp, id) hash aggregate as the stats operator.  Only
+    the *duplicated* windows are expanded to covered token indices
+    (w× amplification on the duplicated portion only), and only
+    AFFECTED docs enter the posexplode → anti-join → ordered-rebuild
+    path; untouched docs take a join-free pass-through.  Every shuffle
+    keys on the window hash or (doc, token-index) — never a skewed key;
+    per-doc state is bounded by one document's tokens.
+    """
+    norm = F.regexp_replace(F.col(text_col), "\\s+", " ")
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("_t"))
+    fps = rolling_hash_fingerprints(
+        base,
+        text_col="_t",
+        id_col="id",
+        window_tokens=window_tokens,
+        keep_every=1,  # removal needs the complete mask — no sampling
+        hash_mode=hash_mode,
+    )
+    dup_fps = (
+        fps.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp")
+    )
+    # covered token indices of duplicated windows, deduped per (doc, idx)
+    masked = (
+        fps.join(dup_fps, "fp")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    n_removed = masked.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens_removed"))
+    # rebuild ONLY affected docs: posexplode tokens, anti-join the mask,
+    # re-assemble in token order (per-doc collect_list bounded by doc size)
+    affected = base.join(n_removed.select("id"), "id")
+    tok = affected.select(
+        "id", F.posexplode(F.split(F.col("_t"), " ")).alias("j", "tok")
+    )
+    rebuilt = (
+        tok.join(masked, ["id", "j"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_txt")
+        )
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .join(n_removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("n_tokens_removed").isNull(), F.col("_t"))
+            .otherwise(F.coalesce("_txt", F.lit("")))
+            .alias("text_dedup"),
+            F.size(F.split(F.col("_t"), " ")).alias("n_tokens"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )
+
+
 def tfidf_by_source(
     docs: DataFrame,
     text_col: str = "text",

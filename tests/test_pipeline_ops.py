@@ -811,6 +811,78 @@ def test_duplicated_span_stats_planted_duplicate(spark):
     assert out[1].dup_frac == pytest.approx(1 / 8)
 
 
+def test_remove_duplicate_spans_byte_exact_remainder(spark):
+    """Planted duplicated paragraph is removed from BOTH docs; the
+    untouched remainder is byte-exact; unique docs pass through
+    unchanged; a fully-duplicated doc becomes ''."""
+    from afspark.operators.text import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8
+    uniq_a = "one two three four five six seven"
+    uniq_b = "red orange yellow green blue indigo violet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {shared}"),
+            (2, f"{shared} {uniq_b}"),
+            (3, "solo text with nothing shared across documents at all"),
+            (4, shared),  # nothing but the duplicated span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+    assert out[1].text_dedup == uniq_a  # byte-exact untouched prefix
+    assert out[2].text_dedup == uniq_b  # byte-exact untouched suffix
+    assert out[1].n_tokens_removed == 8 and out[2].n_tokens_removed == 8
+    assert out[1].n_tokens == 15
+    assert out[3].text_dedup == docs.collect()[2].text  # pass-through
+    assert out[3].n_tokens_removed == 0
+    assert out[4].text_dedup == "" and out[4].n_tokens_removed == 8
+
+
+def test_remove_duplicate_spans_idempotent(spark):
+    """Applying the rewrite to its own output is a no-op (fixed point):
+    all duplicated windows were removed, so the second pass finds none."""
+    from afspark.operators.text import remove_duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh ii " + passage),
+            (2, passage + " zz yy xx ww vv uu tt ss rr"),
+            (3, "totally unrelated words live here without any duplication"),
+        ],
+        "doc_id long, text string",
+    )
+    once = remove_duplicate_spans(docs)
+    again = remove_duplicate_spans(
+        once.select("doc_id", F.col("text_dedup").alias("text"))
+    )
+    first = {r.doc_id: r.text_dedup for r in once.collect()}
+    second = {r.doc_id: (r.text_dedup, r.n_tokens_removed) for r in again.collect()}
+    for did, txt in first.items():
+        assert second[did] == (txt, 0)
+
+
+def test_remove_duplicate_spans_interior_span_and_overlap(spark):
+    """An interior duplicated run longer than one window masks the whole
+    covered run (union of overlapping windows), splitting the doc into a
+    byte-exact head + tail joined by a single space."""
+    from afspark.operators.text import remove_duplicate_spans
+
+    run = " ".join(f"d{i}" for i in range(12))  # 12 tokens -> 5 windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"head1 head2 head3 {run} tail1 tail2 tail3"),
+            (2, f"other lead in {run} and some close"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+    assert out[1].text_dedup == "head1 head2 head3 tail1 tail2 tail3"
+    assert out[2].text_dedup == "other lead in and some close"
+    assert out[1].n_tokens_removed == 12
+
+
 def test_duplicated_span_sampling_is_offset_invariant(spark):
     """With keep_every>1, a shared passage at different offsets still
     yields identical kept fingerprints (content-keyed selection), so
