@@ -25,6 +25,7 @@ def get_session(
     master: str | None = None,
     app_name: str = "afspark",
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Session with AQE, Arrow, UTC and sane local-mode memory defaults.
 
@@ -63,6 +64,10 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
+    # e.g. spark.ui.enabled=true so bench tools can read stage-level
+    # shuffle metrics off the REST API (ignored by an existing session)
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:
