@@ -2817,7 +2817,8 @@ def q_deriv_1h(spark, sf_dir):
 SQL_DERIV = """
     WITH c AS (SELECT user_id, ts,
                       least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+               FROM events),
     b AS (SELECT user_id, v,
                  (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
                  floor(epoch(ts))::BIGINT
@@ -3544,7 +3545,8 @@ def q_time_weight_1d(spark, sf_dir):
 _TW_SEGMENTS_CTE = """
     WITH c AS (SELECT user_id, ts, event_id,
                       least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+               FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -3619,7 +3621,8 @@ def q_coalesced_intervals(spark, sf_dir):
 SQL_COALESCED_INTERVALS = """
     WITH c AS (SELECT user_id, ts, event_id,
                       least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+               FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -3670,7 +3673,8 @@ def q_ohlc_1h(spark, sf_dir):
 _OHLC_CTE = """
     WITH c AS (SELECT user_id, ts, event_id,
                       least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+               FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id
@@ -3811,7 +3815,8 @@ def q_time_weight_interp_1d(spark, sf_dir):
 SQL_TIME_WEIGHT_INTERP_1D = """
     WITH c AS (SELECT user_id, ts, event_id,
                       least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql FROM events),
+                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+               FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
                  row_number() OVER (PARTITION BY user_id

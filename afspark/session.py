@@ -13,11 +13,21 @@ _REPO_ROOT = _PKG_DIR.parent
 
 
 def package_zip(target: str | None = None) -> str:
-    """Zip the afspark package for spark-submit --py-files / addPyFile."""
-    target = target or os.path.join("/tmp", "afspark_pyfiles.zip")
-    with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as z:
+    """Zip the afspark package for spark-submit --py-files / addPyFile.
+
+    The default path is per-process: executors fetch the file lazily via
+    the driver's file server, so a second driver process on the same host
+    rewriting a shared path mid-fetch fails every task of the first with
+    updateDependencies errors (observed with two concurrent local jobs).
+    The write itself is tmp-then-rename so a reader never sees a partial
+    zip even for an explicit shared ``target``.
+    """
+    target = target or os.path.join("/tmp", f"afspark_pyfiles_{os.getpid()}.zip")
+    tmp = f"{target}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for p in sorted(_PKG_DIR.rglob("*.py")):
             z.write(p, arcname=str(p.relative_to(_REPO_ROOT)))
+    os.replace(tmp, target)
     return target
 
 

@@ -233,6 +233,13 @@ def main() -> None:
 
             pagerank_fixed(docs, derive_links(docs), n_iter=3).count()
 
+        with timed("q_remove_dup_spans"):
+            from afspark.operators.text import remove_duplicate_spans
+
+            remove_duplicate_spans(docs).agg(
+                F.sum("n_tokens_removed")
+            ).collect()
+
     # re-probe BETWEEN reps: the host can collapse mid-run after a healthy
     # pre-run probe (observed: derive 33 s / minhash 22 s in a run whose
     # start probe read 5.4 GB/s), so the rep count extends to 3 whenever

@@ -9,8 +9,8 @@ the kill is redone (the data write + log row form an idempotent pair).
 
 Run it the way the north_rule says (any Spark cluster):
 
-    python -c "from afspark.session import package_zip; print(package_zip())"
-    spark-submit --py-files /tmp/afspark_pyfiles.zip jobs/rollup_job.py \\
+    PYFILES=$(python -c "from afspark.session import package_zip; print(package_zip())")
+    spark-submit --py-files "$PYFILES" jobs/rollup_job.py \\
         --pages /data/pages.parquet --out /data/tiers \\
         --checkpoint /data/tiers_ckpt --unit-seconds 86400
 
