@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .entry_goldens import GOLDEN_SQL
+from .operators.hdrsketch import MAX_SCALED
 from .functions import kernels as K
 from .operators.gapfill import gapfill
 from .operators.rollup import (
@@ -2816,8 +2817,7 @@ def q_deriv_1h(spark, sf_dir):
 
 SQL_DERIV = """
     WITH c AS (SELECT user_id, ts,
-                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v
                FROM events),
     b AS (SELECT user_id, v,
                  (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
@@ -3544,8 +3544,7 @@ def q_time_weight_1d(spark, sf_dir):
 
 _TW_SEGMENTS_CTE = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v
                FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
@@ -3620,8 +3619,7 @@ def q_coalesced_intervals(spark, sf_dir):
 
 SQL_COALESCED_INTERVALS = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v
                FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
@@ -3672,8 +3670,7 @@ def q_ohlc_1h(spark, sf_dir):
 
 _OHLC_CTE = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v
                FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
@@ -3814,8 +3811,7 @@ def q_time_weight_interp_1d(spark, sf_dir):
 
 SQL_TIME_WEIGHT_INTERP_1D = """
     WITH c AS (SELECT user_id, ts, event_id,
-                      least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v
                FROM events),
     s AS (SELECT CAST(user_id AS VARCHAR) AS series_id,
                  CAST(floor(epoch(ts)) AS BIGINT) AS es, v,
@@ -5360,7 +5356,7 @@ def _hdr_cells_sql(sec: int) -> str:
       SELECT CAST(user_id AS VARCHAR) AS series_id,
              (floor(epoch(ts)/{sec})*{sec})::BIGINT AS bucket_epoch,
              least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                   {MAX_SCALED}) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
       FROM events
     ), cells AS (
       SELECT series_id, bucket_epoch,
@@ -5453,7 +5449,7 @@ SQL_HDR_GLOBAL_P99 = """
     WITH c AS (
       SELECT (floor(epoch(ts)/3600)*3600)::BIGINT AS bucket_epoch,
              least(CAST(floor(value*100 + 0.5) AS BIGINT),
-                   144115188075855871) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
+                   {MAX_SCALED}) AS v  -- 2^57-1 saturation, see hdrsketch._idx_sql
       FROM events
     ), cells AS (
       SELECT bucket_epoch,
@@ -5477,7 +5473,7 @@ SQL_HDR_GLOBAL_P99 = """
            qlab
     FROM cum, q
     WHERE cum*100 >= total*qn AND (cum-n)*100 < total*qn
-"""
+""".replace("{MAX_SCALED}", str(MAX_SCALED))
 
 
 def q_serve_range_30d(spark, sf_dir):

@@ -271,12 +271,17 @@ class SpectralCentroid(Feature):
     def compute(self, x, fs=1.0):
         m = np.abs(np.fft.rfft(x))
         f = np.fft.rfftfreq(len(x), d=1.0 / fs)
-        return np.array([np.sum(m * f) / np.sum(m)])
+        # all-zero window: 0/0 = NaN by design (centroid of silence is
+        # undefined, matching the reference's 0/0); silence the invalid
+        # warning so real ones stay visible
+        with np.errstate(invalid="ignore"):
+            return np.array([np.sum(m * f) / np.sum(m)])
 
     def compute_batch(self, W, fs=1.0):
         m = np.abs(np.fft.rfft(W, axis=1))
         f = np.fft.rfftfreq(W.shape[1], d=1.0 / fs)
-        return (np.sum(m * f, axis=1) / np.sum(m, axis=1))[:, None]
+        with np.errstate(invalid="ignore"):
+            return (np.sum(m * f, axis=1) / np.sum(m, axis=1))[:, None]
 
 
 @dataclass(frozen=True)

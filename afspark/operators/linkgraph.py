@@ -158,6 +158,15 @@ def hits_fixed(
     expression per engine, applied to exact-integer x — cross-engine
     deterministic like pagerank_fixed.
 
+    Because the raw-mass frame is referenced TWICE per half-step (the
+    total subplan and the normalized output), it is lazily
+    localCheckpoint-ed first: without that the logical plan doubles
+    every half-step (2^(2·n_iter) copies of the innermost join — plan
+    analysis alone hangs past n_iter≈8), and the broadcast job would
+    recompute the whole prefix.  The checkpoint caches one node-sized
+    vector per half-step (same lineage-truncation dial as
+    pagerank_fixed's checkpoint_every).
+
     Scale shape per half-step: one equi-join (scores ⋈ edges) + one
     keyed aggregation — identical shuffle profile to a PageRank
     iteration.  Output: id, hub_fp, auth_fp (fixed-point, SCALE = 1.0
@@ -184,6 +193,9 @@ def hits_fixed(
         raw = ids.join(
             mass.withColumnRenamed(dst_col, "_id"), "_id", "left"
         ).select("_id", F.coalesce("_m", F.lit(0)).alias("_raw"))
+        # raw feeds both the total subplan and the output: checkpoint it
+        # so the plan stays linear in n_iter and raw computes once
+        raw = raw.localCheckpoint(eager=False)
         total = raw.agg(
             F.greatest(F.sum("_raw"), F.lit(1)).alias("_tot")
         )

@@ -124,6 +124,7 @@ def rolling_hash_fingerprints(
     window_tokens: int = 8,
     keep_every: int = 4,
     hash_mode: str = "xxhash64",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Rolling token-window fingerprints with 0-mod-p content sampling.
 
@@ -139,10 +140,15 @@ def rolling_hash_fingerprints(
     mod-p selector is its last hex digit, reproducible in DuckDB for the
     driver oracle).
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.split(F.regexp_replace(F.col(text_col), "\\s+", " "), " ").alias("ts"),
+    # pre_normalized=True skips the whitespace-collapse regex when the
+    # caller already normalized (a full extra regex pass over the corpus
+    # otherwise — it is idempotent, so only cost changes, not semantics)
+    body = (
+        F.col(text_col)
+        if pre_normalized
+        else F.regexp_replace(F.col(text_col), "\\s+", " ")
     )
+    toks = docs.select(F.col(id_col).alias("id"), F.split(body, " ").alias("ts"))
     # Window starts 0..size-w INCLUSIVE (size-w+1 windows).  Guard with
     # when(): Spark's sequence(0, hi) DESCENDS for hi < 0, and an
     # exactly-w-token doc would otherwise emit i=-1 → slice(ts, 0, w)
@@ -482,6 +488,7 @@ def remove_duplicate_spans(
         window_tokens=window_tokens,
         keep_every=1,  # removal needs the complete mask — no sampling
         hash_mode=hash_mode,
+        pre_normalized=True,  # _t is already whitespace-collapsed
     )
     dup_fps = (
         fps.select("fp", "id")

@@ -495,11 +495,17 @@ def lagged_cross_correlation(
       key for determinism.
 
     A fail-fast guard estimates the joined row count
-    (len(lags) x sum over (block, bucket) of series-count²) with one
-    cheap scalar aggregate and raises ``ValueError`` when it exceeds
-    ``max_pair_estimate`` — so handing the operator an unfiltered
-    million-series tier fails in seconds instead of emitting 10¹²
-    pairs.  Pass ``None`` to skip the guard (and its extra job).
+    (len(lags) x sum over (block, bucket) of series-count²) and fails
+    the job when it exceeds ``max_pair_estimate`` — so handing the
+    operator an unfiltered million-series tier dies in seconds instead
+    of emitting 10¹² pairs.  The guard is LAZY: it rides the plan as a
+    one-row broadcast whose projection ``raise_error``s over budget, so
+    constructing the DataFrame stays job-free (plan-builder contract)
+    and the estimate is evaluated against the data the job actually
+    reads — Spark materializes the broadcast before the pair-join stage
+    can start, so no quadratic work ever runs.  Costs one extra
+    counting scan of the (filtered) tier at execution; pass ``None``
+    to skip it.
     Pairs with fewer than ``min_overlap`` common buckets are dropped
     (their correlation is noise).
     """
@@ -530,21 +536,40 @@ def lagged_cross_correlation(
             .select(*keys)
         )
         base = base.join(F.broadcast(keep), keys, "left_semi")
+    guard_ok = None
     if max_pair_estimate is not None:
+        lim = int(max_pair_estimate)
         est = (
             base.groupBy(*block_keys, "_be")
             .count()
-            .agg(F.sum(F.col("count") * F.col("count")))
-            .collect()[0][0]
-        ) or 0
-        est *= len(lags)
-        if est > max_pair_estimate:
-            raise ValueError(
-                f"lagged_cross_correlation: estimated pair fan-out {est:,} "
-                f"exceeds max_pair_estimate={max_pair_estimate:,}; pass "
-                "block_keys= (domain / metric family), candidate_top_k=, "
-                "or raise/disable max_pair_estimate explicitly"
+            .agg(
+                (
+                    F.coalesce(F.sum(F.col("count") * F.col("count")), F.lit(0))
+                    * F.lit(len(lags))
+                ).alias("_est")
             )
+        )
+        guard_ok = est.select(
+            F.when(
+                F.col("_est") > lim,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "lagged_cross_correlation: estimated pair fan-out "
+                        ),
+                        F.col("_est").cast("string"),
+                        F.lit(
+                            f" exceeds max_pair_estimate={lim}; pass "
+                            "block_keys= (domain / metric family), "
+                            "candidate_top_k=, or raise/disable "
+                            "max_pair_estimate explicitly"
+                        ),
+                    )
+                ).cast("int"),
+            )
+            .otherwise(F.lit(1))
+            .alias("_guard_ok")
+        )
     lagged = base.withColumn("lag", F.explode(F.array(*[F.lit(int(x)) for x in lags])))
     a = lagged.select(
         *[F.col(k).alias(f"a_{k}") for k in keys],
@@ -567,6 +592,15 @@ def lagged_cross_correlation(
         *[b[f"b_{k}"] for k in keys]
     )
     joined = a.join(b, cond).filter(pair_filter)
+    if guard_ok is not None:
+        # 1-row broadcast: materialized before the pair-join stage runs,
+        # so an over-budget estimate kills the job pre-fan-out.  The
+        # filter keeps the raise_error projection alive under pruning.
+        joined = (
+            joined.crossJoin(F.broadcast(guard_ok))
+            .filter(F.col("_guard_ok") == 1)
+            .drop("_guard_ok")
+        )
     x, y = F.col("_x"), F.col("_y")
     agg = joined.groupBy(
         *[f"a_{k}" for k in keys], *[f"b_{k}" for k in keys], "lag"

@@ -214,6 +214,20 @@ def test_spectral_flatness_all_zero_window_nan_no_warning():
     assert np.isnan(vb).all() and vb.shape == (3, 1)
 
 
+def test_spectral_centroid_all_zero_window_nan_no_warning():
+    """Centroid of silence is 0/0 = NaN by design; warning-clean like
+    flatness (the property suite showed it leaking RuntimeWarnings)."""
+    import warnings
+
+    zeros = np.zeros(64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, _, v = K.score_local(K.SpectralCentroid(), zeros)
+        vb = K.SpectralCentroid().compute_batch(np.zeros((3, 64)))
+    assert np.isnan(v[0, 0])
+    assert np.isnan(vb).all() and vb.shape == (3, 1)
+
+
 # --- PermutationEntropy goldens (runtests.jl:294-337) ------------------------
 
 PE_X = np.array([4, 7, 9, 10, 6, 11, 3], dtype=float)

@@ -443,15 +443,18 @@ def test_cross_correlation_fanout_guard_fails_fast(spark):
     from afspark.operators.tsanalytics import lagged_cross_correlation
 
     tier = _cross_corr_block_fixture(spark)
-    # 12 series x 24 buckets -> estimate 24*144 = 3456 pairs > 100
-    with pytest.raises(ValueError, match="max_pair_estimate"):
-        lagged_cross_correlation(
-            tier,
-            3600,
-            lags=[0],
-            keys=["domain", "series_id"],
-            max_pair_estimate=100,
-        )
+    # 12 series x 24 buckets -> estimate 24*144 = 3456 pairs > 100.
+    # The guard is lazy (construction stays job-free); it fires when the
+    # job runs, from the raise_error broadcast that gates the pair join.
+    over = lagged_cross_correlation(
+        tier,
+        3600,
+        lags=[0],
+        keys=["domain", "series_id"],
+        max_pair_estimate=100,
+    )
+    with pytest.raises(Exception, match="max_pair_estimate"):
+        over.collect()
     # blocking brings the estimate under the same cap: 24*3*16 = 1152...
     # still over 100, but candidate_top_k=1 per domain -> 24*3*1 = 72 <= 100
     out = lagged_cross_correlation(
