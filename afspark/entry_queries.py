@@ -6095,6 +6095,115 @@ SQL_URL_CANONICAL = r"""
 
 
 # ---------------------------------------------------------------------------
+# z-order clustering (sources/zorder.py)
+# ---------------------------------------------------------------------------
+
+def q_zorder_key_check(spark, sf_dir):
+    """Morton z-key over quantized (user bucket, minute bucket) for every
+    event, grouped by key — pins the Catalyst bit-spread cascade
+    (sources/zorder.py zvalue) bit-for-bit against DuckDB's integer ops."""
+    from .sources.zorder import zvalue
+
+    ev = _read(spark, sf_dir, "events")
+    a = (F.col("user_id") % 64).cast("long")
+    b = (F.floor(F.unix_timestamp("ts") / 60) % 64).cast("long")
+    return (
+        ev.select(zvalue(a, b, 6).alias("zkey"), "event_id")
+        .groupBy("zkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("event_id").cast("long").alias("id_check"),
+        )
+    )
+
+
+SQL_ZORDER_KEY = r"""
+    WITH e AS (
+      SELECT event_id,
+             (user_id % 64)::BIGINT AS a,
+             (floor(epoch(ts)/60))::BIGINT % 64 AS b
+      FROM events
+    ), s1 AS (
+      SELECT event_id, (a | (a<<8)) & 16711935 AS xa,
+                       (b | (b<<8)) & 16711935 AS xb FROM e
+    ), s2 AS (
+      SELECT event_id, (xa | (xa<<4)) & 252645135 AS xa,
+                       (xb | (xb<<4)) & 252645135 AS xb FROM s1
+    ), s3 AS (
+      SELECT event_id, (xa | (xa<<2)) & 858993459 AS xa,
+                       (xb | (xb<<2)) & 858993459 AS xb FROM s2
+    ), s4 AS (
+      SELECT event_id, (xa | (xa<<1)) & 1431655765 AS xa,
+                       (xb | (xb<<1)) & 1431655765 AS xb FROM s3
+    )
+    SELECT (xa | (xb<<1))::BIGINT AS zkey,
+           count(*)::BIGINT AS cnt,
+           sum(event_id)::BIGINT AS id_check
+    FROM s4 GROUP BY 1
+"""
+
+
+def q_zorder_envelope_stats(spark, sf_dir):
+    """Per-z-range-slice (the file grain cluster_zorder writes) min/max
+    envelopes on BOTH dimensions plus pruning verdict for a fixed box
+    predicate (b in [16, 31]) — proves engine-independently that
+    contiguous z ranges have tight two-dimensional envelopes, i.e. that
+    footer min/max pruning works on either dimension after clustering."""
+    from .sources.zorder import zvalue
+
+    ev = _read(spark, sf_dir, "events")
+    a = (F.col("user_id") % 64).cast("long")
+    b = (F.floor(F.unix_timestamp("ts") / 60) % 64).cast("long")
+    z = zvalue(a, b, 6)
+    return (
+        ev.select(
+            F.shiftright(z, 6).alias("z_slice"),
+            a.alias("a"),
+            b.alias("b"),
+        )
+        .groupBy("z_slice")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+            ((F.max("b") >= 16) & (F.min("b") <= 31)).cast("int").alias("survives_box"),
+        )
+    )
+
+
+SQL_ZORDER_ENVELOPE = r"""
+    WITH e AS (
+      SELECT (user_id % 64)::BIGINT AS a,
+             (floor(epoch(ts)/60))::BIGINT % 64 AS b
+      FROM events
+    ), s1 AS (
+      SELECT a, b, (a | (a<<8)) & 16711935 AS xa,
+                   (b | (b<<8)) & 16711935 AS xb FROM e
+    ), s2 AS (
+      SELECT a, b, (xa | (xa<<4)) & 252645135 AS xa,
+                   (xb | (xb<<4)) & 252645135 AS xb FROM s1
+    ), s3 AS (
+      SELECT a, b, (xa | (xa<<2)) & 858993459 AS xa,
+                   (xb | (xb<<2)) & 858993459 AS xb FROM s2
+    ), s4 AS (
+      SELECT a, b, (xa | (xa<<1)) & 1431655765 AS xa,
+                   (xb | (xb<<1)) & 1431655765 AS xb FROM s3
+    ), zk AS (
+      SELECT a, b, (xa | (xb<<1)) >> 6 AS z_slice FROM s4
+    )
+    SELECT z_slice::BIGINT AS z_slice,
+           count(*)::BIGINT AS n,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b,
+           (CASE WHEN max(b) >= 16 AND min(b) <= 31 THEN 1 ELSE 0 END)::INT
+             AS survives_box
+    FROM zk GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6166,6 +6275,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_incremental_1h": (q_rollup_incremental_1h, _sql_rollup(3600)),
     "salted_domain_stats": (q_salted_domain_stats, SQL_SALTED_DOMAIN_STATS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "zorder_key_check": (q_zorder_key_check, SQL_ZORDER_KEY),
+    "zorder_envelope_stats": (q_zorder_envelope_stats, SQL_ZORDER_ENVELOPE),
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),
     "counter_rate_1h": (q_counter_rate_1h, SQL_COUNTER_RATE),
     "vector_ratio_1h": (q_vector_ratio_1h, SQL_VECTOR_RATIO),

@@ -232,7 +232,8 @@ class SoundPressureLevel(Feature):
 
     def compute(self, x, fs=1.0):
         rms = np.sqrt(np.mean(x * x))
-        return np.array([20.0 * np.log10(rms / self.ref)])
+        with np.errstate(divide="ignore"):  # all-zero window -> -inf, by design
+            return np.array([20.0 * np.log10(rms / self.ref)])
 
     def compute_batch(self, W, fs=1.0):
         rms = np.sqrt(np.mean(W * W, axis=1))
