@@ -247,10 +247,23 @@ def apply_retention(
 
 
 def compact_chunks(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    sort_within=None,
 ) -> int:
     """Small-file compaction: rewrite (chunk_date, bucket) partitions that
     hold more than ``target_files`` parquet files into ``target_files``.
+
+    ``sort_within`` (optional list of column names / Column expressions)
+    additionally CLUSTERS each rewritten partition: rows are sorted inside
+    the task before the writer's maxRecordsPerFile cuts files, so every
+    output file covers a contiguous key slice and its parquet footer
+    min/max becomes a real pruning index.  ``["series_id", "chunk_start"]``
+    optimizes single-series range reads (tight series envelopes, then
+    time); ``[zorder.zvalue(...)]`` trades a little of each dimension for
+    pruning on EITHER (see sources/zorder.py).  Compaction is the natural
+    place to cluster — it is the one pass that already rewrites the rows.
 
     Streaming 1m-tier commits and OoO repairs append small files; at scale
     a store partition accumulating hundreds of them collapses scan
@@ -291,11 +304,14 @@ def compact_chunks(
     # write never reads a file the overwrite already deleted.  A refactor
     # to coalesce()/no-shuffle would silently reintroduce that race —
     # keep a shuffle boundary (or checkpoint/persist the read) here.
-    writer = (
-        df.repartition(max(1, len(touched)), "chunk_date", "bucket")
-        .write.mode("overwrite")
-        .partitionBy("chunk_date", "bucket")
-    )
+    clustered = df.repartition(max(1, len(touched)), "chunk_date", "bucket")
+    if sort_within:
+        # partition columns lead the sort so a task holding several
+        # (chunk_date, bucket) partitions still emits each one contiguous
+        clustered = clustered.sortWithinPartitions(
+            "chunk_date", "bucket", *sort_within
+        )
+    writer = clustered.write.mode("overwrite").partitionBy("chunk_date", "bucket")
     if target_files > 1:
         # repartitioning on the partition key puts each (chunk_date,
         # bucket) wholly in one task (=> one file); the DETERMINISTIC way

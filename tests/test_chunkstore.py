@@ -410,3 +410,61 @@ def test_compaction_target_files_splits_partition(spark, tmpdir):
     assert all(c <= 2 for c in counts)
     assert any(c == 2 for c in counts)  # 8 series hash into both salts
     assert points_set() == before
+
+
+def test_compaction_sort_within_clusters_files_for_pruning(spark, tmpdir):
+    """sort_within clustering: after compaction with a (series_id,
+    chunk_start) sort, each output file covers a contiguous series slice —
+    footer min/max on series_id prunes files for single-series reads
+    (measured on the real written footers), with points preserved exactly."""
+    import datetime as dtm
+    from pathlib import Path
+
+    from afspark.sources.chunkstore import compact_chunks, write_chunk_store
+    from afspark.sources.zorder import file_envelopes
+
+    rows = [
+        (f"s{i:02d}", dtm.datetime(2024, 1, 1, h, m, 0), float(i * 1000 + h * 60 + m))
+        for i in range(16)
+        for h in range(6)
+        for m in (0, 30)
+    ]
+    pts = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    store = f"{tmpdir}/store"
+    # streaming-shaped ingest: several small appends -> many small files
+    write_chunk_store(pts.filter(F.col("series_id") < "s04"), store,
+                      mode="overwrite", n_buckets=1)
+    for lo, hi in (("s04", "s08"), ("s08", "s12"), ("s12", "s99")):
+        write_chunk_store(
+            pts.filter((F.col("series_id") >= lo) & (F.col("series_id") < hi)),
+            store, mode="append", n_buckets=1,
+        )
+
+    before = sorted(
+        (r.series_id, r.ts, r.value) for r in read_points(spark, store).collect()
+    )
+    assert (
+        compact_chunks(
+            spark, store, target_files=4, sort_within=["series_id", "chunk_start"]
+        )
+        >= 1
+    )
+    after = sorted(
+        (r.series_id, r.ts, r.value) for r in read_points(spark, store).collect()
+    )
+    assert after == before
+
+    bdir = next(
+        b for d in Path(store).glob("chunk_date=*") for b in d.glob("bucket=*")
+    )
+    env = file_envelopes(str(bdir), ["series_id"])
+    assert len(env) >= 3  # the partition really split
+    # tight envelopes: a single-series equality predicate keeps exactly
+    # the files whose [min, max] straddles it — at most 2 of the splits
+    # (a series can only span one file boundary in a sorted layout)
+    for sid in ("s00", "s07", "s15"):
+        keep = env[(env.series_id_min <= sid) & (env.series_id_max >= sid)]
+        assert 1 <= len(keep) <= 2
+    # and collectively the envelopes are non-degenerate (not all files
+    # spanning the whole domain, which is what the unsorted layout gives)
+    assert (env.series_id_min != env.series_id_min.min()).any()
