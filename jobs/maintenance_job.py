@@ -57,12 +57,13 @@ def cluster_sort(mode: str):
     if mode == "zorder":
         from afspark.sources.zorder import zvalue
 
-        # 8 bits of series-hash x 8 bits of hour-of-epoch: either-dimension
-        # footer pruning inside a (chunk_date, bucket) partition
+        # 8 bits of series-hash x hour-of-day (0..23, no wrap inside the
+        # daily partition): either-dimension footer pruning inside a
+        # (chunk_date, bucket) partition
         return [
             zvalue(
                 F.pmod(F.xxhash64("series_id"), F.lit(256)),
-                F.pmod(F.floor(F.col("chunk_start") / 3600), F.lit(256)),
+                F.floor(F.pmod(F.col("chunk_start"), F.lit(86400)) / 3600),
                 bits=8,
             )
         ]
