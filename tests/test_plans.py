@@ -391,3 +391,19 @@ def test_linear_recurrence_family_no_per_group_arrow(spark):
         plan = _plan(out)
         assert "FlatMapGroupsInPandas" not in plan
         assert "MapInPandas" in plan
+
+
+def test_cluster_zorder_single_range_shuffle_pure_catalyst(spark):
+    """cluster_zorder: ONE range-partitioning exchange, z-key computed as
+    a Catalyst expression (no Python/UDF anywhere in the plan)."""
+    from afspark.sources.zorder import cluster_zorder
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 64).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).alias("b"),
+    )
+    plan = _plan(cluster_zorder(df, "a", "b", bits=6, n_files=8))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning(_z" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "shiftleft" in plan  # the Morton cascade rides the Project
