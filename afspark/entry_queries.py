@@ -6095,6 +6095,80 @@ SQL_URL_CANONICAL = r"""
 
 
 # ---------------------------------------------------------------------------
+# incremental snapshot read (sources/manifest.py read_incremental)
+# ---------------------------------------------------------------------------
+
+def q_incremental_snapshot_read(spark, sf_dir):
+    """Incremental-consumption read through the driver gate: the 1h cents
+    tier is committed to a manifest-pinned store in THREE date-range
+    appends, then ``read_incremental(s1 -> s3)`` pulls exactly the rows
+    of commits 2+3 (Iceberg's incremental append scan — work ∝ the
+    delta's files, never the store).  The oracle recomputes commits 2+3
+    directly: the tier restricted to be >= the first commit's upper
+    boundary (epoch 1704844800 = 2024-01-10T00Z; buckets are
+    3600-aligned so the boundary is exact in both engines)."""
+    import shutil
+    import tempfile
+
+    from .sources.manifest import commit_append, read_incremental
+
+    cut1, cut2 = 1_704_844_800, 1_705_708_800  # 2024-01-10, 2024-01-20 UTC
+    pts = events_samples(spark, sf_dir, cents=True)
+    tier = rollup_points(pts, TIERS["1h"]).select(
+        "series_id",
+        F.unix_timestamp("bucket_ts").alias("be"),
+        F.col("cnt"),
+        F.col("sum").cast("long").alias("sum_c"),
+        F.to_date(F.col("bucket_ts")).cast("string").alias("bucket_date"),
+    )
+    store = tempfile.mkdtemp(prefix="afspark_inc_")
+    try:
+        s1 = commit_append(
+            spark, tier.filter(F.col("be") < cut1), store, ["bucket_date"]
+        )
+        commit_append(
+            spark,
+            tier.filter((F.col("be") >= cut1) & (F.col("be") < cut2)),
+            store,
+            ["bucket_date"],
+        )
+        s3 = commit_append(
+            spark, tier.filter(F.col("be") >= cut2), store, ["bucket_date"]
+        )
+        delta = read_incremental(spark, store, s1, s3)
+        out = (
+            delta.groupBy("series_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("cnt").cast("long").alias("n_points"),
+                F.sum("sum_c").cast("long").alias("sum_c"),
+            )
+            .localCheckpoint()  # materialize before the store vanishes
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+SQL_INCREMENTAL_READ = """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             (floor(epoch(ts)/3600)*3600)::BIGINT AS be,
+             floor(value*100 + 0.5) AS v
+      FROM events
+    ), r AS (
+      SELECT series_id, be, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_c
+      FROM c GROUP BY 1, 2
+    )
+    SELECT series_id,
+           count(*)::BIGINT AS n_buckets,
+           sum(cnt)::BIGINT AS n_points,
+           sum(sum_c)::BIGINT AS sum_c
+    FROM r WHERE be >= 1704844800 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # z-order clustering (sources/zorder.py)
 # ---------------------------------------------------------------------------
 
@@ -6275,6 +6349,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_incremental_1h": (q_rollup_incremental_1h, _sql_rollup(3600)),
     "salted_domain_stats": (q_salted_domain_stats, SQL_SALTED_DOMAIN_STATS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "incremental_snapshot_read": (
+        q_incremental_snapshot_read,
+        SQL_INCREMENTAL_READ,
+    ),
     "zorder_key_check": (q_zorder_key_check, SQL_ZORDER_KEY),
     "zorder_envelope_stats": (q_zorder_envelope_stats, SQL_ZORDER_ENVELOPE),
     "stratified_split_stats": (q_stratified_split_stats, SQL_STRATIFIED_SPLIT),

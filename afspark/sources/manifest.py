@@ -233,6 +233,14 @@ def read_snapshot(
         ]
     if not files:
         raise ValueError("no files match the requested snapshot/partitions")
+    return _read_files(spark, store, files, chosen.get("partition_types", {}))
+
+
+def _read_files(
+    spark: SparkSession, store: str, files: list[dict], partition_types: dict
+) -> DataFrame:
+    """Read an explicit manifest file list, per snapshot-dir group with
+    that dir as basePath so partition columns come back as columns."""
     by_base: dict[str, list[str]] = {}
     for f in files:
         by_base.setdefault(f["base"], []).append(os.path.join(store, f["path"]))
@@ -246,9 +254,79 @@ def read_snapshot(
     # the schema the data was COMMITTED with
     from pyspark.sql import functions as F
 
-    for c, t in chosen.get("partition_types", {}).items():
+    for c, t in partition_types.items():
         out = out.withColumn(c, F.col(c).cast(t))
     return out
+
+
+def read_incremental(
+    spark: SparkSession,
+    store: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    allow_overwrites: bool = False,
+) -> DataFrame:
+    """Rows ADDED after ``from_snapshot`` up to ``to_snapshot`` (default
+    latest) — the incremental-consumption read (Iceberg's incremental
+    append scan): a downstream job remembers the last snapshot it
+    processed and consumes each commit's new rows exactly once, never
+    rescanning the table.  Work is proportional to the DELTA (the new
+    files), not the store.
+
+    ``from_snapshot`` must be an ancestor of ``to_snapshot`` (the commit
+    chain is walked through parent pointers, so an expired or foreign id
+    fails fast rather than silently diffing unrelated states).  If any
+    commit in the range is an overwrite, the delta is not purely
+    appended rows; mirroring Iceberg, that raises unless
+    ``allow_overwrites=True``, in which case the file-level delta
+    (added + replacement files) is returned.  ``from == to`` yields an
+    empty frame with the committed schema.
+    """
+    manifests = _list_manifests(store)
+    if not manifests:
+        raise ValueError(f"no committed snapshot in {store}")
+    by_id = {}
+    for name in manifests:
+        m = _load(store, name)
+        by_id[m["snapshot_id"]] = m
+    to = (_load(store, manifests[-1]) if to_snapshot is None
+          else by_id.get(to_snapshot))
+    if to is None:
+        raise ValueError(f"snapshot {to_snapshot} not found in {store}")
+    if from_snapshot not in by_id:
+        raise ValueError(f"snapshot {from_snapshot} not found in {store}")
+    base = by_id[from_snapshot]
+
+    # ancestry walk to..from, collecting the ops in the range
+    cur, ops = to, []
+    while cur is not None and cur["snapshot_id"] != from_snapshot:
+        ops.append(cur["op"])
+        parent_name = cur.get("parent")
+        try:
+            cur = _load(store, parent_name) if parent_name else None
+        except FileNotFoundError:
+            cur = None  # chain severed by expire_snapshots -> not an ancestor
+    if cur is None:
+        raise ValueError(
+            f"{from_snapshot} is not an ancestor of "
+            f"{to['snapshot_id']} in {store}"
+        )
+    if any(op != "append" for op in ops) and not allow_overwrites:
+        raise ValueError(
+            "overwrite commit inside the incremental range: the delta is "
+            "not purely appended rows (pass allow_overwrites=True for the "
+            "file-level delta)"
+        )
+
+    seen = {f["path"] for f in base["files"]}
+    added = [f for f in to["files"] if f["path"] not in seen]
+    if not added:
+        if not to["files"]:
+            raise ValueError("store snapshot has no files")
+        return _read_files(
+            spark, store, to["files"][:1], to.get("partition_types", {})
+        ).limit(0)
+    return _read_files(spark, store, added, to.get("partition_types", {}))
 
 
 def expire_snapshots(

@@ -133,3 +133,67 @@ def test_expire_sweeps_orphan_dirs_with_grace(spark, tmpdir):
     live = snapshots(store)[-1]["snapshot_id"]
     assert sorted(os.listdir(os.path.join(store, "data"))) == [live]
     assert _rows(read_snapshot(spark, store)) == [("x", "2024-01-01", 7)]
+
+
+def test_incremental_read_appends_exactly_once(spark, tmpdir):
+    """read_incremental(from, to): exactly the rows of the commits AFTER
+    `from` up to `to` — the consume-each-commit-once contract."""
+    from afspark.sources.manifest import read_incremental
+
+    store = str(tmpdir.join("inc"))
+    b1 = [("x", "2024-01-01", 1), ("y", "2024-01-01", 2)]
+    b2 = [("x", "2024-01-02", 3)]
+    b3 = [("z", "2024-01-03", 4), ("x", "2024-01-03", 5)]
+    s1 = commit_append(spark, _mk(spark, b1), store, ["d"])
+    s2 = commit_append(spark, _mk(spark, b2), store, ["d"])
+    s3 = commit_append(spark, _mk(spark, b3), store, ["d"])
+
+    # consume s1 -> s2, then s2 -> latest: each batch seen exactly once
+    assert _rows(read_incremental(spark, store, s1, s2)) == _rows(_mk(spark, b2))
+    assert _rows(read_incremental(spark, store, s2)) == _rows(_mk(spark, b3))
+    # whole range in one pull
+    assert _rows(read_incremental(spark, store, s1, s3)) == _rows(
+        _mk(spark, b2 + b3)
+    )
+    # from == to: empty with the committed schema
+    empty = read_incremental(spark, store, s3, s3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"series_id", "d", "v"}
+
+
+def test_incremental_read_rejects_overwrites_unless_allowed(spark, tmpdir):
+    from afspark.sources.manifest import read_incremental
+
+    store = str(tmpdir.join("inc_ow"))
+    s1 = commit_append(
+        spark, _mk(spark, [("x", "2024-01-01", 1), ("y", "2024-01-02", 2)]),
+        store, ["d"],
+    )
+    s2 = commit_overwrite_partitions(
+        spark, _mk(spark, [("x", "2024-01-01", 9)]), store, ["d"]
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        read_incremental(spark, store, s1, s2)
+    # file-level delta on request: the replacement file's rows
+    delta = read_incremental(spark, store, s1, s2, allow_overwrites=True)
+    assert _rows(delta) == [("x", "2024-01-01", 9)]
+
+
+def test_incremental_read_bad_ids_and_severed_chain(spark, tmpdir):
+    from afspark.sources.manifest import read_incremental
+
+    store = str(tmpdir.join("inc_bad"))
+    s1 = commit_append(spark, _mk(spark, [("x", "2024-01-01", 1)]), store, ["d"])
+    s2 = commit_append(spark, _mk(spark, [("y", "2024-01-02", 2)]), store, ["d"])
+    with pytest.raises(ValueError, match="not found"):
+        read_incremental(spark, store, "nope", s2)
+    with pytest.raises(ValueError, match="not found"):
+        read_incremental(spark, store, s1, "nope")
+    # reversed range: s2 is not an ancestor of s1
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_incremental(spark, store, s2, s1)
+    # expire the base: its manifest is gone -> fails fast, never misreads
+    s3 = commit_append(spark, _mk(spark, [("z", "2024-01-03", 3)]), store, ["d"])
+    expire_snapshots(store, keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="not found|not an ancestor"):
+        read_incremental(spark, store, s1, s3)
