@@ -389,3 +389,68 @@ def expire_snapshots(
         "files_removed": removed_files,
         "orphan_dirs_removed": orphan_dirs,
     }
+
+
+def consume_incremental(
+    spark: SparkSession,
+    store: str,
+    state_path: str,
+    process,
+    allow_overwrites: bool = False,
+) -> dict:
+    """Crash-safe incremental consumer: process every snapshot committed
+    since the last successful run, exactly once at snapshot granularity.
+
+    ``state_path`` holds the last PROCESSED snapshot id; it is advanced
+    (atomic tmp+rename, same discipline as the manifest commit) only
+    AFTER ``process(delta_df, snapshot_id)`` returns, so a crash mid-
+    process re-delivers that snapshot's delta on the next run and never
+    skips one — ``process`` must therefore be idempotent per snapshot
+    (write to a path keyed by snapshot_id, or MERGE), the same contract
+    Spark's own foreachBatch has with its batch id.  Snapshots are
+    processed one commit at a time, oldest first, so a consumer that
+    dies mid-backlog resumes mid-backlog.
+
+    Returns {"processed": n, "last_snapshot": id or None}.
+    """
+    manifests = _list_manifests(store)
+    chain = [_load(store, name) for name in manifests]
+    last = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            last = json.load(fh)["last_snapshot"]
+        known = {m["snapshot_id"] for m in chain}
+        if last not in known:
+            raise ValueError(
+                f"consumer state points at snapshot {last} which the store "
+                f"no longer has (expired?) — reset the state or re-seed"
+            )
+    processed = 0
+    for m in chain:
+        if last is not None:
+            if m["snapshot_id"] == last:
+                last = None  # everything after this is new
+            continue
+        sid = m["snapshot_id"]
+        parent = m.get("parent")
+        if parent is None:
+            delta = read_snapshot(spark, store, snapshot_id=sid)
+        else:
+            delta = read_incremental(
+                spark,
+                store,
+                _load(store, parent)["snapshot_id"],
+                sid,
+                allow_overwrites=allow_overwrites,
+            )
+        process(delta, sid)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_snapshot": sid}, fh)
+        os.replace(tmp, state_path)
+        processed += 1
+        last = None
+    return {
+        "processed": processed,
+        "last_snapshot": chain[-1]["snapshot_id"] if chain else None,
+    }

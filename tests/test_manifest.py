@@ -197,3 +197,65 @@ def test_incremental_read_bad_ids_and_severed_chain(spark, tmpdir):
     expire_snapshots(store, keep_last=1, orphan_grace_seconds=0)
     with pytest.raises(ValueError, match="not found|not an ancestor"):
         read_incremental(spark, store, s1, s3)
+
+
+def test_consume_incremental_exactly_once_with_crash(spark, tmpdir):
+    """consume_incremental: oldest-first snapshot processing, state
+    advanced only after success — a crash mid-backlog re-delivers the
+    failed snapshot and nothing before it."""
+    from afspark.sources.manifest import consume_incremental
+
+    store = str(tmpdir.join("cons"))
+    state = str(tmpdir.join("cons_state.json"))
+    ids = [
+        commit_append(spark, _mk(spark, [(f"s{i}", "2024-01-01", i)]), store, ["d"])
+        for i in range(3)
+    ]
+
+    seen: list[tuple[str, list]] = []
+
+    def ok(df, sid):
+        seen.append((sid, _rows(df)))
+
+    r = consume_incremental(spark, store, state, ok)
+    assert r["processed"] == 3
+    assert [s for s, _ in seen] == ids  # oldest first
+    assert [rows for _, rows in seen] == [
+        [("s0", "2024-01-01", 0)], [("s1", "2024-01-01", 1)],
+        [("s2", "2024-01-01", 2)],
+    ]
+
+    # nothing new: no-op
+    assert consume_incremental(spark, store, state, ok)["processed"] == 0
+
+    # two more commits; the processor dies on the first of them
+    s4 = commit_append(spark, _mk(spark, [("s3", "2024-01-02", 3)]), store, ["d"])
+    s5 = commit_append(spark, _mk(spark, [("s4", "2024-01-02", 4)]), store, ["d"])
+    calls = []
+
+    def dies(df, sid):
+        calls.append(sid)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        consume_incremental(spark, store, state, dies)
+    assert calls == [s4]  # died on s4; state NOT advanced
+
+    seen.clear()
+    r = consume_incremental(spark, store, state, ok)
+    assert r["processed"] == 2
+    assert [s for s, _ in seen] == [s4, s5]  # s4 re-delivered, s5 once
+
+
+def test_consume_incremental_expired_state_fails_fast(spark, tmpdir):
+    import json as _json
+
+    from afspark.sources.manifest import consume_incremental
+
+    store = str(tmpdir.join("cons2"))
+    state = str(tmpdir.join("cons2_state.json"))
+    commit_append(spark, _mk(spark, [("a", "2024-01-01", 1)]), store, ["d"])
+    with open(state, "w") as fh:
+        _json.dump({"last_snapshot": "gone"}, fh)
+    with pytest.raises(ValueError, match="no longer has"):
+        consume_incremental(spark, store, state, lambda df, sid: None)
