@@ -411,45 +411,54 @@ def consume_incremental(
     processed one commit at a time, oldest first, so a consumer that
     dies mid-backlog resumes mid-backlog.
 
+    A FRESH consumer (no state file) is seeded with the oldest KEPT
+    snapshot's full live content — correct even when that snapshot's
+    parent manifests were dropped by ``expire_snapshots`` (the delta
+    against an expired parent is unreconstructable; the live content is
+    exactly what a new consumer should see once).  Deltas are computed
+    by diffing ADJACENT manifests already in hand — no re-listing per
+    step — and a commit that added no files advances the state without
+    invoking ``process`` (there is nothing to deliver).
+
     Returns {"processed": n, "last_snapshot": id or None}.
     """
     manifests = _list_manifests(store)
     chain = [_load(store, name) for name in manifests]
-    last = None
+    start = 0
     if os.path.exists(state_path):
         with open(state_path) as fh:
             last = json.load(fh)["last_snapshot"]
-        known = {m["snapshot_id"] for m in chain}
-        if last not in known:
+        idx = {m["snapshot_id"]: i for i, m in enumerate(chain)}
+        if last not in idx:
             raise ValueError(
                 f"consumer state points at snapshot {last} which the store "
                 f"no longer has (expired?) — reset the state or re-seed"
             )
+        start = idx[last] + 1
     processed = 0
-    for m in chain:
-        if last is not None:
-            if m["snapshot_id"] == last:
-                last = None  # everything after this is new
-            continue
+    for i in range(start, len(chain)):
+        m = chain[i]
         sid = m["snapshot_id"]
-        parent = m.get("parent")
-        if parent is None:
-            delta = read_snapshot(spark, store, snapshot_id=sid)
+        if i == 0:
+            added = m["files"]  # seed: the full live content
         else:
-            delta = read_incremental(
-                spark,
-                store,
-                _load(store, parent)["snapshot_id"],
+            if m["op"] != "append" and not allow_overwrites:
+                raise ValueError(
+                    f"overwrite commit {sid} in the consume range: pass "
+                    "allow_overwrites=True for file-level deltas"
+                )
+            seen = {f["path"] for f in chain[i - 1]["files"]}
+            added = [f for f in m["files"] if f["path"] not in seen]
+        if added:
+            process(
+                _read_files(spark, store, added, m.get("partition_types", {})),
                 sid,
-                allow_overwrites=allow_overwrites,
             )
-        process(delta, sid)
         tmp = state_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"last_snapshot": sid}, fh)
         os.replace(tmp, state_path)
         processed += 1
-        last = None
     return {
         "processed": processed,
         "last_snapshot": chain[-1]["snapshot_id"] if chain else None,

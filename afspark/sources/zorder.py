@@ -85,8 +85,14 @@ def quantize(c: Column, lo: Column | float, hi: Column | float,
     lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
     hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
     span = F.when(hi_c > lo_c, hi_c - lo_c).otherwise(F.lit(1.0))
-    q = F.floor((c.cast("double") - lo_c) / span * (n + F.lit(1))).cast("long")
-    return F.greatest(F.lit(0), F.least(n.cast("long"), q))
+    d = c.cast("double")
+    q = F.floor((d - lo_c) / span * (n + F.lit(1))).cast("long")
+    # NULL/NaN propagate (greatest/least SKIP nulls, which would silently
+    # alias missing data into the top bucket and pollute its envelope);
+    # a NULL z-key then sorts NULLS FIRST into its own leading slice
+    return F.when(
+        d.isNull() | F.isnan(d), F.lit(None).cast("long")
+    ).otherwise(F.greatest(F.lit(0), F.least(n.cast("long"), q)))
 
 
 def cluster_zorder(
@@ -149,11 +155,22 @@ def file_envelopes(path: str, cols: list[str]):
 def skipping_fraction(envelopes, box: dict[str, tuple]) -> float:
     """Fraction of files a box predicate skips, judged exactly as a
     min/max pruner would: a file survives only if its envelope overlaps
-    the box on EVERY dimension.  ``box`` maps column -> (lo, hi) inclusive."""
+    the box on EVERY dimension, and a file with NO stats for a dimension
+    MUST be kept (a pruner cannot skip what it cannot bound).
+    ``box`` maps column -> (lo, hi) inclusive."""
+    import pandas as pd
+
     if len(envelopes) == 0:
         return 0.0
-    keep = None
-    for c, (lo, hi) in box.items():
-        ov = (envelopes[f"{c}_max"] >= lo) & (envelopes[f"{c}_min"] <= hi)
-        keep = ov if keep is None else (keep & ov)
-    return 1.0 - float(keep.mean())
+    kept = 0
+    for _, row in envelopes.iterrows():
+        keep = True
+        for c, (lo, hi) in box.items():
+            mn, mx = row[f"{c}_min"], row[f"{c}_max"]
+            if mn is None or mx is None or pd.isna(mn) or pd.isna(mx):
+                continue  # no stats -> cannot skip on this dimension
+            if not (mx >= lo and mn <= hi):
+                keep = False
+                break
+        kept += keep
+    return 1.0 - kept / len(envelopes)

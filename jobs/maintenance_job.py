@@ -97,6 +97,9 @@ def main(argv: list[str] | None = None) -> None:
         p.error("nothing to do: pass --store and/or --snapshot-store")
     if args.retention_days >= 0 and not args.today:
         p.error("--retention-days requires --today (deterministic anchor)")
+    if args.cluster != "none" and args.target_files <= 0:
+        p.error("--cluster requires --target-files > 0 (clustering happens "
+                "inside the compaction rewrite)")
 
     spark = None
     if args.store and (args.retention_days >= 0 or args.target_files > 0):

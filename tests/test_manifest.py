@@ -259,3 +259,27 @@ def test_consume_incremental_expired_state_fails_fast(spark, tmpdir):
         _json.dump({"last_snapshot": "gone"}, fh)
     with pytest.raises(ValueError, match="no longer has"):
         consume_incremental(spark, store, state, lambda df, sid: None)
+
+
+def test_consume_incremental_fresh_consumer_on_expired_store(spark, tmpdir):
+    """A fresh consumer on a store whose older manifests were expired is
+    seeded with the oldest KEPT snapshot's full live content (the delta
+    against an expired parent is unreconstructable), then consumes
+    normally."""
+    from afspark.sources.manifest import consume_incremental
+
+    store = str(tmpdir.join("cons_exp"))
+    state = str(tmpdir.join("cons_exp_state.json"))
+    b = [[(f"s{i}", "2024-01-01", i)] for i in range(4)]
+    for rows in b[:3]:
+        commit_append(spark, _mk(spark, rows), store, ["d"])
+    expire_snapshots(store, keep_last=1, orphan_grace_seconds=0)
+    s4 = commit_append(spark, _mk(spark, b[3]), store, ["d"])
+
+    seen = []
+    r = consume_incremental(spark, store, state, lambda df, sid: seen.append(
+        (sid, _rows(df))))
+    assert r["processed"] == 2
+    # seed = all live rows at the oldest kept snapshot (b0+b1+b2), then b3
+    assert seen[0][1] == _rows(_mk(spark, b[0] + b[1] + b[2]))
+    assert seen[1] == (s4, _rows(_mk(spark, b[3])))

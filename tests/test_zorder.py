@@ -126,3 +126,24 @@ def test_cluster_zorder_preserves_rows(spark):
     out = cluster_zorder(df, "a", "b", bits=6, n_files=8)
     assert out.count() == 5_000
     assert out.select(F.sum("payload")).first()[0] == 5_000 * 4_999 // 2
+
+
+def test_quantize_null_nan_propagate(spark):
+    df = spark.createDataFrame([(None,), (float("nan"),), (50.0,)], "v double")
+    out = [r.q for r in df.select(
+        quantize(F.col("v"), 0.0, 100.0, bits=8).alias("q")).collect()]
+    assert out == [None, None, 128]  # missing never aliases into a bucket
+
+
+def test_skipping_fraction_keeps_statless_files():
+    import pandas as pd
+
+    env = pd.DataFrame({
+        "file": ["nostats", "stats"],
+        "b_min": [None, 10], "b_max": [None, 20],
+        "s_min": [None, "aa"], "s_max": [None, "bb"],
+    })
+    # numeric: only the stats-bearing file is skippable
+    assert skipping_fraction(env, {"b": (100, 200)}) == 0.5
+    # string stats with None must not raise; same keep rule
+    assert skipping_fraction(env, {"s": ("zz", "zz")}) == 0.5
