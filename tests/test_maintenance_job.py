@@ -103,3 +103,10 @@ def test_maintenance_zorder_cluster_mode(spark, tmp_path, capsys):
         (r.series_id, r.ts, r.value) for r in read_points(spark, store).collect()
     )
     assert after == before
+
+
+def test_cluster_without_compaction_fails_fast(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--store", str(tmp_path), "--cluster", "zorder"])
