@@ -6278,10 +6278,96 @@ SQL_ZORDER_ENVELOPE = r"""
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (operators/text.py decontaminate)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style 13-gram benchmark decontamination (text.py
+    decontaminate): the benchmark is synthesized deterministically from
+    the corpus itself — a 13-token slice (tokens 4..16) of every
+    doc_id%7==0 document (planted contamination: those docs MUST flag)
+    plus a unique 13-token example per doc_id%7==3 doc that matches
+    nothing (clean benchmark mass).  Broadcast gram-set join; the oracle
+    recomputes the full canonicalize->gram->md5->overlap pipe in DuckDB."""
+    from .operators.text import decontaminate
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    ts = F.split(norm, " ")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(ts, 4, 13)).alias("text"),
+    )
+    clean = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 10000).alias("bench_id"),
+        F.concat(
+            F.lit("zz"), F.col("doc_id").cast("string"),
+            F.lit(" a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2"),
+        ).alias("text"),
+    )
+    bench = planted.unionByName(clean)
+    out = decontaminate(docs, bench, n=13, hash_mode="md5")
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_contaminated",
+        _r(F.col("contamination_frac"), 6).alias("contamination_frac"),
+        "n_bench_examples_hit",
+    )
+
+
+SQL_DECONTAMINATE = """
+    WITH nd AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 200
+    ), dts AS (SELECT doc_id, string_split(t, ' ') AS ts FROM nd),
+    bench AS (
+      SELECT doc_id AS bench_id, array_to_string(ts[4:16], ' ') AS bt
+      FROM dts WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 10000,
+             'zz' || CAST(doc_id AS VARCHAR)
+               || ' a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2'
+      FROM dts WHERE doc_id % 7 = 3
+    ), bts AS (
+      SELECT bench_id,
+             string_split(trim(regexp_replace(lower(bt), '[^a-z0-9]+', ' ',
+                                              'g')), ' ') AS ts
+      FROM bench
+    ), bg AS (
+      SELECT DISTINCT bench_id, md5(array_to_string(ts[i:i+12], ' ')) AS fp
+      FROM bts, unnest(generate_series(1, len(ts) - 12)) AS u(i)
+      WHERE len(ts) >= 13
+    ), dw AS (
+      SELECT doc_id AS id, i AS pos, md5(array_to_string(ts[i:i+12], ' ')) AS fp
+      FROM dts, unnest(generate_series(1, len(ts) - 12)) AS u(i)
+      WHERE len(ts) >= 13
+    ), hits AS (
+      SELECT id, count(DISTINCT pos) AS n_contaminated,
+             count(DISTINCT bench_id) AS n_bench_examples_hit
+      FROM dw JOIN bg USING (fp) GROUP BY id
+    ), base AS (
+      SELECT doc_id AS id, greatest(len(ts) - 12, 0)::BIGINT AS n_windows
+      FROM dts
+    )
+    SELECT id AS doc_id, n_windows,
+           COALESCE(n_contaminated, 0)::BIGINT AS n_contaminated,
+           CASE WHEN n_windows > 0
+                THEN floor((COALESCE(n_contaminated, 0) / n_windows)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS contamination_frac,
+           COALESCE(n_bench_examples_hit, 0)::BIGINT AS n_bench_examples_hit
+    FROM base LEFT JOIN hits USING (id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # round-5 additions lead: never driver-certified, so the rotation
     # below keeps them inside the snapshot's first-50 window
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),

@@ -898,3 +898,84 @@ def pmi_bigrams(
     return scored.select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_ratio").orderBy(
         F.col("pmi_ratio").desc(), "w1", "w2"
     ).limit(k)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that overlap an
+    eval set by any shared ``n``-token gram (Brown et al. 2020 GPT-3
+    Appendix C; the standard pretraining-pipeline step before training).
+
+    Both sides are canonicalized identically — lowercase, non-alphanumeric
+    runs collapsed to single spaces — so formatting/punctuation noise
+    cannot hide an overlap.  Every ``n``-token window of every benchmark
+    example becomes a gram; a document window is CONTAMINATED when its
+    hash appears in that gram set.  Benchmark examples shorter than ``n``
+    tokens contribute no grams (GPT-3 sizes N per benchmark as
+    min(13, percentile example length) — pick ``n`` per benchmark
+    accordingly; this operator keeps one fixed N per call).
+
+    Output, one row per input doc:
+    ``(id_col, n_windows, n_contaminated, contamination_frac,
+    n_bench_examples_hit)`` — threshold ``n_contaminated > 0`` to drop,
+    or ``contamination_frac`` for the GPT-3 "dirty document" split.
+
+    Plan shape at 100 TB: the benchmark gram set is eval-suite-sized
+    (10^4-10^6 grams, megabytes) — explicitly ``F.broadcast`` — so the
+    document-side window explode joins MAP-SIDE with no shuffle of the
+    exploded rows; only matched (doc, pos, bench) hits reach the per-doc
+    aggregate (map-side combined), and clean docs take a join-free
+    arithmetic pass (n_windows from token count).  Shuffle volume is
+    proportional to the CONTAMINATION, not the corpus.
+    """
+    norm_doc = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    norm_bench = F.trim(
+        F.regexp_replace(F.lower(F.col(bench_text_col)), "[^a-z0-9]+", " ")
+    )
+
+    def _grams(frame, norm, out_id, in_id, with_pos):
+        toks = frame.select(F.col(in_id).alias(out_id), F.split(norm, " ").alias("ts"))
+        starts = F.when(
+            F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        win = toks.select(out_id, F.explode(starts).alias("pos"), "ts")
+        ws = F.concat_ws(" ", F.slice(F.col("ts"), F.col("pos") + 1, n))
+        fp = F.md5(ws) if hash_mode == "md5" else F.xxhash64(ws)
+        cols = [out_id, "pos", fp.alias("fp")] if with_pos else [out_id, fp.alias("fp")]
+        return win.select(*cols)
+
+    bench_grams = (
+        _grams(benchmark, norm_bench, "bench_id", bench_id_col, with_pos=False)
+        .distinct()
+    )
+    doc_wins = _grams(docs, norm_doc, "id", id_col, with_pos=True)
+    hits = doc_wins.join(F.broadcast(bench_grams), "fp").groupBy("id").agg(
+        F.countDistinct("pos").alias("n_contaminated"),
+        F.countDistinct("bench_id").alias("n_bench_examples_hit"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.greatest(
+            F.size(F.split(norm_doc, " ")) - F.lit(n - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+    )
+    return base.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_windows",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.when(F.col("n_windows") > 0,
+               F.coalesce("n_contaminated", F.lit(0)) / F.col("n_windows"))
+        .otherwise(F.lit(0.0)).alias("contamination_frac"),
+        F.coalesce("n_bench_examples_hit", F.lit(0)).cast("long")
+        .alias("n_bench_examples_hit"),
+    )

@@ -1147,3 +1147,68 @@ class TestCrawlSchedule:
         assert [r["doc_id"] for r in a] == [2, 3, 1]
         assert [r["fetch_epoch"] for r in a] == [1000, 1030, 1060]
         assert by_dom["b.com"][0]["fetch_epoch"] == 1000
+
+
+def test_decontaminate_flags_planted_overlap(spark, docs):
+    """Docs sharing any 13-gram with a benchmark example flag; clean docs
+    stay at zero; canonicalization makes punctuation/case irrelevant."""
+    base = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    planted = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        # UPPERCASE + punctuation noise: canonicalization must see through
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.upper(
+                F.concat_ws(" ", F.slice(F.split(norm, " "), 2, 13))
+            ).alias("text"),
+        )
+    )
+    clean = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 9000).alias("bench_id"),
+        F.concat(
+            F.lit("qq"), F.col("doc_id").cast("string"),
+            F.lit(", A1! b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2"),
+        ).alias("text"),
+    )
+    out = text.decontaminate(
+        base, planted.unionByName(clean), n=13
+    ).toPandas().set_index("doc_id")
+
+    # every planted doc with >= 14 canonical tokens must be contaminated
+    toks = base.select(
+        "doc_id", F.size(F.split(norm, " ")).alias("nt")
+    ).toPandas().set_index("doc_id")
+    for did in toks.index:
+        row = out.loc[did]
+        if did % 10 == 0 and toks.loc[did, "nt"] >= 14:
+            assert row["n_contaminated"] >= 1
+            assert row["n_bench_examples_hit"] >= 1
+            assert 0 < row["contamination_frac"] <= 1
+        # window-count arithmetic holds for every doc
+        assert row["n_windows"] == max(int(toks.loc[did, "nt"]) - 12, 0)
+    # the synthetic clean benchmark examples must hit nothing they didn't
+    # plant: docs NOT sharing any 13-gram with any benchmark stay zero
+    never_planted = out[(out.index % 10 != 0) & (out["n_contaminated"] == 0)]
+    assert (never_planted["n_bench_examples_hit"] == 0).all()
+    # md5 twin agrees with the xxhash64 scale path
+    out2 = text.decontaminate(
+        base, planted.unionByName(clean), n=13, hash_mode="md5"
+    ).toPandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(out.sort_index(), out2)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    """The benchmark gram set must enter as a broadcast hash join —
+    never a shuffle of the exploded document windows."""
+    base = docs.limit(50).select("doc_id", "text")
+    bench = base.limit(5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = text.decontaminate(base, bench)._jdf.queryExecution().executedPlan().toString()
+    fp_joins = [
+        ln for ln in plan.splitlines()
+        if ("Join" in ln or "join" in ln) and "[fp#" in ln
+    ]
+    assert fp_joins, f"no fp-keyed join in plan:\n{plan}"
+    assert all("BroadcastHashJoin" in ln for ln in fp_joins), fp_joins
