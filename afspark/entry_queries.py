@@ -6363,11 +6363,90 @@ SQL_DECONTAMINATE = """
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster survivor selection (operators/dedup.py cluster_survivors)
+# ---------------------------------------------------------------------------
+
+def q_neardup_survivors(spark, sf_dir):
+    """Fuzzy-dedup acting step: the same CC clusters as neardup_clusters,
+    then ONE survivor per cluster — max quality_features score, ties to
+    min doc_id; every doc outside the pair graph passes through as a
+    singleton.  Oracle extends the recursive-CTE component walk with the
+    quality argmax + singleton union."""
+    from .operators.dedup import cluster_survivors, connected_components
+    from .operators.text import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, id_a="doc_a", id_b="doc_b")
+    scored = docs.join(
+        quality_features(docs).select("doc_id", "quality"), "doc_id"
+    )
+    out = cluster_survivors(scored, clusters, score_col="quality")
+    return out.select("doc_id", "cluster_id", "cluster_size")
+
+
+SQL_NEARDUP_SURVIVORS = f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_SHINGLE_LEN}) AS sh
+      FROM documents,
+           unnest(generate_series(1, length(text) - {_SHINGLE_LEN - 1})) AS t(i)
+      WHERE doc_id % 5 = 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.i*1.0/(sa.sz + sb.sz - i.i) >= 0.1
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), walk(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+    ), comp AS (
+      SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id
+    ), q AS (
+      SELECT doc_id,
+             least(length(text)/500.0, 1.0)*0.5
+             + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      *1.0/length(text))*0.3
+             + least((length(regexp_replace(text, '[^ ]', '', 'g')) + 1)
+                     /100.0, 1.0)*0.2 AS quality
+      FROM documents
+    ), labeled AS (
+      SELECT c.id AS doc_id, c.cluster_id, q.quality
+      FROM comp c JOIN q ON q.doc_id = c.id
+    ), stats AS (
+      SELECT cluster_id, max(quality) AS smax,
+             count(*)::BIGINT AS cluster_size
+      FROM labeled GROUP BY 1
+    ), best AS (
+      SELECT l.cluster_id, s.cluster_size, min(l.doc_id) AS doc_id
+      FROM labeled l JOIN stats s USING (cluster_id)
+      WHERE l.quality = s.smax
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, cluster_id, cluster_size FROM best
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS cluster_id, 1::BIGINT AS cluster_size
+    FROM documents d ANTI JOIN comp ON comp.id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
     # round-5 additions lead: never driver-certified, so the rotation
     # below keeps them inside the snapshot's first-50 window
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),

@@ -973,3 +973,63 @@ def incremental_dedup_pairs(
     for df in (cand, hot, bband, bsh):
         df.unpersist()
     return out
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster — the final acting step of
+    fuzzy dedup (RefinedWeb/Gopher keep a single representative per
+    MinHash cluster): the max-``score_col`` member, ties broken to the
+    min id; ``score_col=None`` keeps the min-id member.  Documents
+    absent from ``clusters`` are singletons and pass through on a
+    join-light anti path.
+
+    ``clusters`` is ``(id, cluster_id)`` as produced by
+    :func:`connected_components` / :func:`connected_components_star`.
+    Output: the surviving ``docs`` rows plus ``cluster_id`` (a
+    singleton's own id) and ``cluster_size``.
+
+    Plan shape at 100 TB: selection is max -> filter -> min, all plain
+    hash aggregates with MAP-SIDE partials keyed on cluster_id — no
+    per-cluster sort window, so an adversarial mega-cluster (site
+    boilerplate) costs O(|cluster|) combine work, never a single-task
+    sort of the whole cluster.  Only cluster MEMBERS (a small fraction
+    of the corpus) enter the aggregate path; the singleton majority
+    takes one left_anti join keyed on the doc id.
+    """
+    member_ids = clusters.select(F.col("id").alias(id_col))
+    if score_col is None:
+        labeled = docs.select(id_col).join(
+            clusters.withColumnRenamed("id", id_col), id_col
+        )
+        best = labeled.groupBy("cluster_id").agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    else:
+        labeled = docs.select(id_col, score_col).join(
+            clusters.withColumnRenamed("id", id_col), id_col
+        )
+        stats = labeled.groupBy("cluster_id").agg(
+            F.max(score_col).alias("_smax"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        best = (
+            labeled.join(stats, "cluster_id")
+            .filter(F.col(score_col) == F.col("_smax"))
+            .groupBy("cluster_id", "cluster_size")
+            .agg(F.min(id_col).alias(id_col))
+        )
+    kept_members = docs.join(
+        best.select(id_col, "cluster_id", "cluster_size"), id_col
+    )
+    singletons = docs.join(member_ids, id_col, "left_anti").select(
+        "*",
+        F.col(id_col).cast("long").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return kept_members.unionByName(singletons)

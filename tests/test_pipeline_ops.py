@@ -1212,3 +1212,34 @@ def test_decontaminate_broadcasts_benchmark(spark, docs):
     ]
     assert fp_joins, f"no fp-keyed join in plan:\n{plan}"
     assert all("BroadcastHashJoin" in ln for ln in fp_joins), fp_joins
+
+
+def test_cluster_survivors_argmax_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}", float(s)) for i, s in
+         [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 2.0), (20, 7.0)]],
+        "doc_id long, text string, quality double",
+    )
+    clusters = spark.createDataFrame(
+        # cluster A = {1,2,3} (max quality 9.0 tied between 2 and 3 -> min id 2)
+        # cluster B = {10,11} (11 wins); 20 is a singleton
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, cluster_id long",
+    )
+    out = dedup.cluster_survivors(docs, clusters, score_col="quality")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {2, 11, 20}
+    assert rows[2]["cluster_size"] == 3 and rows[2]["cluster_id"] == 1
+    assert rows[11]["cluster_size"] == 2 and rows[11]["cluster_id"] == 10
+    assert rows[20]["cluster_size"] == 1 and rows[20]["cluster_id"] == 20
+    # survivors keep their full doc row
+    assert rows[11]["text"] == "text11" and rows[11]["quality"] == 2.0
+
+    # score_col=None -> min-id representative
+    out2 = dedup.cluster_survivors(docs, clusters)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 10, 20}
+
+    # no per-cluster sort window anywhere in the plan (map-side
+    # combinable aggregates only — the adversarial mega-cluster guard)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
