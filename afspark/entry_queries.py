@@ -6441,12 +6441,123 @@ SQL_NEARDUP_SURVIVORS = f"""
 
 
 # ---------------------------------------------------------------------------
+# data-mixture weights + rate-based mixture sampling (operators/text.py)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 50_000  # token budget for the mixture rows (fixed, sf-agnostic)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled source mixture (alpha=0.5, the XLM/Pile rule):
+    per-source BPE-proxy token mass -> w_i ∝ sqrt(p_i), plus the
+    target-token and rate columns for a fixed 50k-token budget.  pow(x,
+    0.5) is sqrt in both engines (fdlibm/glibc special-case), so the
+    only float divergence is summation order — absorbed by 6dp
+    rounding."""
+    from .operators.text import source_mixture_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    out = source_mixture_weights(docs, alpha=0.5, token_budget=_MIX_BUDGET)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _r(F.col("nat_frac"), 6).alias("nat_frac"),
+        _r(F.col("weight"), 6).alias("weight"),
+        _r(F.col("target_tokens"), 2).alias("target_tokens"),
+        _r(F.col("rate"), 6).alias("rate"),
+    )
+
+
+def q_mixture_sample_budget(spark, sf_dir):
+    """The acting half: quantize each source's rate to 6dp, emit each
+    doc n_copies ∈ {floor(rate), floor(rate)+1} by deterministic id
+    hash, and report per-source kept-docs / emitted-rows / emitted
+    tokens.  Oversampled sources (rate > 1 at small sf) duplicate; the
+    whole decision is one broadcast join + map-side expression."""
+    from .operators.text import mixture_sample, source_mixture_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    w = source_mixture_weights(docs, alpha=0.5, token_budget=_MIX_BUDGET)
+    w6 = w.withColumn(
+        "rate", F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6
+    )
+    sampled = mixture_sample(
+        docs.select("doc_id", "source", F.size(pieces).alias("nt")), w6
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_copies").cast("long").alias("n_rows_emitted"),
+        F.sum(F.col("n_copies") * F.col("nt")).cast("long").alias("tokens_emitted"),
+    )
+
+
+_SQL_MIX_W = r"""
+    per_doc AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt
+      FROM documents
+    ), per_source AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(nt)::BIGINT AS n_tokens
+      FROM per_doc GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_tokens) AS t, sum(pow(n_tokens, 0.5)) AS ps
+      FROM per_source
+    ), w AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens*1.0/t AS nat_frac,
+             pow(n_tokens, 0.5)/ps AS weight,
+             (pow(n_tokens, 0.5)/ps) * 50000.0 AS target_tokens,
+             (pow(n_tokens, 0.5)/ps) * 50000.0 / n_tokens AS rate
+      FROM per_source CROSS JOIN tot
+    )
+"""
+
+SQL_MIXTURE_WEIGHTS = f"""
+    WITH {_SQL_MIX_W}
+    SELECT source, n_docs, n_tokens,
+           floor(nat_frac*1000000.0 + 0.5)/1000000.0 AS nat_frac,
+           floor(weight*1000000.0 + 0.5)/1000000.0 AS weight,
+           floor(target_tokens*100.0 + 0.5)/100.0 AS target_tokens,
+           floor(rate*1000000.0 + 0.5)/1000000.0 AS rate
+    FROM w
+"""
+
+SQL_MIXTURE_SAMPLE = f"""
+    WITH {_SQL_MIX_W}, w6 AS (
+      SELECT source, floor(rate*1000000.0 + 0.5)/1000000.0 AS rate FROM w
+    ), dec AS (
+      SELECT d.doc_id, d.source, d.nt,
+             CAST(floor(w6.rate) AS BIGINT)
+             + CASE WHEN
+                 ({_md5_head32_sql(
+                     "'afspark-mix:' || CAST(d.doc_id AS VARCHAR)")}) % 1000000
+                 < CAST(floor((w6.rate - floor(w6.rate))*1000000.0 + 0.5)
+                        AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+      FROM per_doc d JOIN w6 USING (source)
+    )
+    SELECT source, count(*)::BIGINT AS n_docs_kept,
+           sum(n_copies)::BIGINT AS n_rows_emitted,
+           sum(n_copies * nt)::BIGINT AS tokens_emitted
+    FROM dec WHERE n_copies >= 1 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
+    "mixture_sample_budget": (q_mixture_sample_budget, SQL_MIXTURE_SAMPLE),
     # round-5 additions lead: never driver-certified, so the rotation
     # below keeps them inside the snapshot's first-50 window
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),

@@ -979,3 +979,93 @@ def decontaminate(
         F.coalesce("n_bench_examples_hit", F.lit(0)).cast("long")
         .alias("n_bench_examples_hit"),
     )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    token_budget: int | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source (the
+    multilingual/multi-domain sampling rule of Lample & Conneau 2019,
+    used by the Pile/Llama mixtures): ``w_i ∝ p_i^alpha`` where ``p_i``
+    is a source's natural token share — ``alpha < 1`` up-weights small
+    sources, ``alpha = 1`` is natural sampling.  Token counts use the
+    BPE-proxy pre-tokenizer (:func:`bpe_ish_token_count`).
+
+    With ``token_budget`` set, adds each source's target token count and
+    ``rate`` = target/natural tokens — the per-source sampling rate
+    (epochs; > 1 means oversampling) consumed by
+    :func:`mixture_sample`.
+
+    Plan shape: one map-side-combined aggregate to (source, n_tokens) —
+    sources number in the hundreds, so everything after the agg is
+    broadcast-sized arithmetic.
+    """
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(pieces)).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(float(alpha)))).alias("_powsum"),
+    )
+    out = (
+        per_source.crossJoin(F.broadcast(tot))
+        .withColumn("nat_frac", F.col("n_tokens") / F.col("_tot"))
+        # p_i^a / sum p_j^a == n_i^a / sum n_j^a (the 1/tot^a cancels)
+        .withColumn(
+            "weight", F.pow(F.col("n_tokens"), F.lit(float(alpha))) / F.col("_powsum")
+        )
+    )
+    if token_budget is not None:
+        out = out.withColumn(
+            "target_tokens", F.col("weight") * F.lit(float(token_budget))
+        ).withColumn("rate", F.col("target_tokens") / F.col("n_tokens"))
+    return out.drop("_tot", "_powsum")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "afspark-mix",
+) -> DataFrame:
+    """Act on a data mixture: emit each doc ``n_copies`` times in
+    expectation of its source's ``rate`` (from
+    :func:`source_mixture_weights` with a ``token_budget``).
+
+    ``n_copies = floor(rate) + [idhash mod 1e6 < frac(rate)*1e6]`` —
+    every doc of an oversampled source (rate > 1) appears floor(rate)
+    times plus one more for a deterministic id-hash fraction; an
+    undersampled source keeps a rate-sized hash slice.  Pure function of
+    (id, salt): stable across runs/partitionings/engines, and
+    rate-monotone (a bigger budget's sample contains the smaller's).
+
+    Plan shape at 100 TB: the weights side is sources-sized — broadcast
+    — and the keep/copy decision is a map-side expression; NO shuffle,
+    NO window, no per-source sort (the classic skew trap for
+    prefix-sum budget cuts is designed out by sampling on rate instead).
+    Expected token error vs the target is O(sqrt(docs-per-source))
+    tokens — negligible at corpus scale.
+    """
+    rates = weights.select(source_col, "rate")
+    h = F.pmod(_id_hash_head32(id_col, salt), F.lit(1_000_000))
+    whole = F.floor("rate").cast("long")
+    frac = F.col("rate") - F.floor("rate")
+    # floor(x + 0.5): a rate quantized upstream (e.g. to 6 decimals)
+    # yields a threshold stable under last-ulp noise, so the kept row
+    # set is reproducible across engines for the oracle twin
+    thresh = F.floor(frac * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .withColumn("n_copies", whole + (h < thresh).cast("long"))
+        .filter(F.col("n_copies") >= 1)
+        .drop("rate")
+    )

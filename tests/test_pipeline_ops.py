@@ -1243,3 +1243,47 @@ def test_cluster_survivors_argmax_and_singletons(spark):
     # combinable aggregates only — the adversarial mega-cluster guard)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_mixture_weights_and_sample(spark, docs):
+    w = text.source_mixture_weights(docs, alpha=0.5, token_budget=10_000)
+    pw = w.toPandas()
+    assert abs(pw["weight"].sum() - 1.0) < 1e-9
+    assert abs(pw["nat_frac"].sum() - 1.0) < 1e-9
+    # alpha=1 is natural sampling: weight == nat_frac
+    p1 = text.source_mixture_weights(docs, alpha=1.0).toPandas()
+    assert np.allclose(p1["weight"], p1["nat_frac"])
+    # alpha<1 strictly up-weights the smallest source relative to natural
+    smallest = pw.loc[pw["n_tokens"].idxmin()]
+    assert smallest["weight"] > smallest["nat_frac"]
+    # total target mass == the budget
+    assert abs(pw["target_tokens"].sum() - 10_000) < 1e-6
+
+    base = docs.select("doc_id", "source")
+    s_small = text.mixture_sample(base, w).toPandas()
+    # every source's expected emitted rows ~ rate * n_docs; exactness on
+    # the deterministic hash means repeat runs are identical
+    s_again = text.mixture_sample(base, w).toPandas()
+    pd.testing.assert_frame_equal(
+        s_small.sort_values("doc_id").reset_index(drop=True),
+        s_again.sort_values("doc_id").reset_index(drop=True),
+    )
+    # rate-monotonicity: a larger budget's kept-doc set contains the
+    # smaller's, and per-doc copies never decrease
+    w_big = text.source_mixture_weights(docs, alpha=0.5, token_budget=40_000)
+    s_big = text.mixture_sample(base, w_big).toPandas()
+    small_copies = dict(zip(s_small["doc_id"], s_small["n_copies"]))
+    big_copies = dict(zip(s_big["doc_id"], s_big["n_copies"]))
+    assert set(small_copies) <= set(big_copies)
+    assert all(big_copies[d] >= c for d, c in small_copies.items())
+    # oversampled source (rate > 1) duplicates every doc
+    rates = dict(zip(w_big.toPandas()["source"], w_big.toPandas()["rate"]))
+    over = [s for s, r in rates.items() if r >= 2]
+    for s in over:
+        sub = s_big[s_big["source"] == s]
+        assert (sub["n_copies"] >= 2).all()
+
+    # plan: weights enter broadcast; no SortMergeJoin / Window anywhere
+    plan = text.mixture_sample(base, w)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
