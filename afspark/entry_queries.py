@@ -6550,6 +6550,122 @@ SQL_MIXTURE_SAMPLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# end-to-end training-corpus manifest (the full LLM-data pipeline, one plan)
+# ---------------------------------------------------------------------------
+
+def q_training_corpus_manifest(spark, sf_dir):
+    """The whole pretraining-data pipeline as ONE declarative plan:
+    quality gate (>= 0.6) -> exact dedup (min-id per md5 text) ->
+    benchmark decontamination (drop any doc sharing a 13-gram with the
+    planted eval set) -> temperature mixture sample (alpha=0.5, 30k
+    token budget).  Per-source manifest stats out; every stage is the
+    already-certified operator, so this row certifies their
+    COMPOSITION — the thing a real corpus build actually runs."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import (
+        decontaminate,
+        mixture_sample,
+        quality_features,
+        source_mixture_weights,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    gate = quality_features(docs).filter(F.col("quality") >= 0.6).select("doc_id")
+    kept = exact_dedup(docs.join(gate, "doc_id"))
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 4, 13)).alias("text"),
+    )
+    flags = decontaminate(kept, bench, n=13, hash_mode="md5")
+    clean = kept.join(
+        flags.filter(F.col("n_contaminated") == 0).select("doc_id"), "doc_id"
+    )
+
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    w = source_mixture_weights(clean, alpha=0.5, token_budget=30_000)
+    w6 = w.withColumn("rate", F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6)
+    sampled = mixture_sample(
+        clean.select("doc_id", "source", F.size(pieces).alias("nt")), w6
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_copies").cast("long").alias("n_rows_emitted"),
+        F.sum(F.col("n_copies") * F.col("nt")).cast("long").alias("tokens_emitted"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_TRAINING_MANIFEST = r"""
+    WITH gated AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+      WHERE least(length(text)/500.0, 1.0)*0.5
+            + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     *1.0/length(text))*0.3
+            + least((length(regexp_replace(text, '[^ ]', '', 'g')) + 1)
+                    /100.0, 1.0)*0.2 >= 0.6
+    ), kept AS (
+      SELECT doc_id, source, text FROM gated WHERE rn = 1
+    ), knorm AS (
+      SELECT doc_id, source, text,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                              'g')), ' ') AS ts
+      FROM kept
+    ), bnorm AS (
+      SELECT doc_id AS bench_id,
+             (string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                               ' ', 'g')), ' '))[4:16] AS ts
+      FROM documents WHERE doc_id % 7 = 0
+    ), bg AS (
+      SELECT DISTINCT md5(array_to_string(ts, ' ')) AS fp
+      FROM bnorm WHERE len(ts) >= 13
+    ), dw AS (
+      SELECT doc_id, md5(array_to_string(ts[i:i+12], ' ')) AS fp
+      FROM knorm, unnest(generate_series(1, len(ts) - 12)) AS u(i)
+      WHERE len(ts) >= 13
+    ), dirty AS (
+      SELECT DISTINCT doc_id FROM dw JOIN bg USING (fp)
+    ), clean AS (
+      SELECT k.doc_id, k.source,
+             len(regexp_extract_all(k.text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt
+      FROM kept k ANTI JOIN dirty USING (doc_id)
+    ), per_source AS (
+      SELECT source, sum(nt)::BIGINT AS n_tokens FROM clean GROUP BY 1
+    ), tot AS (
+      SELECT sum(pow(n_tokens, 0.5)) AS ps FROM per_source
+    ), w6 AS (
+      SELECT source,
+             floor((pow(n_tokens, 0.5)/ps) * 30000.0 / n_tokens
+                   * 1000000.0 + 0.5)/1000000.0 AS rate
+      FROM per_source CROSS JOIN tot
+    ), dec AS (
+      SELECT c.doc_id, c.source, c.nt,
+             CAST(floor(w6.rate) AS BIGINT)
+             + CASE WHEN
+                 (STRPOS_HEAD32) % 1000000
+                 < CAST(floor((w6.rate - floor(w6.rate))*1000000.0 + 0.5)
+                        AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+      FROM clean c JOIN w6 USING (source)
+    )
+    SELECT source, count(*)::BIGINT AS n_docs_kept,
+           sum(n_copies)::BIGINT AS n_rows_emitted,
+           sum(n_copies * nt)::BIGINT AS tokens_emitted,
+           min(doc_id) AS first_doc
+    FROM dec WHERE n_copies >= 1 GROUP BY source
+""".replace(
+    "STRPOS_HEAD32",
+    _md5_head32_sql("'afspark-mix:' || CAST(c.doc_id AS VARCHAR)"),
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6558,6 +6674,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "neardup_survivors": (q_neardup_survivors, SQL_NEARDUP_SURVIVORS),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "mixture_sample_budget": (q_mixture_sample_budget, SQL_MIXTURE_SAMPLE),
+    "training_corpus_manifest": (
+        q_training_corpus_manifest,
+        SQL_TRAINING_MANIFEST,
+    ),
     # round-5 additions lead: never driver-certified, so the rotation
     # below keeps them inside the snapshot's first-50 window
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),

@@ -1287,3 +1287,24 @@ def test_mixture_weights_and_sample(spark, docs):
     plan = text.mixture_sample(base, w)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_training_manifest_composition_plan(spark, sf_dir):
+    """The end-to-end corpus pipeline must stay a single sane plan: no
+    cartesian product, the benchmark gram join broadcast, and the
+    mixture stage window-free (the only window is exact-dedup's
+    per-md5-group row_number)."""
+    from afspark.entry_queries import q_training_corpus_manifest
+
+    df = q_training_corpus_manifest(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    fp_joins = [
+        ln for ln in plan.splitlines()
+        if ("Join" in ln or "join" in ln) and "[fp#" in ln
+    ]
+    assert fp_joins and all("BroadcastHashJoin" in ln for ln in fp_joins)
+    # sanity: every source survives with positive token mass at sf0.001+
+    pdf = df.toPandas()
+    assert (pdf["tokens_emitted"] > 0).all()
+    assert (pdf["n_rows_emitted"] >= pdf["n_docs_kept"]).all()
