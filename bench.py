@@ -240,6 +240,13 @@ def main() -> None:
                 F.sum("n_tokens_removed")
             ).collect()
 
+        with timed("q_corpus_manifest"):
+            # the end-to-end corpus build: gate -> exact dedup ->
+            # 13-gram decontamination -> temperature mixture sample
+            from afspark.entry_queries import q_training_corpus_manifest
+
+            q_training_corpus_manifest(spark, sf_dir).count()
+
     # re-probe BETWEEN reps: the host can collapse mid-run after a healthy
     # pre-run probe (observed: derive 33 s / minhash 22 s in a run whose
     # start probe read 5.4 GB/s), so the rep count extends to 3 whenever
