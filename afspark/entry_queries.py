@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .entry_goldens import GOLDEN_SQL
+from .operators.text import BPE_PIECES_RE
 from .operators.hdrsketch import MAX_SCALED
 from .functions import kernels as K
 from .operators.gapfill import gapfill
@@ -1111,11 +1112,11 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
-SQL_BPE_TOKENS = r"""
+SQL_BPE_TOKENS = rf"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '{BPE_PIECES_RE}')) AS n_bpe_tokens,
            floor((length(text)*1.0
-                  / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1))
+                  / greatest(len(regexp_extract_all(text, '{BPE_PIECES_RE}')), 1))
                  *1000000.0 + 0.5)/1000000.0 AS cpt
     FROM documents
 """
@@ -6445,6 +6446,7 @@ SQL_NEARDUP_SURVIVORS = f"""
 # ---------------------------------------------------------------------------
 
 _MIX_BUDGET = 50_000  # token budget for the mixture rows (fixed, sf-agnostic)
+_MANIFEST_BUDGET = 30_000  # token budget for the end-to-end manifest row
 
 
 def q_mixture_weights(spark, sf_dir):
@@ -6478,9 +6480,7 @@ def q_mixture_sample_budget(spark, sf_dir):
     from .operators.text import mixture_sample, source_mixture_weights
 
     docs = _read(spark, sf_dir, "documents")
-    pieces = F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-    )
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECES_RE), 0)
     w = source_mixture_weights(docs, alpha=0.5, token_budget=_MIX_BUDGET)
     w6 = w.withColumn(
         "rate", F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6
@@ -6495,11 +6495,13 @@ def q_mixture_sample_budget(spark, sf_dir):
     )
 
 
-_SQL_MIX_W = r"""
+# NOTE rf-string: the Spark side reads _MIX_BUDGET / BPE_PIECES_RE from the
+# same constants, so retuning either cannot silently break oracle parity.
+_SQL_MIX_W = rf"""
     per_doc AS (
       SELECT doc_id, source,
              len(regexp_extract_all(text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt
+                 '{BPE_PIECES_RE}')) AS nt
       FROM documents
     ), per_source AS (
       SELECT source, count(*)::BIGINT AS n_docs,
@@ -6512,8 +6514,8 @@ _SQL_MIX_W = r"""
       SELECT source, n_docs, n_tokens,
              n_tokens*1.0/t AS nat_frac,
              pow(n_tokens, 0.5)/ps AS weight,
-             (pow(n_tokens, 0.5)/ps) * 50000.0 AS target_tokens,
-             (pow(n_tokens, 0.5)/ps) * 50000.0 / n_tokens AS rate
+             (pow(n_tokens, 0.5)/ps) * {float(_MIX_BUDGET)} AS target_tokens,
+             (pow(n_tokens, 0.5)/ps) * {float(_MIX_BUDGET)} / n_tokens AS rate
       FROM per_source CROSS JOIN tot
     )
 """
@@ -6583,10 +6585,8 @@ def q_training_corpus_manifest(spark, sf_dir):
         flags.filter(F.col("n_contaminated") == 0).select("doc_id"), "doc_id"
     )
 
-    pieces = F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-    )
-    w = source_mixture_weights(clean, alpha=0.5, token_budget=30_000)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECES_RE), 0)
+    w = source_mixture_weights(clean, alpha=0.5, token_budget=_MANIFEST_BUDGET)
     w6 = w.withColumn("rate", F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6)
     sampled = mixture_sample(
         clean.select("doc_id", "source", F.size(pieces).alias("nt")), w6
@@ -6599,7 +6599,7 @@ def q_training_corpus_manifest(spark, sf_dir):
     )
 
 
-SQL_TRAINING_MANIFEST = r"""
+SQL_TRAINING_MANIFEST = rf"""
     WITH gated AS (
       SELECT doc_id, source, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -6633,7 +6633,7 @@ SQL_TRAINING_MANIFEST = r"""
     ), clean AS (
       SELECT k.doc_id, k.source,
              len(regexp_extract_all(k.text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt
+                 '{BPE_PIECES_RE}')) AS nt
       FROM kept k ANTI JOIN dirty USING (doc_id)
     ), per_source AS (
       SELECT source, sum(nt)::BIGINT AS n_tokens FROM clean GROUP BY 1
@@ -6641,7 +6641,7 @@ SQL_TRAINING_MANIFEST = r"""
       SELECT sum(pow(n_tokens, 0.5)) AS ps FROM per_source
     ), w6 AS (
       SELECT source,
-             floor((pow(n_tokens, 0.5)/ps) * 30000.0 / n_tokens
+             floor((pow(n_tokens, 0.5)/ps) * {float(_MANIFEST_BUDGET)} / n_tokens
                    * 1000000.0 + 0.5)/1000000.0 AS rate
       FROM per_source CROSS JOIN tot
     ), dec AS (

@@ -1027,9 +1027,14 @@ def cluster_survivors(
     kept_members = docs.join(
         best.select(id_col, "cluster_id", "cluster_size"), id_col
     )
+    # A singleton's cluster_id is its own id, cast to the MEMBER path's
+    # cluster_id dtype (whatever connected_components emitted for this id
+    # type) — a hardcoded cast("long") would turn string ids into NULLs
+    # and collapse every singleton into one NULL cluster downstream.
+    cid_type = dict(kept_members.dtypes)["cluster_id"]
     singletons = docs.join(member_ids, id_col, "left_anti").select(
         "*",
-        F.col(id_col).cast("long").alias("cluster_id"),
+        F.col(id_col).cast(cid_type).alias("cluster_id"),
         F.lit(1).cast("long").alias("cluster_size"),
     )
     return kept_members.unionByName(singletons)

@@ -11,6 +11,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+# BPE-proxy pre-tokenizer (letter runs, digit runs, single punctuation —
+# the GPT-2-style pre-tokenizer shape).  ONE definition: token counting,
+# mixture weights, mixture sampling and the corpus job must tokenize
+# identically or token budgets silently stop matching the weights.  The
+# DuckDB oracle twins in entry_queries.py interpolate this same constant.
+BPE_PIECES_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
 # Tiny built-in stopword lists for the n-gram/stopword language heuristic.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
@@ -98,9 +105,7 @@ def bpe_ish_token_count(docs: DataFrame, text_col: str = "text", id_col: str = "
     the standard pre-tokenizer shape — as a deterministic proxy for LLM
     token counting without a tokenizer library.
     """
-    pieces = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-    )
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECES_RE), 0)
     return docs.select(
         id_col,
         F.size(pieces).cast("long").alias("n_bpe_tokens"),
@@ -900,15 +905,63 @@ def pmi_bigrams(
     ).limit(k)
 
 
+def _decontam_norm(col: str) -> Column:
+    """Shared canonicalization for decontamination: lowercase,
+    non-alphanumeric runs collapsed to single spaces."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " "))
+
+
+def _token_grams(frame, norm, out_id, in_id, with_pos, n, hash_mode):
+    """Every n-token window of ``norm`` as (id[, pos], fp)."""
+    toks = frame.select(F.col(in_id).alias(out_id), F.split(norm, " ").alias("ts"))
+    starts = F.when(
+        F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    win = toks.select(out_id, F.explode(starts).alias("pos"), "ts")
+    ws = F.concat_ws(" ", F.slice(F.col("ts"), F.col("pos") + 1, n))
+    fp = F.md5(ws) if hash_mode == "md5" else F.xxhash64(ws)
+    cols = [out_id, "pos", fp.alias("fp")] if with_pos else [out_id, fp.alias("fp")]
+    return win.select(*cols)
+
+
+def benchmark_grams(
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Distinct (bench_id, fp) ``n``-gram set of an eval suite — the
+    broadcast side of :func:`decontaminate`.
+
+    Build this ONCE (persist + materialize) when decontaminating many
+    document batches against the same eval suite — e.g. the corpus job's
+    per-resume-shard passes — instead of letting each call re-read and
+    re-explode the benchmark.  ``n`` and ``hash_mode`` must match the
+    ``decontaminate`` call it is passed to (document-side windows are
+    hashed the same way or nothing joins).
+    """
+    return _token_grams(
+        benchmark,
+        _decontam_norm(bench_text_col),
+        "bench_id",
+        bench_id_col,
+        with_pos=False,
+        n=n,
+        hash_mode=hash_mode,
+    ).distinct()
+
+
 def decontaminate(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     bench_id_col: str = "bench_id",
     n: int = 13,
     hash_mode: str = "xxhash64",
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs that overlap an
     eval set by any shared ``n``-token gram (Brown et al. 2020 GPT-3
@@ -935,30 +988,21 @@ def decontaminate(
     aggregate (map-side combined), and clean docs take a join-free
     arithmetic pass (n_windows from token count).  Shuffle volume is
     proportional to the CONTAMINATION, not the corpus.
+
+    ``bench_grams`` short-circuits the benchmark side with a precomputed
+    :func:`benchmark_grams` frame (same ``n``/``hash_mode``) so repeated
+    calls against one eval suite don't rebuild its gram pipeline.
     """
-    norm_doc = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    norm_doc = _decontam_norm(text_col)
+    if bench_grams is None:
+        if benchmark is None:
+            raise ValueError("decontaminate needs benchmark or bench_grams")
+        bench_grams = benchmark_grams(
+            benchmark, bench_text_col, bench_id_col, n=n, hash_mode=hash_mode
+        )
+    doc_wins = _token_grams(
+        docs, norm_doc, "id", id_col, with_pos=True, n=n, hash_mode=hash_mode
     )
-    norm_bench = F.trim(
-        F.regexp_replace(F.lower(F.col(bench_text_col)), "[^a-z0-9]+", " ")
-    )
-
-    def _grams(frame, norm, out_id, in_id, with_pos):
-        toks = frame.select(F.col(in_id).alias(out_id), F.split(norm, " ").alias("ts"))
-        starts = F.when(
-            F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
-        ).otherwise(F.array().cast("array<int>"))
-        win = toks.select(out_id, F.explode(starts).alias("pos"), "ts")
-        ws = F.concat_ws(" ", F.slice(F.col("ts"), F.col("pos") + 1, n))
-        fp = F.md5(ws) if hash_mode == "md5" else F.xxhash64(ws)
-        cols = [out_id, "pos", fp.alias("fp")] if with_pos else [out_id, fp.alias("fp")]
-        return win.select(*cols)
-
-    bench_grams = (
-        _grams(benchmark, norm_bench, "bench_id", bench_id_col, with_pos=False)
-        .distinct()
-    )
-    doc_wins = _grams(docs, norm_doc, "id", id_col, with_pos=True)
     hits = doc_wins.join(F.broadcast(bench_grams), "fp").groupBy("id").agg(
         F.countDistinct("pos").alias("n_contaminated"),
         F.countDistinct("bench_id").alias("n_bench_examples_hit"),
@@ -1004,9 +1048,7 @@ def source_mixture_weights(
     sources number in the hundreds, so everything after the agg is
     broadcast-sized arithmetic.
     """
-    pieces = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-    )
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECES_RE), 0)
     per_source = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(pieces)).cast("long").alias("n_tokens"),

@@ -84,11 +84,14 @@ def run_resumable(
     out_path: str,
     log: CheckpointLog,
     fingerprint_fn=None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Process partitions idempotently; skip ones already in the log.
 
     ``process_fn(partition_key) -> DataFrame`` produces that partition's
-    output, written to ``{out_path}/part_key={key}``.  Returns run stats
+    output, written to ``{out_path}/part_key={key}`` (hive-partitioned
+    further by ``partition_by`` columns when given, so downstream readers
+    can partition-prune inside a unit).  Returns run stats
     {"processed": [...], "skipped": [...]}.
     """
     done = log.completed(stage)
@@ -101,7 +104,10 @@ def run_resumable(
         t0 = time.time()
         df = process_fn(key)
         target = f"{out_path}/part_key={key}"
-        df.write.mode("overwrite").parquet(target)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
         n = spark.read.parquet(target).count()
         fp = fingerprint_fn(key) if fingerprint_fn else ""
         log.record(stage, key, n, int((time.time() - t0) * 1000), fp, run_id)

@@ -15,25 +15,44 @@ text, mod --units), not row ranges — every copy of a duplicated text
 lands in the same shard, so exact dedup inside a shard is globally
 complete with no cross-unit coordination, and a killed job redoes only
 the shard in flight (the write + CheckpointLog row form an idempotent
-pair, exactly rollup_job's contract).  Quality gating and
-decontamination are per-doc (stateless), so they ride inside the same
-shard pass; the benchmark gram set is eval-suite-sized and built once,
-broadcast into every unit.  The mixture stage is one final unit: it
-needs the GLOBAL per-source token mass (a sources-sized aggregate of
-the committed kept-store — cheap), then the rate-based sample is again
-a stateless map over the kept-store (operators/text.py
-mixture_sample: no shuffle, no prefix-sum skew).
+pair, exactly rollup_job's contract).
+
+Scan discipline: a text-hash predicate cannot prune a parquet scan, so
+a stage-0 pre-pass writes the corpus ONCE, hive-partitioned by shard id
+(`sharded-n{units}/shard=K/`).  Each kept unit then reads only its own
+shard directory (partition-pruned), making a full run exactly two
+corpus reads (one to shard, one shard-sliced) instead of --units full
+scans, and a resume re-reads only the uncommitted shard slices.  The
+sharded store depends only on --units, so re-runs with a different
+quality gate reuse it.
+
+Resume-key safety: CheckpointLog matches completion rows by (stage,
+partition_key) STRING, so a key must never mean different data across
+runs.  Every parameter that changes a unit's content (--units,
+--min-quality, --ngram, --benchmark; --alpha/--token-budget for the
+mixture stages) is folded into a config tag that scopes both the stage
+names and the store directories — rerunning with different parameters
+starts a cleanly separated store instead of silently mixing shard
+layouts (the half-committed --units 8 resume-as---units 4 corruption).
+
+Quality gating and decontamination are per-doc (stateless), so they
+ride inside the same shard pass; the benchmark gram set is
+eval-suite-sized, built ONCE (persisted) and broadcast into every unit.
+The mixture stage needs the GLOBAL per-source token mass — computed
+once, persisted (sources-sized) — then the rate-based sample is a
+stateless map over the kept-store (operators/text.py mixture_sample:
+no shuffle, no prefix-sum skew) and the manifest aggregates the
+WRITTEN sample store rather than re-running the sample pipeline.
 
 At 100 TB: shard count scales with the corpus (--units ~ corpus_bytes /
-executor-comfortable-bytes); each shard pass reads only its hash slice
-(one scan total across all units per run — resume re-reads only
-uncommitted slices), and no stage ever materializes an unbounded
+executor-comfortable-bytes); no stage ever materializes an unbounded
 per-key state.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 import sys
 
@@ -44,6 +63,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from afspark.operators.dedup import exact_dedup  # noqa: E402
 from afspark.operators.text import (  # noqa: E402
+    BPE_PIECES_RE,
+    benchmark_grams,
     decontaminate,
     mixture_sample,
     quality_features,
@@ -61,43 +82,58 @@ def _text_shard(text_col: str, n_units: int):
     )
 
 
+def _tag(*parts) -> str:
+    """8-hex config fingerprint scoping stage names + store dirs."""
+    return hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()[:8]
+
+
 def build_kept_unit(
-    docs: DataFrame,
-    unit: int,
-    n_units: int,
-    benchmark: DataFrame | None,
+    shard_docs: DataFrame,
     min_quality: float,
     ngram: int,
+    benchmark: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
-    """One shard's kept documents: gate -> dedup -> decontaminate."""
-    shard = docs.filter(_text_shard("text", n_units) == unit)
+    """One shard's kept documents: gate -> dedup -> decontaminate.
+
+    ``shard_docs`` is the already-sliced shard (the job reads one
+    `shard=K` partition dir; tests may filter with :func:`_text_shard`).
+    Pass ``bench_grams`` (a persisted :func:`benchmark_grams` frame) to
+    share one gram build across every unit of a run.
+    """
     gate = (
-        quality_features(shard)
+        quality_features(shard_docs)
         .filter(F.col("quality") >= min_quality)
         .select("doc_id")
     )
-    kept = exact_dedup(shard.join(gate, "doc_id"))
-    if benchmark is not None:
-        flags = decontaminate(kept, benchmark, n=ngram)
+    kept = exact_dedup(shard_docs.join(gate, "doc_id"))
+    if benchmark is not None or bench_grams is not None:
+        flags = decontaminate(kept, benchmark, n=ngram, bench_grams=bench_grams)
         kept = kept.join(
             flags.filter(F.col("n_contaminated") == 0).select("doc_id"), "doc_id"
         )
     return kept
 
 
-def mixture_stage(
-    kept: DataFrame, alpha: float, token_budget: int
-) -> tuple[DataFrame, DataFrame]:
-    """(per-source manifest, per-doc sample) from the committed kept-store."""
-    pieces = F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-    )
+def mixture_rates(kept: DataFrame, alpha: float, token_budget: int) -> DataFrame:
+    """Per-source weights with the engine's 6dp-quantized sampling rate
+    (sources-sized — persist it; both the sample and the manifest join it)."""
     w = source_mixture_weights(kept, alpha=alpha, token_budget=token_budget)
-    w6 = w.withColumn("rate", F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6)
-    sample = mixture_sample(
-        kept.select("doc_id", "source", F.size(pieces).alias("nt")), w6
-    )
-    manifest = (
+    return w.withColumn("rate", F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6)
+
+
+def mixture_sample_rows(kept: DataFrame, rates: DataFrame) -> DataFrame:
+    """Per-doc sample rows (doc_id, source, nt, n_copies) — nt rides
+    along so the manifest can aggregate the WRITTEN sample store."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECES_RE), 0)
+    return mixture_sample(
+        kept.select("doc_id", "source", F.size(pieces).alias("nt")), rates
+    ).select("doc_id", "source", "nt", "n_copies")
+
+
+def manifest_from_sample(sample: DataFrame, rates: DataFrame) -> DataFrame:
+    """Per-source manifest from (already-materialized) sample rows."""
+    return (
         sample.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_kept"),
@@ -106,9 +142,20 @@ def mixture_stage(
                 "tokens_emitted"
             ),
         )
-        .join(w6.select("source", "n_docs", "n_tokens", "rate"), "source")
+        .join(rates.select("source", "n_docs", "n_tokens", "rate"), "source")
     )
-    return manifest, sample.select("doc_id", "source", "n_copies")
+
+
+def mixture_stage(
+    kept: DataFrame, alpha: float, token_budget: int
+) -> tuple[DataFrame, DataFrame]:
+    """(per-source manifest, per-doc sample) from the committed
+    kept-store — the single-call composition of the helpers above.  The
+    job itself persists the rates and derives the manifest from the
+    written sample store instead (one kept-scan fewer)."""
+    rates = mixture_rates(kept, alpha, token_budget)
+    sample = mixture_sample_rows(kept, rates)
+    return manifest_from_sample(sample, rates), sample
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -133,34 +180,74 @@ def main(argv: list[str] | None = None) -> None:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     log = CheckpointLog(spark, args.checkpoint)
 
+    # stage 0: ONE full corpus scan, written hash-partitioned by shard id
+    # (depends only on --units — reused by re-runs with other gates)
+    shard_root = f"{args.out}/sharded-n{args.units:06d}"
+    s0 = run_resumable(
+        spark,
+        stage=f"shard-n{args.units:06d}",
+        partition_keys=["all"],
+        process_fn=lambda _k: docs.withColumn(
+            "shard", _text_shard("text", args.units)
+        ),
+        out_path=shard_root,
+        log=log,
+        partition_by=["shard"],
+    )
+    sharded = spark.read.parquet(f"{shard_root}/part_key=all")
+    print(f"shard: processed={s0['processed']} skipped={s0['skipped']}")
+
+    grams = None
+    if bench is not None:
+        # eval-suite-sized; build + materialize ONCE, broadcast per unit
+        grams = benchmark_grams(bench, n=args.ngram).persist()
+        grams.count()
+
+    cfg = _tag(args.units, args.min_quality, args.ngram, args.benchmark or "")
     stats = run_resumable(
         spark,
-        stage="kept",
+        stage=f"kept-{cfg}",
         partition_keys=[f"u{u:06d}" for u in range(args.units)],
         process_fn=lambda key: build_kept_unit(
-            docs, int(key[1:]), args.units, bench, args.min_quality, args.ngram
+            sharded.filter(F.col("shard") == int(key[1:])).drop("shard"),
+            args.min_quality,
+            args.ngram,
+            bench_grams=grams,
         ),
-        out_path=f"{args.out}/kept",
+        out_path=f"{args.out}/kept-{cfg}",
         log=log,
     )
-    print(f"kept: {len(stats['processed'])} units processed, "
+    print(f"kept[{cfg}]: {len(stats['processed'])} units processed, "
           f"{len(stats['skipped'])} skipped (resume)")
+    if grams is not None:
+        grams.unpersist()
 
     if args.token_budget is not None:
-        kept = spark.read.parquet(f"{args.out}/kept")
-        for name, frame in zip(
-            ("manifest", "sample"),
-            mixture_stage(kept, args.alpha, args.token_budget),
-        ):
-            s = run_resumable(
-                spark,
-                stage=name,
-                partition_keys=["all"],
-                process_fn=lambda _k, f=frame: f,
-                out_path=f"{args.out}/{name}",
-                log=log,
-            )
-            print(f"{name}: processed={s['processed']} skipped={s['skipped']}")
+        mix = _tag(cfg, args.alpha, args.token_budget)
+        kept = spark.read.parquet(f"{args.out}/kept-{cfg}")
+        rates = mixture_rates(kept, args.alpha, args.token_budget).persist()
+        s1 = run_resumable(
+            spark,
+            stage=f"sample-{mix}",
+            partition_keys=["all"],
+            process_fn=lambda _k: mixture_sample_rows(kept, rates),
+            out_path=f"{args.out}/sample-{mix}",
+            log=log,
+        )
+        print(f"sample[{mix}]: processed={s1['processed']} skipped={s1['skipped']}")
+        # manifest aggregates the WRITTEN sample rows — no second run of
+        # the weights+sample pipeline over the kept-store
+        sample = spark.read.parquet(f"{args.out}/sample-{mix}")
+        s2 = run_resumable(
+            spark,
+            stage=f"manifest-{mix}",
+            partition_keys=["all"],
+            process_fn=lambda _k: manifest_from_sample(sample, rates),
+            out_path=f"{args.out}/manifest-{mix}",
+            log=log,
+        )
+        print(f"manifest[{mix}]: processed={s2['processed']} skipped={s2['skipped']}")
+        rates.unpersist()
 
     log.metrics().orderBy("committed_at").show(50, truncate=False)
 

@@ -1,6 +1,7 @@
 """The spark-submit corpus-build job (jobs/corpus_job.py): text-hash
 shard units equal the single-pass pipeline, resume skips committed
-shards, and the mixture stage reproduces the certified operators."""
+shards, parameter changes scope to fresh stores instead of mixing, and
+the mixture stage reproduces the certified operators."""
 
 import os
 import sys
@@ -11,9 +12,14 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from afspark.operators.dedup import exact_dedup
-from afspark.operators.text import decontaminate, quality_features
+from afspark.operators.text import benchmark_grams, decontaminate, quality_features
 from afspark.streaming.checkpoint import CheckpointLog, run_resumable
-from jobs.corpus_job import _text_shard, build_kept_unit, mixture_stage
+from jobs.corpus_job import (
+    _text_shard,
+    build_kept_unit,
+    main,
+    mixture_stage,
+)
 
 N_UNITS = 4
 MIN_Q = 0.6
@@ -39,13 +45,20 @@ def bench(spark, docs):
 def test_shard_units_equal_single_pass(spark, docs, bench):
     """Union of per-shard kept sets == gate->dedup->decontaminate run in
     one pass: text-hash sharding makes per-shard dedup globally
-    complete, and duplicated texts land in exactly one shard."""
+    complete, and duplicated texts land in exactly one shard.  Units use
+    the job's shared-gram path (benchmark grams built once)."""
     # plant exact duplicates ACROSS the doc_id space: same text, new ids
     dup = docs.limit(12).withColumn("doc_id", F.col("doc_id") + 700_000)
     corpus = docs.unionByName(dup)
 
+    grams = benchmark_grams(bench, n=13).persist()
     parts = [
-        build_kept_unit(corpus, u, N_UNITS, bench, MIN_Q, 13)
+        build_kept_unit(
+            corpus.filter(_text_shard("text", N_UNITS) == u),
+            MIN_Q,
+            13,
+            bench_grams=grams,
+        )
         for u in range(N_UNITS)
     ]
     got = parts[0]
@@ -63,11 +76,29 @@ def test_shard_units_equal_single_pass(spark, docs, bench):
 
     g = {r.doc_id for r in got.select("doc_id").collect()}
     w = {r.doc_id for r in want.select("doc_id").collect()}
+    grams.unpersist()
     assert g == w
     # every planted duplicate was deduped away (min-id keeper survives)
     assert not {d for d in g if d >= 700_000}
     # shards partition the kept set: no doc appears in two shards
     assert got.count() == len(g)
+
+
+def test_precomputed_grams_equal_inline_benchmark(spark, docs, bench):
+    """decontaminate(bench_grams=...) is the same operator as
+    decontaminate(benchmark=...) — the corpus job's build-once path
+    cannot drift from the certified inline path."""
+    base = docs.limit(40)
+    inline = decontaminate(base, bench, n=13).toPandas().set_index("doc_id")
+    grams = benchmark_grams(bench, n=13)
+    pre = (
+        decontaminate(base, None, n=13, bench_grams=grams)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert inline.sort_index().equals(pre.sort_index())
+    with pytest.raises(ValueError, match="benchmark or bench_grams"):
+        decontaminate(base, None, n=13)
 
 
 def test_shard_assignment_is_text_pure(spark):
@@ -98,7 +129,10 @@ def test_resume_skips_committed_shards(spark, docs, bench, tmp_path):
             stage="kept",
             partition_keys=keys,
             process_fn=lambda key: build_kept_unit(
-                docs, int(key[1:]), N_UNITS, bench, MIN_Q, 13
+                docs.filter(_text_shard("text", N_UNITS) == int(key[1:])),
+                MIN_Q,
+                13,
+                benchmark=bench,
             ),
             out_path=f"{out}/kept",
             log=log,
@@ -117,3 +151,41 @@ def test_resume_skips_committed_shards(spark, docs, bench, tmp_path):
     assert int(m["n_rows_emitted"].sum()) == int(s["n_copies"].sum())
     assert set(m["source"]) == set(s["source"].unique())
     assert (m["tokens_emitted"] > 0).all()
+
+
+def test_cli_resume_and_param_scoping(spark, sf_dir, tmp_path, capsys):
+    """main() end to end: a re-run with identical args skips every
+    committed unit; a re-run with a different gate lands in a FRESH
+    kept-{cfg} store (old one untouched) while reusing the shard store."""
+    docs_path = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    argv = [
+        "--docs", docs_path, "--out", out, "--checkpoint", ckpt,
+        "--units", "2", "--min-quality", "0.6", "--token-budget", "5000",
+    ]
+    main(argv)
+    first = capsys.readouterr().out
+    assert "2 units processed, 0 skipped" in first
+    assert "sample" in first and "manifest" in first
+    kept_dirs = [d for d in os.listdir(out) if d.startswith("kept-")]
+    assert len(kept_dirs) == 1
+
+    main(argv)  # identical args: everything resumes as skipped
+    second = capsys.readouterr().out
+    assert "0 units processed, 2 skipped" in second
+    assert "processed=[] skipped=['all']" in second  # shard + mixture stages
+
+    # different gate: new kept store, shard store reused, old store intact
+    before = set(os.listdir(f"{out}/{kept_dirs[0]}"))
+    main([a if a != "0.6" else "0.3" for a in argv])
+    third = capsys.readouterr().out
+    assert "2 units processed, 0 skipped" in third
+    assert "shard: processed=[] skipped=['all']" in third  # reused layout
+    assert len([d for d in os.listdir(out) if d.startswith("kept-")]) == 2
+    assert set(os.listdir(f"{out}/{kept_dirs[0]}")) == before
+
+    # sample store carries nt so the manifest aggregates written rows
+    sample_dirs = [d for d in os.listdir(out) if d.startswith("sample-")]
+    cols = set(spark.read.parquet(f"{out}/{sample_dirs[0]}").columns)
+    assert {"doc_id", "source", "nt", "n_copies"} <= cols

@@ -1245,6 +1245,22 @@ def test_cluster_survivors_argmax_and_singletons(spark):
     assert "Window" not in plan
 
 
+def test_cluster_survivors_string_ids(spark):
+    """The API is generic over id_col; a string id (e.g. url) must give
+    singletons their OWN id as cluster_id, not a NULL from a long cast."""
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "url string, quality double"
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "id string, cluster_id string"
+    )
+    out = dedup.cluster_survivors(docs, clusters, score_col="quality", id_col="url")
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {"b", "c"}
+    assert rows["b"]["cluster_id"] == "a" and rows["b"]["cluster_size"] == 2
+    assert rows["c"]["cluster_id"] == "c" and rows["c"]["cluster_size"] == 1
+
+
 def test_mixture_weights_and_sample(spark, docs):
     w = text.source_mixture_weights(docs, alpha=0.5, token_budget=10_000)
     pw = w.toPandas()
