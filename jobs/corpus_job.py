@@ -165,6 +165,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", required=True, help="corpus store root directory")
     ap.add_argument("--checkpoint", required=True, help="lineage+metrics log dir")
     ap.add_argument("--units", type=int, default=64, help="text-hash shard count")
+    ap.add_argument(
+        "--files-per-shard", type=int, default=1,
+        help="parquet files per shard dir in the stage-0 store "
+             "(~ corpus_bytes / units / 128MB at scale)",
+    )
     ap.add_argument("--min-quality", type=float, default=0.6)
     ap.add_argument("--ngram", type=int, default=13, help="decontamination gram")
     ap.add_argument("--alpha", type=float, default=0.5, help="mixture temperature")
@@ -181,15 +186,26 @@ def main(argv: list[str] | None = None) -> None:
     log = CheckpointLog(spark, args.checkpoint)
 
     # stage 0: ONE full corpus scan, written hash-partitioned by shard id
-    # (depends only on --units — reused by re-runs with other gates)
+    # (depends only on --units — reused by re-runs with other gates).
+    # The repartition clusters the write on a two-level (shard, subfile)
+    # key so each output task owns exactly one file of one shard dir:
+    # O(units * files_per_shard) files total, instead of the
+    # O(input_tasks * units) small-file explosion a raw partitionBy
+    # write produces from a wide scan.  The shuffle it costs is the same
+    # data movement that makes every later per-unit read contiguous.
+    fps = max(1, args.files_per_shard)
+
+    def _sharded(_k):
+        with_shard = docs.withColumn("shard", _text_shard("text", args.units))
+        sub = F.pmod(F.xxhash64("doc_id"), F.lit(fps))
+        return with_shard.repartition(args.units * fps, F.col("shard"), sub)
+
     shard_root = f"{args.out}/sharded-n{args.units:06d}"
     s0 = run_resumable(
         spark,
         stage=f"shard-n{args.units:06d}",
         partition_keys=["all"],
-        process_fn=lambda _k: docs.withColumn(
-            "shard", _text_shard("text", args.units)
-        ),
+        process_fn=_sharded,
         out_path=shard_root,
         log=log,
         partition_by=["shard"],

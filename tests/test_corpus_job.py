@@ -189,3 +189,13 @@ def test_cli_resume_and_param_scoping(spark, sf_dir, tmp_path, capsys):
     sample_dirs = [d for d in os.listdir(out) if d.startswith("sample-")]
     cols = set(spark.read.parquet(f"{out}/{sample_dirs[0]}").columns)
     assert {"doc_id", "source", "nt", "n_copies"} <= cols
+
+    # the stage-0 write is clustered: --files-per-shard (default 1)
+    # parquet files per shard dir, not one per input task per shard
+    shard_store = f"{out}/sharded-n000002/part_key=all"
+    for d in sorted(os.listdir(shard_store)):
+        if not d.startswith("shard="):
+            continue
+        files = [f for f in os.listdir(f"{shard_store}/{d}")
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
