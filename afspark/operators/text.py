@@ -1000,6 +1000,18 @@ def decontaminate(
         bench_grams = benchmark_grams(
             benchmark, bench_text_col, bench_id_col, n=n, hash_mode=hash_mode
         )
+    else:
+        # a hash_mode mismatch (md5 grams vs xxhash64 doc windows) would
+        # not error — it would silently flag NOTHING; the fp dtype
+        # (string=md5, bigint=xxhash64) makes the mismatch detectable
+        want = "string" if hash_mode == "md5" else "bigint"
+        got = dict(bench_grams.dtypes).get("fp")
+        if got != want:
+            raise ValueError(
+                f"bench_grams fp dtype {got!r} does not match "
+                f"hash_mode={hash_mode!r} (expected {want!r}); build the "
+                f"gram set with the same hash_mode"
+            )
     doc_wins = _token_grams(
         docs, norm_doc, "id", id_col, with_pos=True, n=n, hash_mode=hash_mode
     )

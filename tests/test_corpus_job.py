@@ -99,6 +99,11 @@ def test_precomputed_grams_equal_inline_benchmark(spark, docs, bench):
     assert inline.sort_index().equals(pre.sort_index())
     with pytest.raises(ValueError, match="benchmark or bench_grams"):
         decontaminate(base, None, n=13)
+    # an md5 gram set fed to an xxhash64 doc pass would silently flag
+    # nothing — the fp dtype mismatch must be rejected loudly
+    md5_grams = benchmark_grams(bench, n=13, hash_mode="md5")
+    with pytest.raises(ValueError, match="hash_mode"):
+        decontaminate(base, None, n=13, bench_grams=md5_grams)
 
 
 def test_shard_assignment_is_text_pure(spark):
