@@ -941,7 +941,7 @@ def benchmark_grams(
     ``decontaminate`` call it is passed to (document-side windows are
     hashed the same way or nothing joins).
     """
-    return _token_grams(
+    grams = _token_grams(
         benchmark,
         _decontam_norm(bench_text_col),
         "bench_id",
@@ -950,6 +950,12 @@ def benchmark_grams(
         n=n,
         hash_mode=hash_mode,
     ).distinct()
+    # stamp the gram length into the fp column's schema metadata so
+    # decontaminate can reject an n mismatch (hash dtype alone cannot
+    # distinguish 10-grams from 13-grams — both join to nothing)
+    return grams.withColumn(
+        "fp", F.col("fp").alias("fp", metadata={"ngram": n})
+    )
 
 
 def decontaminate(
@@ -1001,9 +1007,11 @@ def decontaminate(
             benchmark, bench_text_col, bench_id_col, n=n, hash_mode=hash_mode
         )
     else:
-        # a hash_mode mismatch (md5 grams vs xxhash64 doc windows) would
-        # not error — it would silently flag NOTHING; the fp dtype
-        # (string=md5, bigint=xxhash64) makes the mismatch detectable
+        # a hash_mode or n mismatch between the precomputed grams and the
+        # doc-side windows would not error — it would silently flag
+        # NOTHING.  The fp dtype (string=md5, bigint=xxhash64) and the
+        # ngram schema metadata benchmark_grams stamps make both
+        # mismatches detectable.
         want = "string" if hash_mode == "md5" else "bigint"
         got = dict(bench_grams.dtypes).get("fp")
         if got != want:
@@ -1011,6 +1019,12 @@ def decontaminate(
                 f"bench_grams fp dtype {got!r} does not match "
                 f"hash_mode={hash_mode!r} (expected {want!r}); build the "
                 f"gram set with the same hash_mode"
+            )
+        grams_n = bench_grams.schema["fp"].metadata.get("ngram")
+        if grams_n is not None and grams_n != n:
+            raise ValueError(
+                f"bench_grams were built with n={grams_n} but this call "
+                f"uses n={n}; gram lengths must match or nothing joins"
             )
     doc_wins = _token_grams(
         docs, norm_doc, "id", id_col, with_pos=True, n=n, hash_mode=hash_mode

@@ -19,12 +19,14 @@ pair, exactly rollup_job's contract).
 
 Scan discipline: a text-hash predicate cannot prune a parquet scan, so
 a stage-0 pre-pass writes the corpus ONCE, hive-partitioned by shard id
-(`sharded-n{units}/shard=K/`).  Each kept unit then reads only its own
+(`sharded-{tag}/shard=K/`).  Each kept unit then reads only its own
 shard directory (partition-pruned), making a full run exactly two
 corpus reads (one to shard, one shard-sliced) instead of --units full
 scans, and a resume re-reads only the uncommitted shard slices.  The
-sharded store depends only on --units, so re-runs with a different
-quality gate reuse it.
+sharded store's identity is (--docs, --units, --files-per-shard) —
+re-runs with a different quality gate reuse it, while pointing --docs
+at a different corpus (or re-tuning the layout) re-shards instead of
+silently reusing stale data.
 
 Resume-key safety: CheckpointLog matches completion rows by (stage,
 partition_key) STRING, so a key must never mean different data across
@@ -185,25 +187,29 @@ def main(argv: list[str] | None = None) -> None:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     log = CheckpointLog(spark, args.checkpoint)
 
-    # stage 0: ONE full corpus scan, written hash-partitioned by shard id
-    # (depends only on --units — reused by re-runs with other gates).
-    # The repartition clusters the write on a two-level (shard, subfile)
-    # key so each output task owns exactly one file of one shard dir:
+    # stage 0: ONE full corpus scan, written hash-partitioned by shard id.
+    # The stage identity covers everything that determines the store's
+    # CONTENT AND LAYOUT — the input path (--docs pointed at a new corpus
+    # must re-shard, never silently reuse stale data), --units, and
+    # --files-per-shard (re-tuning the file count must re-cluster).  The
+    # repartition clusters the write on a two-level (shard, subfile) key
+    # so each output task owns exactly one file of one shard dir:
     # O(units * files_per_shard) files total, instead of the
     # O(input_tasks * units) small-file explosion a raw partitionBy
     # write produces from a wide scan.  The shuffle it costs is the same
     # data movement that makes every later per-unit read contiguous.
     fps = max(1, args.files_per_shard)
+    data_tag = _tag(args.docs, args.units, fps)
 
     def _sharded(_k):
         with_shard = docs.withColumn("shard", _text_shard("text", args.units))
         sub = F.pmod(F.xxhash64("doc_id"), F.lit(fps))
         return with_shard.repartition(args.units * fps, F.col("shard"), sub)
 
-    shard_root = f"{args.out}/sharded-n{args.units:06d}"
+    shard_root = f"{args.out}/sharded-{data_tag}"
     s0 = run_resumable(
         spark,
-        stage=f"shard-n{args.units:06d}",
+        stage=f"shard-{data_tag}",
         partition_keys=["all"],
         process_fn=_sharded,
         out_path=shard_root,
@@ -213,17 +219,22 @@ def main(argv: list[str] | None = None) -> None:
     sharded = spark.read.parquet(f"{shard_root}/part_key=all")
     print(f"shard: processed={s0['processed']} skipped={s0['skipped']}")
 
+    cfg = _tag(data_tag, args.min_quality, args.ngram, args.benchmark or "")
+    kept_stage = f"kept-{cfg}"
+    keys = [f"u{u:06d}" for u in range(args.units)]
+
     grams = None
-    if bench is not None:
+    if bench is not None and any(k not in log.completed(kept_stage) for k in keys):
         # eval-suite-sized; build + materialize ONCE, broadcast per unit
+        # — but only when at least one unit actually runs (a fully
+        # committed resume must not pay the benchmark explode/distinct)
         grams = benchmark_grams(bench, n=args.ngram).persist()
         grams.count()
 
-    cfg = _tag(args.units, args.min_quality, args.ngram, args.benchmark or "")
     stats = run_resumable(
         spark,
-        stage=f"kept-{cfg}",
-        partition_keys=[f"u{u:06d}" for u in range(args.units)],
+        stage=kept_stage,
+        partition_keys=keys,
         process_fn=lambda key: build_kept_unit(
             sharded.filter(F.col("shard") == int(key[1:])).drop("shard"),
             args.min_quality,

@@ -104,6 +104,11 @@ def test_precomputed_grams_equal_inline_benchmark(spark, docs, bench):
     md5_grams = benchmark_grams(bench, n=13, hash_mode="md5")
     with pytest.raises(ValueError, match="hash_mode"):
         decontaminate(base, None, n=13, bench_grams=md5_grams)
+    # same for a gram-LENGTH mismatch (10-gram hashes never equal
+    # 13-gram hashes): carried via the fp column's schema metadata
+    short_grams = benchmark_grams(bench, n=10)
+    with pytest.raises(ValueError, match="n=10"):
+        decontaminate(base, None, n=13, bench_grams=short_grams)
 
 
 def test_shard_assignment_is_text_pure(spark):
@@ -197,7 +202,9 @@ def test_cli_resume_and_param_scoping(spark, sf_dir, tmp_path, capsys):
 
     # the stage-0 write is clustered: --files-per-shard (default 1)
     # parquet files per shard dir, not one per input task per shard
-    shard_store = f"{out}/sharded-n000002/part_key=all"
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("sharded-")]
+    assert len(shard_dirs) == 1  # same --docs/--units/--files-per-shard
+    shard_store = f"{out}/{shard_dirs[0]}/part_key=all"
     for d in sorted(os.listdir(shard_store)):
         if not d.startswith("shard="):
             continue
