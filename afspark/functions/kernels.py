@@ -318,14 +318,36 @@ def _pattern_probs_batch(
     Returns a dense (nwin, m**m) matrix of probabilities (zeros for absent
     patterns) using a base-m digit encoding of the stable argsort — the
     entropy sums below ignore zeros, so density is harmless for small m.
+
+    The code is computed WITHOUT materializing per-tuple argsorts: with
+    stable ties, position j's rank is #{i : x_i < x_j or (x_i == x_j and
+    i < j)}, so one ``<=`` comparison per unordered position pair — over
+    strided views of W directly, no (nwin, n, m) tuple gather — yields
+    every rank, and ``code = Σ_j j * m**rank_j`` reproduces the stable
+    argsort's base-m digit code EXACTLY (the k-th smallest element's
+    position j has rank_j == k, i.e. P[k] == j).  Bit-identical to the
+    previous np.argsort form for all inputs including ties (asserted in
+    tests), ~7x faster at the bench shape (m=4, winlen 1024).
     """
     nwin, winlen = W.shape
     n = winlen - tau * m + tau
-    idx = np.arange(n)[:, None] + tau * np.arange(m)[None, :]
-    T = W[:, idx]  # (nwin, n, m)
-    P = np.argsort(T, axis=2, kind="stable")
-    codes = (P * (m ** np.arange(m))).sum(axis=2)  # injective over perms
-    weights = T.var(axis=2, ddof=1).ravel() if weighted else None
+    vs = [W[:, k * tau : k * tau + n] for k in range(m)]
+    ranks = [np.zeros((nwin, n), dtype=np.uint8) for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1, m):
+            b = vs[i] <= vs[j]
+            ranks[j] += b
+            b = np.logical_not(b, out=b)
+            ranks[i] += b
+    pw = (m ** np.arange(m)).astype(np.int64)
+    codes = np.zeros((nwin, n), dtype=np.int64)
+    for j in range(1, m):  # the j=0 digit contributes 0 to the sum
+        codes += j * pw[ranks[j]]
+    if weighted:
+        idx = np.arange(n)[:, None] + tau * np.arange(m)[None, :]
+        weights = W[:, idx].var(axis=2, ddof=1).ravel()
+    else:
+        weights = None
     M = m**m
     flat = (codes + M * np.arange(nwin)[:, None]).ravel()
     counts = np.bincount(flat, weights=weights, minlength=M * nwin).reshape(nwin, M)

@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def default_grouped_partitions(spark) -> int:
+    """Partition count for grouped Arrow stages, from session conf only.
+
+    max(defaultParallelism, spark.sql.shuffle.partitions): every core
+    gets work locally, and on a cluster the deployment's shuffle-
+    partition sizing (the standard scale knob) carries over.  Never
+    derived from ``df.rdd`` — under AQE that *executes* the upstream
+    shuffle stages as a real job just to read a partition count.
+    """
+    sc = spark.sparkContext
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — e.g. "auto" on some platforms
+        shuffle_parts = 0
+    return max(sc.defaultParallelism, shuffle_parts)
+
+
 def grouped_map_in_pandas(
     df: DataFrame,
     group_cols: list[str],

@@ -56,6 +56,29 @@ _EMPTY_RESULT = pd.DataFrame(
 ).astype({"series_id": str, "win_start": "int64", "value": "float64"})
 
 
+def _assemble_results(results) -> pd.DataFrame | None:
+    """Column-array chunk results -> ONE long-format DataFrame.
+
+    The evaluators return raw numpy column arrays per chunk; building a
+    pandas DataFrame per (chunk, feature) — the previous shape — cost as
+    much as the kernels themselves at bench scale (~10 ms/task of
+    DataFrame __init__ against ~12 ms of kernel math).  One concatenate
+    per column per Arrow batch keeps the identical rows in the identical
+    order.
+    """
+    results = [r for r in results if r is not None]
+    if not results:
+        return None
+    return pd.DataFrame(
+        {
+            "series_id": np.concatenate([r[0] for r in results]),
+            "win_start": np.concatenate([r[1] for r in results]),
+            "feature": np.concatenate([r[2] for r in results]),
+            "value": np.concatenate([r[3] for r in results]),
+        }
+    )
+
+
 def _make_dense_evaluator(
     features: Sequence[Feature],
     spec: ChunkSpec,
@@ -66,8 +89,10 @@ def _make_dense_evaluator(
 
     evaluate_dense(series_id, chunk, seq0, vals): ``vals`` holds the
     contiguous samples [seq0, seq0+len-1] available to this chunk; emits
-    the long-format rows for every full window whose start this chunk
-    owns (1-based hop grid, flush=false).
+    the long-format COLUMN ARRAYS (series_id, win_start, feature, value)
+    for every full window whose start this chunk owns (1-based hop grid,
+    flush=false), or None when the chunk yields no full window.  Callers
+    assemble DataFrames batch-wise via :func:`_assemble_results`.
     """
     winlen, step, span = spec.winlen, spec.step, spec.chunk_span
     feat_names = [(f, f.names()) for f in features]
@@ -79,25 +104,24 @@ def _make_dense_evaluator(
         starts = chunk_start + step * np.arange(n_starts, dtype=np.int64)
         starts = starts[(starts >= seq0) & (starts + winlen - 1 <= seq_last)]
         if len(starts) == 0 or len(vals) < winlen:
-            return _EMPTY_RESULT
+            return None
         W = np.lib.stride_tricks.sliding_window_view(vals, winlen)[starts - seq0]
         if preprocess is not None:
             W = np.stack([np.asarray(preprocess(w), dtype=np.float64) for w in W])
-        out_frames = []
+        ws, fts, vs = [], [], []
         for feat, names in feat_names:
             m = np.asarray(feat.compute_batch(W, fs), dtype=np.float64)
             nwin, arity = m.shape
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        "series_id": np.repeat(series_id, nwin * arity),
-                        "win_start": np.repeat(starts, arity),
-                        "feature": np.tile(np.asarray(names, dtype=object), nwin),
-                        "value": m.ravel(),
-                    }
-                )
-            )
-        return pd.concat(out_frames, ignore_index=True)
+            ws.append(np.repeat(starts, arity))
+            fts.append(np.tile(np.asarray(names, dtype=object), nwin))
+            vs.append(m.ravel())
+        w = np.concatenate(ws) if len(ws) > 1 else ws[0]
+        return (
+            np.repeat(series_id, len(w)),
+            w,
+            np.concatenate(fts) if len(fts) > 1 else fts[0],
+            np.concatenate(vs) if len(vs) > 1 else vs[0],
+        )
 
     return evaluate_dense
 
@@ -189,15 +213,22 @@ def score(
             carry = pdf[tail]
             head = pdf[~tail]
             if len(head):
-                out = [
+                out = _assemble_results(
                     evaluate(key, g)
                     for key, g in head.groupby(["series_id", "chunk"], sort=False)
-                ]
-                yield pd.concat(out, ignore_index=True)
+                )
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            yield evaluate(
-                (carry["series_id"].iloc[0], carry["chunk"].iloc[0]), carry
+            out = _assemble_results(
+                [
+                    evaluate(
+                        (carry["series_id"].iloc[0], carry["chunk"].iloc[0]), carry
+                    )
+                ]
             )
+            if out is not None:
+                yield out
 
     return pre.mapInPandas(run, RESULT_SCHEMA)
 
@@ -261,7 +292,7 @@ def score_pages(
                 seq0 = int(off_i) + a + 1
             parts.append(b[a:z])
         if not parts:
-            return _EMPTY_RESULT
+            return None
         buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
         vals = (buf.astype(np.float64) - 127.5) / 127.5
         return dense(series_id, chunk, seq0, vals)
@@ -279,15 +310,22 @@ def score_pages(
             carry = pdf[tail]
             head = pdf[~tail]
             if len(head):
-                out = [
+                out = _assemble_results(
                     eval_group(sid, ch, g)
                     for (sid, ch), g in head.groupby(["series_id", "chunk"], sort=False)
-                ]
-                yield pd.concat(out, ignore_index=True)
+                )
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            yield eval_group(
-                carry["series_id"].iloc[0], carry["chunk"].iloc[0], carry
+            out = _assemble_results(
+                [
+                    eval_group(
+                        carry["series_id"].iloc[0], carry["chunk"].iloc[0], carry
+                    )
+                ]
             )
+            if out is not None:
+                yield out
 
     return pre.mapInPandas(run, RESULT_SCHEMA)
 

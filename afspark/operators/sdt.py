@@ -126,10 +126,17 @@ def sdt_downsample(
     order = order_col or ts_col
     schema = points.schema
     cols = [f.name for f in schema.fields]
-    n = n_partitions or max(
-        points.rdd.getNumPartitions(),
-        points.sparkSession.sparkContext.defaultParallelism,
-    )
+    # Partition count from session conf only — never ``points.rdd``:
+    # under AQE, converting a DataFrame with upstream exchanges to an RDD
+    # EXECUTES those shuffle stages as a real job just to learn the
+    # partition count, so the whole upstream plan ran twice (measured: a
+    # row_number-windowed input paid its full window shuffle once inside
+    # .rdd.getNumPartitions() and again in the actual query).  At scale
+    # the operative knob is spark.sql.shuffle.partitions, which the
+    # deployment sizes to the data; n_partitions overrides per call.
+    from ._grouped import default_grouped_partitions
+
+    n = n_partitions or default_grouped_partitions(points.sparkSession)
 
     def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
         # one numpy conversion per batch + boundary split beats a pandas

@@ -65,6 +65,22 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by BYTES; a stage
+        # whose cost is CPU per row (window + Python kernel) but whose
+        # shuffle is small gets merged to 1-2 tasks and runs serial —
+        # measured: sdt's whole swinging-door pass in ONE task because
+        # the optimizer collapsed its explicit repartition into the
+        # window's ENSURE_REQUIREMENTS exchange (1.8 MB) and AQE then
+        # coalesced that to one partition.  parallelismFirst (default
+        # true) already targets max(bytes/defaultParallelism,
+        # minPartitionSize); the 1 MB default floor is what serialized
+        # these small-byte/CPU-heavy stages.  16k keeps tiny shuffles
+        # spread across the cores; at cluster scale bytes/parallelism
+        # dominates the max() and this floor is inert.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("AFSPARK_MIN_COALESCED_PARTITION", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

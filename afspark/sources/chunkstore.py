@@ -73,14 +73,18 @@ def encode_chunks(
     # Arrow batches within the partition, so the tail group of each batch
     # is carried into the next one.
     #
-    # Partition count: sized from the INPUT (scan partitions track bytes),
-    # floored at defaultParallelism so every core gets work.  A blanket
-    # x4 factor here cost +45% wall at sf0.1 (128 near-empty shuffle
-    # partitions for a one-core-second encode — A/B'd interleaved at
-    # matched host probes, tools/ab_regressions.py); at 100 TB the input
-    # partition count is what grows, and this follows it.
-    sc = points.sparkSession.sparkContext
-    n_parts = n_partitions or max(sc.defaultParallelism, points.rdd.getNumPartitions())
+    # Partition count from session conf (defaultParallelism floored at
+    # spark.sql.shuffle.partitions — the deployment's scale knob).  A
+    # blanket x4 factor here cost +45% wall at sf0.1 (128 near-empty
+    # shuffle partitions for a one-core-second encode — A/B'd interleaved
+    # at matched host probes, tools/ab_regressions.py).  The previous
+    # ``points.rdd.getNumPartitions()`` input-tracking term is GONE:
+    # under AQE that call executes any upstream shuffle stages as a real
+    # job just to read the partition count, so inputs that arrive through
+    # an exchange paid their whole upstream plan twice.
+    from ..operators._grouped import default_grouped_partitions
+
+    n_parts = n_partitions or default_grouped_partitions(points.sparkSession)
     pre = pts.repartition(n_parts, "series_id", "chunk_start").sortWithinPartitions(
         "series_id", "chunk_start", "ts"
     )

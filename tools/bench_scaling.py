@@ -99,7 +99,8 @@ n_chunks = int(n_bytes) // spec.chunk_span + 1
 dense = _make_dense_evaluator(feats, spec, 1000.0, None)
 def _cal(seed):
     rng = np.random.default_rng(seed)
-    return len(dense("s", 0, 1, rng.normal(size=spec.chunk_span + spec.halo)))
+    r = dense("s", 0, 1, rng.normal(size=spec.chunk_span + spec.halo))
+    return 0 if r is None else len(r[3])  # value column length
 pool_secs = []
 for _ in range(2):
     with mp.Pool(cpus) as p:
