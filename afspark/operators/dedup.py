@@ -125,6 +125,99 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_fused(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, mh) straight from documents in ONE Arrow pass — the fused
+    scale-path twin of ``char_shingles(hashed=True) -> minhash_signatures``.
+
+    The classic pipeline explodes every text into ~len(text) shingle rows
+    (an ~8x byte amplification that must be persisted because signature
+    AND verify both read it) and then runs a 64-aggregate hash-agg whose
+    per-row cost is 64 codegen'd xxhash64 folds + 64 min-buffer updates —
+    measured ~55 core-seconds at sf0.1 across the shingle/signature
+    stages.  This kernel computes the IDENTICAL signatures (bit-exact
+    xxhash64 twins, functions/xxh64.py — lane_i = xxh64(int_lane_i,
+    seed=xxh64(shingle_bytes)) exactly like ``xxhash64(sh, lit(i))``)
+    with numpy sliding-window hashing + per-doc ``minimum.reduceat``:
+    no shingle explode, no shingle shuffle, no wide aggregate.  Docs
+    shorter than ``k`` chars emit no signature row (same as the explode
+    path).  ASCII docs (byte == char) take the vectorized path; others
+    fall back to an exact per-window scalar hash.
+
+    At 100 TB this is the decisive shape change: the corpus is scanned
+    once and only (id, 64-long) rows ever shuffle — the 8x-amplified
+    shingle table never exists.
+    """
+    from ..functions.xxh64 import (
+        xxh64_ascii_sliding,
+        xxh64_buf,
+        xxh64_int,
+        xxh64_longs,
+    )
+
+    spark = docs.sparkSession
+    id_type = {f.name: f.dataType.simpleString() for f in docs.schema.fields}[
+        id_col
+    ]
+    # pre-spread like char_shingles: the scan sees pre-kernel bytes and
+    # would otherwise run the CPU-bound hashing on a handful of tasks.
+    # One wave (defaultParallelism, not x2): each mapInPandas task pays a
+    # fixed Arrow-stream handshake, and the kernel's per-byte cost is low
+    # enough that wave-count overhead beats skew smoothing here.
+    n_parts = spark.sparkContext.defaultParallelism
+    src = (
+        docs.filter(F.length(text_col) >= k)
+        .repartition(n_parts)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            sigs: list[np.ndarray] = []
+            for did, t in zip(pdf["id"], pdf["_t"]):
+                b = t.encode("utf-8")
+                if len(b) == len(t):
+                    sh = xxh64_ascii_sliding(np.frombuffer(b, np.uint8), k)
+                else:
+                    nw = len(t) - k + 1
+                    if nw <= 0:
+                        continue
+                    sh = np.fromiter(
+                        (
+                            xxh64_buf(t[i : i + k].encode("utf-8"))
+                            for i in range(nw)
+                        ),
+                        np.int64,
+                        nw,
+                    )
+                if not len(sh):
+                    continue
+                ids.append(did)
+                sigs.append(sh)
+            if not ids:
+                continue
+            lens = np.array([len(s) for s in sigs])
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            allsh = np.concatenate(sigs)
+            # xxhash64(sh, lit(i)) folds left-to-right from seed 42:
+            # inner = hashLong(sh, 42), lane_i = hashInt(i, inner)
+            inner = xxh64_longs(allsh.view(np.uint64)).view(np.uint64)
+            mh = np.empty((len(ids), n_hashes), dtype=np.int64)
+            for lane in range(n_hashes):
+                mh[:, lane] = np.minimum.reduceat(xxh64_int(lane, inner), starts)
+            yield pd.DataFrame({"id": ids, "mh": list(mh)})
+
+    return src.mapInPandas(gen, f"id {id_type}, mh array<bigint>")
+
+
 def band_signatures(
     signatures: DataFrame,
     bands: int = 4,
@@ -342,6 +435,119 @@ def jaccard_verify(
     return out_small.unionByName(out_big)
 
 
+def _jaccard_verify_fused(
+    cand: DataFrame,
+    cand_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    big_bytes: int = 4 << 20,
+) -> DataFrame:
+    """Exact candidate-pair Jaccard in one Arrow kernel (fused path).
+
+    The generic :func:`jaccard_verify` costs a candidate-shingle explode
+    + distinct + persist + sizes + two array joins (~6 shuffles and a
+    deep serial job chain).  With candidates already doc-pruned, the
+    same numbers come from joining each pair with its two TEXTS (both
+    joins broadcast — cand and cand_docs are tiny next to the corpus)
+    and hashing the shingle sets in numpy: per batch, each doc's sorted
+    unique xxhash64 shingle set is computed once (memoized across the
+    pairs that share it) and |A∩B| / |A∪B| is exact integer arithmetic
+    + one IEEE division — identical values to the array_intersect plan
+    (same hashes via functions/xxh64.py, same distinct semantics, same
+    division).
+
+    Pairs touching a doc larger than ``big_bytes`` keep the classic
+    row-join verify (bounded per-row memory), mirroring the
+    ``max_array_shingles`` escape hatch of the array path.
+    """
+    from ..functions.xxh64 import xxh64_ascii_sliding, xxh64_buf
+
+    spark = cand.sparkSession
+    texts = cand_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    )
+    big_ids = [
+        r.id
+        for r in texts.filter(F.octet_length("_t") > big_bytes)
+        .select("id")
+        .collect()
+    ]
+    ta = texts.select(F.col("id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = texts.select(F.col("id").alias("id_b"), F.col("_t").alias("_tb"))
+    pairs = cand
+    outs = []
+    if big_ids:
+        is_big = F.col("id_a").isin(big_ids) | F.col("id_b").isin(big_ids)
+        sh_big = char_shingles(
+            cand_docs, text_col, id_col, k, hashed=True, distinct=False
+        )
+        outs.append(
+            jaccard_verify(
+                pairs.filter(is_big), sh_big, threshold, distinct_shingles=False
+            )
+        )
+        pairs = pairs.filter(~is_big)
+    n_parts = spark.sparkContext.defaultParallelism
+    joined = (
+        pairs.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
+        .repartition(n_parts)
+    )
+    id_type = {f.name: f.dataType.simpleString() for f in cand_docs.schema.fields}[
+        id_col
+    ]
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cache: dict = {}
+
+            def shingle_set(did, t):
+                a = cache.get(did)
+                if a is None:
+                    b = t.encode("utf-8")
+                    if len(b) == len(t):
+                        h = xxh64_ascii_sliding(np.frombuffer(b, np.uint8), k)
+                    else:
+                        nw = max(0, len(t) - k + 1)
+                        h = np.fromiter(
+                            (
+                                xxh64_buf(t[i : i + k].encode("utf-8"))
+                                for i in range(nw)
+                            ),
+                            np.int64,
+                            nw,
+                        )
+                    a = np.unique(h)
+                    cache[did] = a
+                return a
+
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for r, (ia, ib, sa, sb) in enumerate(
+                zip(pdf["id_a"], pdf["id_b"], pdf["_ta"], pdf["_tb"])
+            ):
+                A = shingle_set(ia, sa)
+                B = shingle_set(ib, sb)
+                inter = len(np.intersect1d(A, B, assume_unique=True))
+                union = len(A) + len(B) - inter
+                jac[r] = inter / union if union else 0.0
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac}
+            )
+
+    kern_out = joined.mapInPandas(
+        kern, f"id_a {id_type}, id_b {id_type}, jaccard double"
+    ).filter(F.col("jaccard") >= threshold)
+    outs.append(kern_out)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def minhash_lsh_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -386,23 +592,32 @@ def minhash_lsh_dedup_pairs(
     # twin must keep string shingles DuckDB can md5 identically
     hashed = hashed_shingles and hash_mode == "xxhash64"
 
-    # The DAG branches heavily: sh feeds the signature agg AND the exact
-    # verify; sig feeds the banded self-join (2 branches) plus the
-    # estimate pre-filter (2 more); the candidate set feeds the verify
-    # join AND the doc-id pruning broadcast.  Without persist each branch
-    # recomputes the shingle explode + distinct from scratch (measured
-    # ~4x the total work at sf0.1).  MEMORY_AND_DISK spills instead of
-    # OOMing at scale — the standard multi-use intermediate pattern.
-    # distinct=False: signatures are duplicate-invariant (min over the
-    # multiset == min over the set), so the full-table set-semantics
-    # shuffle is skipped; the verify applies distinct AFTER pruning to
-    # candidate docs (distinct_shingles=False below).
-    sh = char_shingles(
-        docs, text_col, id_col, k, hashed=hashed, distinct=False
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Scale path: signatures come from the FUSED Arrow kernel (one corpus
+    # scan, no shingle explode/persist — see minhash_signatures_fused);
+    # the exact verify later shingles ONLY candidate docs.  The md5
+    # oracle twin keeps the classic explode + aggregate pipeline, whose
+    # exploded shingle table is persisted because signature AND verify
+    # both read it (without persist each branch recomputes the explode —
+    # measured ~4x the total work at sf0.1).  distinct=False: signatures
+    # are duplicate-invariant (min over the multiset == min over the
+    # set); the verify applies distinct AFTER pruning to candidate docs
+    # (distinct_shingles=False below).
+    sh = None
+    if hashed:
+        sig = minhash_signatures_fused(docs, text_col, id_col, k, n_hashes)
+    else:
+        sh = char_shingles(
+            docs, text_col, id_col, k, hashed=hashed, distinct=False
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = minhash_signatures(sh, n_hashes, hash_mode=hash_mode)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin the signature cache EAGERLY: sig fans out into >= 4 branches
+    # (two banded self-join sides, hot-bucket aggregate, both estimate
+    # join sides), and several of them start as CONCURRENT broadcast
+    # jobs under AQE — racing a cold cache, each branch recomputed the
+    # whole signature kernel (observed: the 64-task kernel stage ran 3x
+    # per invocation).  One count() materializes it once, serially.
+    sig.count()
     cand = lsh_candidate_pairs(
         sig, bands, n_hashes=n_hashes, hash_mode=hash_mode, band_rows=band_rows
     )
@@ -422,13 +637,37 @@ def minhash_lsh_dedup_pairs(
             .select("id_a", "id_b")
         )
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    out = jaccard_verify(cand, sh, threshold, distinct_shingles=False)
+    cand.count()  # same cache-race pinning as sig above (3 consumers)
+    if sh is None:
+        # fused path: the exact verify joins each pair with its two
+        # TEXTS (doc-pruned first — the candidate set is tiny next to
+        # the corpus, so the corpus is scanned exactly twice: signatures
+        # + this prune) and hashes shingle sets in the Arrow kernel —
+        # no candidate-shingle explode/persist at all
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # persist: the candidate docs feed the oversize check AND both
+        # text-join broadcast sides — without it the corpus semi-join
+        # scan runs three times
+        cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        out = _jaccard_verify_fused(
+            cand, cand_docs, text_col, id_col, k, threshold
+        )
+    else:
+        cand_docs = None
+        out = jaccard_verify(cand, sh, threshold, distinct_shingles=False)
     # Materialize (the pair set is tiny) so the persisted intermediates
     # can be released NOW — otherwise sh/sig/cand accumulate in executor
     # storage across invocations in a long-lived session.
     out = out.localCheckpoint()
-    for df in (cand, sig, sh):
-        df.unpersist()
+    for df in (cand, sig, sh, cand_docs):
+        if df is not None:
+            df.unpersist()
     return out
 
 
