@@ -48,20 +48,25 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
-    ).filter(F.length("term") >= min_len)
-
-    # one shuffle: per-doc length + one tf column per query term
+    # ZERO-shuffle per-doc stats: tokenization stays an ARRAY inside the
+    # row (no explode) and dl / per-term tfs are array aggregates in one
+    # whole-stage-codegen projection.  The previous explode + groupBy
+    # shuffled ~token-count rows just to count them back per doc; row
+    # values are identical (same split regex, same length filter, absent
+    # docs naturally read dl = 0 = the old left-join + na.fill).
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
     tf_cols = [
-        F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+        F.size(F.filter(F.col("_ts"), lambda x: x == F.lit(t))).cast("long").alias(
+            f"tf_{i}"
+        )
         for i, t in enumerate(terms)
     ]
-    perdoc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
-
-    # docs whose text has no qualifying token still count in N / avgdl
-    base = docs.select(F.col(id_col)).join(perdoc, id_col, "left").na.fill(0)
+    base = docs.select(F.col(id_col), toks_arr.alias("_ts")).select(
+        F.col(id_col), F.size("_ts").cast("long").alias("dl"), *tf_cols
+    )
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
