@@ -1120,8 +1120,13 @@ def build_lsh_index(
     historical text again.  ~bands rows of 3 small columns per document
     regardless of document size."""
     hashed = hash_mode == "xxhash64"
-    sh = char_shingles(docs, text_col, id_col, k, hashed=hashed, distinct=False)
-    sig = minhash_signatures(sh, n_hashes, hash_mode)
+    if hashed:
+        # fused Arrow signature kernel: one corpus scan, no shingle
+        # explode (identical signatures — see minhash_signatures_fused)
+        sig = minhash_signatures_fused(docs, text_col, id_col, k, n_hashes)
+    else:
+        sh = char_shingles(docs, text_col, id_col, k, hashed=hashed, distinct=False)
+        sig = minhash_signatures(sh, n_hashes, hash_mode)
     return band_signatures(sig, bands, band_rows, n_hashes, hash_mode)
 
 
@@ -1162,17 +1167,27 @@ def incremental_dedup_pairs(
     from pyspark import StorageLevel
 
     hashed = hash_mode == "xxhash64"
-    bsh = char_shingles(batch_docs, text_col, id_col, k, hashed=hashed,
-                        distinct=False).persist(StorageLevel.MEMORY_AND_DISK)
-    bsig = minhash_signatures(bsh, n_hashes, hash_mode)
+    bsh = None
+    if hashed:
+        # fused Arrow signature kernel (identical signatures, no batch
+        # shingle explode/persist — see minhash_signatures_fused)
+        bsig = minhash_signatures_fused(batch_docs, text_col, id_col, k, n_hashes)
+    else:
+        bsh = char_shingles(batch_docs, text_col, id_col, k, hashed=hashed,
+                            distinct=False).persist(StorageLevel.MEMORY_AND_DISK)
+        bsig = minhash_signatures(bsh, n_hashes, hash_mode)
     # The DAG below branches like the self-join pipeline: bband feeds the
     # hot-bucket occupancy AND the candidate join; cand feeds the verify
     # AND the corpus-prune broadcast.  Unpersisted, every branch replays
     # the batch shingle->minhash->band subtree (measured 187 s -> 16 s at
-    # 50k docs with a 250-doc boilerplate cluster once persisted).
+    # 50k docs with a 250-doc boilerplate cluster once persisted).  The
+    # eager count pins the cache before AQE's concurrent broadcast jobs
+    # race it (each miss re-ran the signature kernel — same fix as
+    # minhash_lsh_dedup_pairs).
     bband = band_signatures(bsig, bands, band_rows, n_hashes, hash_mode).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    bband.count()
 
     occupancy = index.select("band", "bh").unionAll(bband.select("band", "bh"))
     hot = (
@@ -1202,15 +1217,28 @@ def incremental_dedup_pairs(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    pruned_corpus = corpus_docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-    csh = char_shingles(pruned_corpus, text_col, id_col, k, hashed=hashed,
-                        distinct=False)
-    all_sh = bsh.unionByName(csh)
-    out = jaccard_verify(cand, all_sh, threshold, distinct_shingles=False)
+    cand_docs = None
+    if hashed:
+        # fused exact verify over pair texts (batch ∪ corpus, candidate-
+        # pruned) — no shingle explode at all; identical jaccard values
+        docs_all = batch_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+            corpus_docs.select(F.col(id_col), F.col(text_col))
+        )
+        cand_docs = docs_all.join(F.broadcast(cand_ids), id_col, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        out = _jaccard_verify_fused(cand, cand_docs, text_col, id_col, k, threshold)
+    else:
+        pruned_corpus = corpus_docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+        csh = char_shingles(pruned_corpus, text_col, id_col, k, hashed=hashed,
+                            distinct=False)
+        all_sh = bsh.unionByName(csh)
+        out = jaccard_verify(cand, all_sh, threshold, distinct_shingles=False)
     # materialize (pair set is tiny) so the intermediates release now
     out = out.localCheckpoint()
-    for df in (cand, hot, bband, bsh):
-        df.unpersist()
+    for df in (cand, hot, bband, bsh, cand_docs):
+        if df is not None:
+            df.unpersist()
     return out
 
 

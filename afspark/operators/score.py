@@ -40,14 +40,18 @@ def _kernel_partitions(spark) -> int:
     Explicit (not AQE-coalesced: AQE sizes by shuffle BYTES, but this
     stage is CPU-bound per byte).  The multiplier trades per-task
     fixed overhead (each task pays a Python-worker/Arrow round-trip
-    handshake; waves = multiplier) against skew smoothing; 4x evens out
-    per-chunk cost variance while halving the handshake floor vs the
-    round-3 8x (A/B at sf0.1: 4x consistently ~25% faster across host-
-    health states).  Tunable via AFSPARK_KERNEL_PART_MULT.
+    handshake; waves = multiplier) against skew smoothing.  Earlier
+    rounds tuned this to 4x when the kernels were ~4x more expensive per
+    window; with the pairwise-rank permutation-entropy kernel and
+    column-array assembly, per-task fixed overhead dominates and ONE
+    wave wins (interleaved A/B at sf0.1: 0.79 s vs 0.98 at 2x and 1.38
+    at 4x, consistent across 5 reps).  Skew protection comes from chunk
+    granularity (hundreds of chunks hash across the partitions), not
+    from wave count.  Tunable via AFSPARK_KERNEL_PART_MULT.
     """
     import os
 
-    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "4"))
+    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "1"))
     return spark.sparkContext.defaultParallelism * mult
 
 

@@ -162,25 +162,20 @@ def rolling_hash_fingerprints(
         F.size("ts") >= window_tokens,
         F.sequence(F.lit(0), F.size("ts") - window_tokens),
     ).otherwise(F.array().cast("array<int>"))
-    # Hash every window INSIDE the row with transform(), then posexplode
-    # only (pos, fp).  The previous explode(starts) replicated the whole
-    # token ARRAY into every one of its ~size(ts) window rows before
-    # slicing — a ~tokens× copy amplification of each document that
-    # dominated the stage CPU; the transform form carries each document's
-    # array exactly once.  Identical expressions per element → identical
-    # rows out.
-    window_str = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.slice(F.col("ts"), i + 1, window_tokens)
-    )
+    # Explode window starts and slice per row — deliberately NOT
+    # transform()-with-posexplode: higher-order functions evaluate their
+    # lambda INTERPRETED (no whole-stage codegen), and an interleaved A/B
+    # at both 45- and 800-token documents measured the codegen'd
+    # explode+slice form ~2x faster despite re-copying the token array
+    # into every window row (memory bandwidth absorbs the copies; the
+    # interpreted per-element eval does not amortize).
+    win = toks.select("id", F.explode(starts).alias("i"), "ts")
+    window_str = F.concat_ws(" ", F.slice(F.col("ts"), F.col("i") + 1, window_tokens))
     if hash_mode == "md5":
-        hashes = F.transform(starts, lambda i: F.md5(window_str(i)))
-        fps = toks.select(
-            "id", F.posexplode(hashes).alias("pos", "fp")
-        )
+        fps = win.select("id", F.col("i").alias("pos"), F.md5(window_str).alias("fp"))
         sel = F.conv(F.substring("fp", 32, 1), 16, 10).cast("int")
         return fps.filter(F.pmod(sel, F.lit(keep_every)) == 0)
-    hashes = F.transform(starts, lambda i: F.xxhash64(window_str(i)))
-    fps = toks.select("id", F.posexplode(hashes).alias("pos", "fp"))
+    fps = win.select("id", F.col("i").alias("pos"), F.xxhash64(window_str).alias("fp"))
     return fps.filter(F.pmod(F.col("fp"), F.lit(keep_every)) == 0)
 
 
@@ -498,13 +493,8 @@ def remove_duplicate_spans(
     """
     norm = F.regexp_replace(F.col(text_col), "\\s+", " ")
     base = docs.select(F.col(id_col).alias("id"), norm.alias("_t"))
-    # spread BEFORE the fingerprint pass: the tokenize+hash CPU tracks
-    # token count, not scan bytes, and the checkpoint below snapshots
-    # whatever partitioning it finds (a single-file scan would run — and
-    # store — the whole pass serially)
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     fps = rolling_hash_fingerprints(
-        base.repartition(n_parts),
+        base,
         text_col="_t",
         id_col="id",
         window_tokens=window_tokens,
@@ -512,16 +502,14 @@ def remove_duplicate_spans(
         hash_mode=hash_mode,
         pre_normalized=True,  # _t is already whitespace-collapsed
     )
-    # Materialize the fingerprints ONCE: they feed both the duplicated-fp
-    # aggregate and the mask join, and without this the whole
-    # normalize+tokenize+hash pass ran once per branch (measured 3x the
-    # stage CPU).  localCheckpoint (not persist) so the lineage-truncated
-    # RDD is reclaimed by the ContextCleaner when the result is dropped —
-    # the same lifecycle pattern as the dedup operators.  Storage is
-    # ~tokens rows of (id, pos, fp); at corpus scale prefer re-running
-    # the op per shard (jobs/corpus_job.py shards by text-hash) over one
-    # global pass.
-    fps = fps.localCheckpoint()
+    # NOTE (r6 optimization pass): an eager localCheckpoint of fps (to
+    # stop its two consumers recomputing the tokenize+hash pass) was
+    # tried and REVERTED — at bench scale the extra materialization job
+    # + stats-blind checkpoint scan cost more than the recompute it
+    # saved (interleaved A/B: 1.9 s vs 2.3 s), and the apparent 3x stage
+    # CPU that motivated it was page-fault-inflated accounting on a
+    # degraded host window.  Recompute of a cheap codegen subtree inside
+    # ONE pipelined job beats serializing it through storage.
     dup_fps = (
         fps.select("fp", "id")
         .distinct()
@@ -530,12 +518,9 @@ def remove_duplicate_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("fp")
     )
-    # covered token indices of duplicated windows, deduped per (doc, idx).
-    # shuffle_hash: the checkpointed fps side carries no size statistics,
-    # so the planner otherwise broadcast the LARGE side; a shuffled hash
-    # join is the scale-neutral choice (fp keys hash evenly, no sort)
+    # covered token indices of duplicated windows, deduped per (doc, idx)
     masked = (
-        fps.join(dup_fps.hint("shuffle_hash"), "fp")
+        fps.join(dup_fps, "fp")
         .select(
             "id",
             F.explode(
@@ -944,27 +929,18 @@ def _decontam_norm(col: str) -> Column:
 def _token_grams(frame, norm, out_id, in_id, with_pos, n, hash_mode):
     """Every n-token window of ``norm`` as (id[, pos], fp).
 
-    Window hashes are computed INSIDE the row with transform() and only
-    (pos, fp) is exploded — explode-then-slice replicated each document's
-    whole token array into every one of its ~token-count window rows (a
-    tokens× copy amplification that dominated the stage CPU; same fix as
-    rolling_hash_fingerprints).  Identical expressions per element →
-    identical rows.
+    Explode + slice per row, not transform()-with-posexplode: see
+    rolling_hash_fingerprints — interpreted higher-order lambdas measured
+    ~2x slower than this codegen'd form at both short and long docs.
     """
     toks = frame.select(F.col(in_id).alias(out_id), F.split(norm, " ").alias("ts"))
     starts = F.when(
         F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
     ).otherwise(F.array().cast("array<int>"))
-    ws = lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, n))  # noqa: E731
-    hash_one = (
-        (lambda i: F.md5(ws(i)))
-        if hash_mode == "md5"
-        else (lambda i: F.xxhash64(ws(i)))
-    )
-    win = toks.select(
-        out_id, F.posexplode(F.transform(starts, hash_one)).alias("pos", "fp")
-    )
-    cols = [out_id, "pos", "fp"] if with_pos else [out_id, "fp"]
+    win = toks.select(out_id, F.explode(starts).alias("pos"), "ts")
+    ws = F.concat_ws(" ", F.slice(F.col("ts"), F.col("pos") + 1, n))
+    fp = F.md5(ws) if hash_mode == "md5" else F.xxhash64(ws)
+    cols = [out_id, "pos", fp.alias("fp")] if with_pos else [out_id, fp.alias("fp")]
     return win.select(*cols)
 
 
