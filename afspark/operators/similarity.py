@@ -624,6 +624,7 @@ def pq_topk(
     k: int = 10,
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes.
 
@@ -632,19 +633,29 @@ def pq_topk(
     in m table gathers (no float vector math per row).  Scores are
     emitted as approximate cosine (1 - d2/2, exact on the unit sphere up
     to quantization) and reduced by the same two-phase local-top-k as
-    brute force — no full-corpus shuffle.  The query side is collected at
-    the driver (bounded, same contract as brute_force_topk's broadcast).
+    brute force — no full-corpus shuffle.  The query side is collected
+    at the driver, guarded by ``max_driver_queries`` exactly like
+    ivf_topk: a corpus-sized DataFrame passed by mistake fails fast
+    instead of OOMing the driver.
     """
     cb = codebooks.astype(np.float64)
     m, n_codes, dsub = cb.shape
-    qrows = (
+    qpdf = (
         queries.select(
             F.col(query_id_col).alias("qid"), _as_double(query_vec_col).alias("qv")
         )
-        .collect()
+        .limit(max_driver_queries + 1)
+        .toPandas()
     )
-    qids = [r["qid"] for r in qrows]
-    Q = _normalize_rows(np.stack([np.asarray(r["qv"], np.float64) for r in qrows]))
+    if len(qpdf) > max_driver_queries:
+        raise ValueError(
+            f"pq_topk collects queries to the driver; got > {max_driver_queries} "
+            "rows — pass a bounded query set or raise max_driver_queries"
+        )
+    qids = qpdf["qid"].tolist()
+    Q = _normalize_rows(
+        np.stack([np.asarray(v, np.float64) for v in qpdf["qv"]])
+    )
     luts = np.empty((len(qids), m, n_codes))
     for qi, qv in enumerate(Q):
         for j in range(m):

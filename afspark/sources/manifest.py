@@ -122,6 +122,7 @@ def _commit(
     snap: str,
     partition_cols: list[str],
     partition_types: dict,
+    schema_json: dict | None = None,
 ) -> str:
     manifests = _list_manifests(store)
     parent = manifests[-1] if manifests else None
@@ -135,6 +136,10 @@ def _commit(
             "parent": parent,
             "partition_cols": partition_cols,
             "partition_types": partition_types,
+            # full committed schema (StructType json): lets readers build
+            # an empty frame for a ZERO-FILE snapshot (a partitioned
+            # write of an empty frame emits no data files)
+            "schema": schema_json,
             "files": files,
             "committed_at": time.time(),
         },
@@ -152,7 +157,8 @@ def commit_append(
     manifests = _list_manifests(store)
     prev = _load(store, manifests[-1])["files"] if manifests else []
     return _commit(
-        store, "append", prev + new_files, snap, partition_cols, ptypes
+        store, "append", prev + new_files, snap, partition_cols, ptypes,
+        schema_json=df.schema.jsonValue(),
     )
 
 
@@ -178,7 +184,8 @@ def commit_overwrite_partitions(
         if tuple(sorted(f["partition"].items())) not in touched
     ]
     return _commit(
-        store, "overwrite", kept + new_files, snap, partition_cols, ptypes
+        store, "overwrite", kept + new_files, snap, partition_cols, ptypes,
+        schema_json=df.schema.jsonValue(),
     )
 
 
@@ -321,11 +328,23 @@ def read_incremental(
     seen = {f["path"] for f in base["files"]}
     added = [f for f in to["files"] if f["path"] not in seen]
     if not added:
-        if not to["files"]:
-            raise ValueError("store snapshot has no files")
-        return _read_files(
-            spark, store, to["files"][:1], to.get("partition_types", {})
-        ).limit(0)
+        if to["files"]:
+            return _read_files(
+                spark, store, to["files"][:1], to.get("partition_types", {})
+            ).limit(0)
+        # zero-file 'to' snapshot (e.g. a partitioned empty initial
+        # commit): build the empty frame from the committed schema
+        # recorded in the manifest instead of raising
+        schema_json = to.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                "store snapshot has no files and records no schema "
+                "(committed by an older writer) — cannot build the "
+                "empty delta frame"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(schema_json))
     return _read_files(spark, store, added, to.get("partition_types", {}))
 
 
@@ -442,6 +461,21 @@ def consume_incremental(
         if i == 0:
             added = m["files"]  # seed: the full live content
         else:
+            # adjacency check (mirrors read_incremental's ancestry walk):
+            # the delta below diffs chain[i-1] vs chain[i] and is only a
+            # commit's delta if chain[i] really is chain[i-1]'s child —
+            # a severed chain (manual manifest deletion, expiry racing
+            # between the listing and this loop) or a foreign manifest
+            # copied into the dir would otherwise deliver a merged or
+            # wrong delta silently.
+            if m.get("parent") != manifests[i - 1]:
+                raise ValueError(
+                    f"snapshot chain severed at {sid}: its parent manifest "
+                    f"is {m.get('parent')!r} but the preceding manifest on "
+                    f"disk is {manifests[i - 1]!r} — the store was expired, "
+                    "edited, or mixed with a foreign manifest; reset the "
+                    "consumer state to re-seed"
+                )
             if m["op"] != "append" and not allow_overwrites:
                 raise ValueError(
                     f"overwrite commit {sid} in the consume range: pass "

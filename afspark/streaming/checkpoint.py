@@ -108,7 +108,12 @@ def run_resumable(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
-        n = spark.read.parquet(target).count()
+        # Readback with the writer's schema supplied explicitly: a
+        # dynamic-partition write of an EMPTY unit emits only _SUCCESS
+        # (no data files), and schema inference on that directory raises
+        # — the unit could then never be marked complete and every retry
+        # re-crashed on the same readback.
+        n = spark.read.schema(df.schema).parquet(target).count()
         fp = fingerprint_fn(key) if fingerprint_fn else ""
         log.record(stage, key, n, int((time.time() - t0) * 1000), fp, run_id)
         processed.append(key)

@@ -89,6 +89,35 @@ def _tag(*parts) -> str:
     return hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()[:8]
 
 
+def _input_fingerprint(path: str | None) -> str:
+    """Content fingerprint of an input dataset: relative data-file
+    listing + sizes + mtimes, hashed.
+
+    Folded into the stage tags so an input regenerated IN PLACE (a
+    nightly-refreshed parquet at the same --docs/--benchmark path)
+    re-runs its stages instead of silently resuming from a sharded
+    store built on the stale bytes — the path string alone cannot see
+    the refresh.  Driver-side listing only, the same metadata walk the
+    scan itself performs; underscore/dot files (_SUCCESS etc.) are
+    ignored so a no-op rewrite of markers does not churn the tag.
+    """
+    if not path:
+        return ""
+    entries = []
+    if os.path.isdir(path):
+        for dp, _dn, fn in os.walk(path):
+            for f in sorted(fn):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dp, f))
+                rel = os.path.relpath(os.path.join(dp, f), path)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:8]
+
+
 def build_kept_unit(
     shard_docs: DataFrame,
     min_quality: float,
@@ -199,7 +228,9 @@ def main(argv: list[str] | None = None) -> None:
     # write produces from a wide scan.  The shuffle it costs is the same
     # data movement that makes every later per-unit read contiguous.
     fps = max(1, args.files_per_shard)
-    data_tag = _tag(args.docs, args.units, fps)
+    # the tag covers the input PATH *and its content fingerprint*: a
+    # dataset regenerated in place must re-shard, not resume stale
+    data_tag = _tag(args.docs, _input_fingerprint(args.docs), args.units, fps)
 
     def _sharded(_k):
         with_shard = docs.withColumn("shard", _text_shard("text", args.units))
@@ -219,7 +250,13 @@ def main(argv: list[str] | None = None) -> None:
     sharded = spark.read.parquet(f"{shard_root}/part_key=all")
     print(f"shard: processed={s0['processed']} skipped={s0['skipped']}")
 
-    cfg = _tag(data_tag, args.min_quality, args.ngram, args.benchmark or "")
+    cfg = _tag(
+        data_tag,
+        args.min_quality,
+        args.ngram,
+        args.benchmark or "",
+        _input_fingerprint(args.benchmark),
+    )
     kept_stage = f"kept-{cfg}"
     keys = [f"u{u:06d}" for u in range(args.units)]
 

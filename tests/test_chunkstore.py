@@ -110,6 +110,32 @@ def test_ooo_merge_touches_only_affected_chunks(spark, points, tmpdir):
     assert len(changed) == 1  # exactly the one affected chunk rewritten
 
 
+def test_run_resumable_partitioned_empty_unit_completes(spark, points, tmpdir):
+    """A partition_by unit whose DataFrame is EMPTY must still commit:
+    dynamic-partition writes emit no data files for zero rows, so the
+    readback needs the writer's schema supplied explicitly (schema
+    inference on a _SUCCESS-only directory raises and the unit could
+    never be marked complete)."""
+    log = CheckpointLog(spark, f"{tmpdir}/ckpt_empty")
+    out = f"{tmpdir}/out_empty"
+
+    def process(key):
+        src = points.withColumn("d", F.to_date("ts"))
+        if key == "empty":
+            return src.filter(F.lit(False))
+        return src
+
+    r1 = run_resumable(
+        spark, "st", ["empty", "full"], process, out, log, partition_by=["d"]
+    )
+    assert r1["processed"] == ["empty", "full"]
+    # the empty unit is committed: a rerun skips it
+    r2 = run_resumable(
+        spark, "st", ["empty", "full"], process, out, log, partition_by=["d"]
+    )
+    assert sorted(r2["skipped"]) == ["empty", "full"]
+
+
 def test_kill_resume_skips_completed(spark, points, tmpdir):
     """A killed run resumes from the checkpoint without recomputation."""
     log = CheckpointLog(spark, f"{tmpdir}/ckpt")

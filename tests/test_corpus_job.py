@@ -211,3 +211,34 @@ def test_cli_resume_and_param_scoping(spark, sf_dir, tmp_path, capsys):
         files = [f for f in os.listdir(f"{shard_store}/{d}")
                  if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_input_regenerated_in_place_reruns_stages(spark, sf_dir, tmp_path, capsys):
+    """A --docs parquet REWRITTEN at the same path (nightly refresh)
+    must re-shard and re-process — the stage tags fingerprint the input
+    CONTENT (file listing + sizes + mtimes), not just the path string,
+    so the resume log cannot silently serve a corpus built from the
+    stale sharded store."""
+    docs_path = str(tmp_path / "docs_inplace")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    argv = ["--docs", docs_path, "--out", out, "--checkpoint", ckpt, "--units", "2"]
+    main(argv)
+    first = capsys.readouterr().out
+    assert "2 units processed, 0 skipped" in first
+
+    # identical input: full resume
+    main(argv)
+    assert "0 units processed, 2 skipped" in capsys.readouterr().out
+
+    # regenerate IN PLACE (different rows, same path)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    main(argv)
+    third = capsys.readouterr().out
+    assert "2 units processed, 0 skipped" in third  # re-ran, not skipped
+    assert "shard: processed=['all']" in third  # re-sharded too

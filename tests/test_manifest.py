@@ -261,6 +261,45 @@ def test_consume_incremental_expired_state_fails_fast(spark, tmpdir):
         consume_incremental(spark, store, state, lambda df, sid: None)
 
 
+def test_consume_incremental_rejects_severed_chain(spark, tmpdir):
+    """Deltas are diffs of ADJACENT manifests; a severed chain (manual
+    manifest deletion between commits) must raise, not silently deliver
+    a merged delta — mirroring read_incremental's ancestry walk."""
+    from afspark.sources.manifest import _manifest_dir, consume_incremental
+
+    store = str(tmpdir.join("cons_sever"))
+    state = str(tmpdir.join("cons_sever_state.json"))
+    for i in range(3):
+        commit_append(spark, _mk(spark, [(f"s{i}", "2024-01-01", i)]), store, ["d"])
+    # consume once so the state pins the first snapshot, then sever the
+    # chain by deleting the MIDDLE manifest
+    seen = []
+    consume_incremental(spark, store, state, lambda df, sid: seen.append(sid))
+    import json as _json
+
+    with open(state, "w") as fh:
+        _json.dump({"last_snapshot": seen[0]}, fh)
+    mids = sorted(os.listdir(_manifest_dir(store)))
+    os.remove(os.path.join(_manifest_dir(store), mids[1]))
+    with pytest.raises(ValueError, match="severed"):
+        consume_incremental(spark, store, state, lambda df, sid: None)
+
+
+def test_incremental_read_empty_initial_commit(spark, tmpdir):
+    """from == to on a ZERO-FILE snapshot (partitioned write of an empty
+    frame emits no data files) yields an empty frame with the committed
+    schema instead of raising."""
+    from afspark.sources.manifest import read_incremental
+
+    store = str(tmpdir.join("empty_init"))
+    s1 = commit_append(
+        spark, _mk(spark, []).filter(F.lit(False)), store, ["d"]
+    )
+    empty = read_incremental(spark, store, s1, s1)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"series_id", "d", "v"}
+
+
 def test_consume_incremental_fresh_consumer_on_expired_store(spark, tmpdir):
     """A fresh consumer on a store whose older manifests were expired is
     seeded with the oldest KEPT snapshot's full live content (the delta

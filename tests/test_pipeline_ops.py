@@ -747,6 +747,19 @@ def test_pq_recall_beats_chance(spark, emb):
     assert total_hits >= 5  # chance level is 5 queries * 5*5/500 = 0.25
 
 
+def test_pq_topk_rejects_oversized_query_set(spark, emb):
+    """pq_topk's driver-side query collect fails fast past
+    max_driver_queries (mirrors ivf_topk's guard) instead of pulling an
+    unbounded DataFrame to the driver."""
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = similarity.pq_encode(emb, cb)
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        similarity.pq_topk(codes, cb, queries, k=5, max_driver_queries=10)
+
+
 def test_ivfpq_composition_prunes_then_adc(spark, emb):
     """IVF-PQ: codes carry the IVF cell, the probed-cell filter prunes
     the ADC scan, and results equal running ADC over only those cells."""
