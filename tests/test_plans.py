@@ -51,7 +51,7 @@ def test_kernel_stage_partitions_explicit_not_aqe_coalesced(spark, sf_dir):
     from afspark.operators.score import _kernel_partitions
 
     assert n == _kernel_partitions(spark)
-    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "4"))
+    mult = int(os.environ.get("AFSPARK_KERNEL_PART_MULT", "1"))
     assert n == spark.sparkContext.defaultParallelism * mult
 
 

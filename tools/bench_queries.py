@@ -182,6 +182,51 @@ def main() -> None:
 
         return q_training_corpus_manifest(spark, sf_dir)
 
+    # plan-capture builders for the queries whose timed form returns no
+    # DataFrame (the .explain target is their core frame)
+    def plan_score_rollup_fused():
+        return score_pages_to_tiers(offs, FEATURES, WINLEN, NOVERLAP, fs=1000.0)["1m"]
+
+    def plan_derive_samples():
+        return derive_samples(pages)
+
+    def plan_chunk_encode():
+        return encode_chunks(events, chunk_seconds=86_400)
+
+    def plan_remove_dup_spans():
+        from afspark.operators.text import remove_duplicate_spans
+
+        return remove_duplicate_spans(docs)
+
+    def plan_minhash_lsh_dedup():
+        return dedup.minhash_lsh_dedup_pairs(docs, threshold=0.7)
+
+    plan_builders = {
+        "q_score_rollup_fused": plan_score_rollup_fused,
+        "q_derive_samples": plan_derive_samples,
+        "q_chunk_encode": plan_chunk_encode,
+        "q_remove_dup_spans": plan_remove_dup_spans,
+        "q_minhash_lsh_dedup": plan_minhash_lsh_dedup,
+    }
+    if args.plans:
+        # operators localCheckpoint intermediates/results (lifecycle),
+        # which collapses a captured plan to an ExistingRDD scan; bypass
+        # checkpoints during plan dumps ONLY so the full chain is
+        # visible (no timing is taken from this path)
+        _DF = type(docs)  # the runtime (classic) DataFrame class
+
+        orig = _DF.localCheckpoint
+        _DF.localCheckpoint = lambda self, eager=True: self
+        try:
+            os.makedirs(args.plans, exist_ok=True)
+            for name, builder in plan_builders.items():
+                with open(
+                    os.path.join(args.plans, f"{name}_{args.suffix}.txt"), "w"
+                ) as fh:
+                    fh.write(plan_of(builder()))
+        finally:
+            _DF.localCheckpoint = orig
+
     queries = {
         "q_score_rollup_fused": q_score_rollup_fused,
         "q_derive_samples": q_derive_samples,
@@ -200,6 +245,8 @@ def main() -> None:
         "q_corpus_manifest": q_corpus_manifest,
     }
     wanted = [q.strip() for q in args.queries.split(",") if q.strip()] or list(queries)
+    if args.queries.strip() == "none":
+        wanted = []
 
     if args.headline_breakdown:
         from afspark.operators.rollup import rollup_all_tiers, scores_to_points
