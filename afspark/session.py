@@ -74,12 +74,17 @@ def get_session(
         # coalesced that to one partition.  parallelismFirst (default
         # true) already targets max(bytes/defaultParallelism,
         # minPartitionSize); the 1 MB default floor is what serialized
-        # these small-byte/CPU-heavy stages.  16k keeps tiny shuffles
-        # spread across the cores; at cluster scale bytes/parallelism
-        # dominates the max() and this floor is inert.
+        # these small-byte/CPU-heavy stages.  256k balances the two
+        # failure modes at local scale — 16k over-split the many tiny
+        # pure-codegen shuffles of multi-stage plans into per-task
+        # overhead (interleaved floor sweep: remove_duplicate_spans
+        # 5.0-5.7 s at 16k vs 1.5-1.9 s at 256k, every other small-
+        # shuffle query flat-or-better, sdt within 0.1-0.2 s of its
+        # 16k best) — and at cluster scale bytes/parallelism dominates
+        # the max() so this floor is inert.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("AFSPARK_MIN_COALESCED_PARTITION", "16k"),
+            os.environ.get("AFSPARK_MIN_COALESCED_PARTITION", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
